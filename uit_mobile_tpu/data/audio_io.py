@@ -1,0 +1,48 @@
+"""Host-side WAV I/O built on the stdlib ``wave`` module.
+
+Replaces ``torchaudio.load`` (reference ``inference.py:52``) for 16-bit PCM
+files. Audio I/O stays on CPU; only batched float32 waveforms ever reach the
+TPU. Scaling matches the reference's HDF5 pipeline (int16 / 32768, see
+reference ``dataset.py:44-45``) and torchaudio.load's int16 normalization.
+"""
+
+from __future__ import annotations
+
+import wave
+from pathlib import Path
+
+import numpy as np
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Read a PCM wav file -> (float32 waveform (channels, T) in [-1, 1), sr)."""
+    with wave.open(str(path), "rb") as f:
+        n_channels = f.getnchannels()
+        sampwidth = f.getsampwidth()
+        sr = f.getframerate()
+        n_frames = f.getnframes()
+        raw = f.readframes(n_frames)
+    if sampwidth == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sampwidth == 1:  # unsigned 8-bit
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {sampwidth} in {path}")
+    data = data.reshape(-1, n_channels).T  # (channels, T)
+    return np.ascontiguousarray(data), sr
+
+
+def write_wav(path, data: np.ndarray, sample_rate: int = 16000) -> None:
+    """Write float32 (T,) or (channels, T) data as 16-bit PCM."""
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[None, :]
+    pcm = np.clip(data * 32768.0, -32768, 32767).astype("<i2")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(pcm.shape[0])
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.T.tobytes())
