@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize re-forces JAX_PLATFORMS=axon at interpreter start;
+# override programmatically before any backend is touched.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+assert jax.device_count() == 8, jax.devices()
+
 import sys
 from pathlib import Path
 

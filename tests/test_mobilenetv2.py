@@ -1,0 +1,115 @@
+"""MobileNetV2: shape tests + conv/BN semantics validated against torch
+functional ops (independent implementation path)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from uit_mobile_tpu.models import mobilenetv2 as mbv2
+from uit_mobile_tpu.ckpt.torch_convert import mobilenetv2_params_from_torch_state_dict
+
+
+def test_layer_specs_structure():
+    cfg = mbv2.MobileNetV2Config()
+    specs = mbv2.layer_specs(cfg)
+    # 1 stem + 17 inverted residuals + 1 final conv = 19 torch features
+    # entries before the pool (reference mobilenetv2.py:120-142)
+    assert len(specs) == 19
+    assert specs[0] == ("convbnrelu", 1, 32, 3, 2, 1)
+    assert specs[-1] == ("convbnrelu", 320, 1280, 1, 1, 1)
+    assert specs[1] == ("invres", 32, 16, 1, 1)
+
+
+def test_forward_shapes_1s_and_10s():
+    cfg = mbv2.MobileNetV2Config(outputdim=527)
+    params, state = mbv2.init(cfg, jax.random.key(0))
+    n = sum(x.size for x in jax.tree.leaves(params))
+    assert 2.0e6 < n < 3.5e6, n  # ~2.9M params (527 classes)
+    for T in (16000, 32000):
+        wav = jnp.zeros((2, T), dtype=jnp.float32)
+        probs = mbv2.forward(cfg, params, state, wav)
+        assert probs.shape == (2, 527)
+        assert ((probs >= 0) & (probs <= 1)).all()
+
+
+def test_conv_bn_relu6_matches_torch_functional():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    B, C_in, C_out, H, W, k, stride = 2, 8, 16, 20, 24, 3, 2
+    x = rng.standard_normal((B, C_in, H, W)).astype(np.float32)
+    w = (rng.standard_normal((C_out, C_in, k, k)) * 0.1).astype(np.float32)
+    gamma = rng.standard_normal((C_out,)).astype(np.float32)
+    beta = rng.standard_normal((C_out,)).astype(np.float32)
+    mean = rng.standard_normal((C_out,)).astype(np.float32) * 0.1
+    var = np.abs(rng.standard_normal((C_out,))).astype(np.float32) + 0.5
+
+    want = F.conv2d(torch.from_numpy(x), torch.from_numpy(w), stride=stride, padding=(k - 1) // 2)
+    want = F.batch_norm(want, torch.from_numpy(mean), torch.from_numpy(var),
+                        torch.from_numpy(gamma), torch.from_numpy(beta), eps=1e-5)
+    want = torch.clamp(want, 0.0, 6.0).numpy()
+
+    p = {"conv": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))},
+         "bn": {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)}}
+    s = {"bn": {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}}
+    got, _ = mbv2._conv_bn_relu6(p, s, jnp.asarray(x.transpose(0, 2, 3, 1)), stride, 1, train=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-5)
+
+
+def test_depthwise_conv_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    B, C, H, W, k = 2, 12, 10, 14, 3
+    x = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    w = (rng.standard_normal((C, 1, k, k)) * 0.2).astype(np.float32)
+    want = F.conv2d(torch.from_numpy(x), torch.from_numpy(w), stride=1, padding=1, groups=C).numpy()
+    got = mbv2._conv2d(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(w.transpose(2, 3, 1, 0)), 1, groups=C)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-5)
+
+
+def test_converter_from_synthetic_torch_state_dict():
+    """Build a state_dict with the reference's torch key naming and shapes,
+    convert, and check the pytree structure lines up exactly."""
+    cfg = mbv2.MobileNetV2Config(outputdim=5)
+    rng = np.random.default_rng(2)
+
+    sd = {}
+
+    def add_conv_bn(conv_key, bn_key, c_in, c_out, k, groups=1):
+        sd[conv_key] = rng.standard_normal((c_out, c_in // groups, k, k)).astype(np.float32)
+        sd[bn_key + ".weight"] = np.ones(c_out, np.float32)
+        sd[bn_key + ".bias"] = np.zeros(c_out, np.float32)
+        sd[bn_key + ".running_mean"] = np.zeros(c_out, np.float32)
+        sd[bn_key + ".running_var"] = np.ones(c_out, np.float32)
+
+    for idx, spec in enumerate(mbv2.layer_specs(cfg)):
+        base = f"features.{idx}"
+        if spec[0] == "convbnrelu":
+            _, c_in, c_out, k, _, groups = spec
+            add_conv_bn(f"{base}.0.weight", f"{base}.1", c_in, c_out, k, groups)
+        else:
+            _, c_in, c_out, stride, t = spec
+            hidden = int(round(c_in * t))
+            j = 0
+            if t != 1:
+                add_conv_bn(f"{base}.conv.{j}.0.weight", f"{base}.conv.{j}.1", c_in, hidden, 1)
+                j += 1
+            add_conv_bn(f"{base}.conv.{j}.0.weight", f"{base}.conv.{j}.1", hidden, hidden, 3, groups=hidden)
+            j += 1
+            add_conv_bn(f"{base}.conv.{j}.weight", f"{base}.conv.{j+1}", hidden, c_out, 1)
+    sd["classifier.1.weight"] = rng.standard_normal((5, 1280)).astype(np.float32)
+    sd["classifier.1.bias"] = np.zeros(5, np.float32)
+
+    params, state = mobilenetv2_params_from_torch_state_dict(sd, cfg)
+    ref_params, ref_state = mbv2.init(cfg, jax.random.key(0))
+    got_shapes = [x.shape for x in jax.tree.leaves(params)]
+    want_shapes = [x.shape for x in jax.tree.leaves(ref_params)]
+    assert got_shapes == want_shapes
+    assert [x.shape for x in jax.tree.leaves(state)] == [x.shape for x in jax.tree.leaves(ref_state)]
+
+    probs = mbv2.forward(cfg, params, state, jnp.zeros((1, 16000)))
+    assert probs.shape == (1, 5)

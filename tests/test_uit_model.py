@@ -1,0 +1,205 @@
+"""UiT model family: shape/semantics tests + independent numpy math checks
++ torch<->jax converter round-trips."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from uit_mobile_tpu import models
+from uit_mobile_tpu.models import uit
+from uit_mobile_tpu.models.common import multihead_attention, layer_norm
+from uit_mobile_tpu.ckpt.torch_convert import (
+    uit_params_from_torch_state_dict,
+    uit_torch_state_dict_from_params,
+    resize_pos_embed,
+)
+
+
+def small_cfg(**kw):
+    base = dict(outputdim=537, target_length=102)
+    base.update(kw)
+    return uit.uit_xxxs(**base)
+
+
+def test_factories_and_param_counts():
+    # SURVEY hand-computed sizes: xxxs~0.57M, xxs~0.80M, xs~1.50M
+    for name, lo, hi in [("uit_xxxs", 0.4e6, 0.7e6), ("uit_xxs", 0.6e6, 1.0e6), ("uit_xs", 1.2e6, 1.8e6)]:
+        cfg = models.get_model_config(name, outputdim=537, target_length=102)
+        params, state = models.build(cfg, jax.random.key(0))
+        n = sum(x.size for x in jax.tree.leaves(params))
+        assert lo < n < hi, (name, n)
+
+
+@pytest.mark.parametrize("name", ["uit_xxxs", "audio_transformer_h128_d4_m3"])
+def test_forward_1s_clip(name):
+    cfg = models.get_model_config(name, outputdim=537, target_length=102)
+    params, state = models.build(cfg, jax.random.key(0))
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16000)), dtype=jnp.float32) * 0.1
+    probs = models.apply(cfg, params, state, wav)
+    assert probs.shape == (2, 537)
+    assert ((probs >= 0) & (probs <= 1)).all()
+
+
+def test_patch_embed_matches_strided_conv():
+    """Validates the reshape+matmul patch embed and the converter's kernel
+    flattening order against an actual strided conv."""
+    rng = np.random.default_rng(0)
+    D, ps = 8, 16
+    x = jnp.asarray(rng.standard_normal((2, 64, 102)), dtype=jnp.float32)
+    w_torch = rng.standard_normal((D, 1, ps, ps)).astype(np.float32)  # (O,I,kh,kw)
+    b = rng.standard_normal((D,)).astype(np.float32)
+    p = {"kernel": jnp.asarray(w_torch.reshape(D, ps * ps).T), "bias": jnp.asarray(b)}
+    cfg = small_cfg(embed_dim=8, num_heads=2)
+    got = uit.patch_embed(cfg, p, x)  # (B, fg, tg, D)
+
+    conv = jax.lax.conv_general_dilated(
+        x[:, None, :, :], jnp.asarray(w_torch), (ps, ps), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    ) + jnp.asarray(b)[None, :, None, None]
+    want = jnp.transpose(conv, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def _np_attention(x, qkv_w, qkv_b, proj_w, proj_b, h, scale, inner):
+    """Independent numpy MHSA (torch reshape semantics: 3D -> (3, h, hd))."""
+    B, N, D = x.shape
+    qkv = x @ qkv_w + qkv_b  # (B,N,3*inner)
+    qkv = qkv.reshape(B, N, 3, h, inner // h)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    out = np.empty((B, N, inner), dtype=np.float32)
+    for b in range(B):
+        for hh in range(h):
+            A = q[b, :, hh] @ k[b, :, hh].T * scale
+            A = np.exp(A - A.max(-1, keepdims=True))
+            A /= A.sum(-1, keepdims=True)
+            out[b, :, hh * (inner // h):(hh + 1) * (inner // h)] = A @ v[b, :, hh]
+    return out @ proj_w + proj_b
+
+
+@pytest.mark.parametrize("bneck", [False, True])
+def test_attention_matches_numpy(bneck):
+    rng = np.random.default_rng(1)
+    D, h, N, B = 128, 2, 24, 3
+    inner = D // 4 if bneck else D
+    scale = (D // h) ** -0.5  # reference quirk: full-dim head scale
+    x = rng.standard_normal((B, N, D)).astype(np.float32)
+    qkv_w = (rng.standard_normal((D, 3 * inner)) * 0.05).astype(np.float32)
+    qkv_b = (rng.standard_normal((3 * inner,)) * 0.05).astype(np.float32)
+    proj_w = (rng.standard_normal((inner, D)) * 0.05).astype(np.float32)
+    proj_b = (rng.standard_normal((D,)) * 0.05).astype(np.float32)
+    p = {"qkv": {"kernel": jnp.asarray(qkv_w), "bias": jnp.asarray(qkv_b)},
+         "proj": {"kernel": jnp.asarray(proj_w), "bias": jnp.asarray(proj_b)}}
+    got = multihead_attention(p, jnp.asarray(x), num_heads=h, scale=scale, inner_dim=inner)
+    want = _np_attention(x, qkv_w, qkv_b, proj_w, proj_b, h, scale, inner)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_layer_norm_matches_numpy():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 7, 16)).astype(np.float32)
+    g = rng.standard_normal((16,)).astype(np.float32)
+    b = rng.standard_normal((16,)).astype(np.float32)
+    got = layer_norm({"scale": jnp.asarray(g), "bias": jnp.asarray(b)}, jnp.asarray(x), eps=1e-6)
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    want = (x - mu) / np.sqrt(var + 1e-6) * g + b
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_converter_roundtrip_exact():
+    cfg = small_cfg()
+    params, state = models.build(cfg, jax.random.key(3))
+    sd = uit_torch_state_dict_from_params(params, state, cfg)
+    # reference-visible key set sanity
+    assert "blocks.0.attn.qkv.weight" in sd and "outputlayer.1.weight" in sd
+    assert sd["patch_embed.proj.weight"].shape == (128, 1, 16, 16)
+    assert sd["time_pos_embed"].shape == (1, 128, 1, 6)
+    p2, s2 = uit_params_from_torch_state_dict(sd, cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_long_clip_chunking_matches_manual_windows():
+    cfg = small_cfg(depth=1)
+    cfg = uit.UITConfig(**{**cfg.__dict__, "depth": 1})
+    params, state = models.build(cfg, jax.random.key(4))
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.standard_normal((2, 160000)), dtype=jnp.float32) * 0.1
+
+    probs = models.apply(cfg, params, state, wav)
+    assert probs.shape == (2, 537)
+
+    # manual: mel -> bn -> static crops (tail = last full window) -> mean
+    from uit_mobile_tpu.frontend import log_mel_spectrogram
+    mel = log_mel_spectrogram(wav, cfg.frontend)
+    x = uit.apply_init_bn(cfg, params, state, mel)
+    T, L = x.shape[-1], cfg.target_length
+    n_crops = -(-T // L)
+    outs = []
+    for i in range(n_crops):
+        s = i * L
+        crop = x[..., s:s + L] if s + L <= T else x[..., -L:]
+        f = uit.forward_features(cfg, params, crop)
+        outs.append(uit.forward_head(cfg, params, f))
+    want = jnp.stack(outs, -1).mean(-1)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(want), atol=1e-5)
+
+
+def test_eval_avg_max():
+    cfg0 = small_cfg(depth=1)
+    cfg = uit.UITConfig(**{**cfg0.__dict__, "depth": 1, "eval_avg": "max"})
+    params, state = models.build(cfg, jax.random.key(6))
+    wav = jnp.asarray(np.random.default_rng(7).standard_normal((1, 32000)), dtype=jnp.float32) * 0.1
+    probs = models.apply(cfg, params, state, wav)
+    assert probs.shape == (1, 537)
+
+
+def test_resize_pos_embed_matches_torch_interpolate():
+    import torch
+
+    rng = np.random.default_rng(8)
+    emb = rng.standard_normal((6, 16)).astype(np.float32)
+    for target in (3, 6, 10, 13):
+        got = resize_pos_embed(emb, target)
+        if target <= 6:
+            np.testing.assert_array_equal(got, emb[:target])
+        else:
+            t = torch.from_numpy(emb.T[None, :, None, :])  # (1, D, 1, L)
+            want = torch.nn.functional.interpolate(
+                t, size=(1, target), mode="bilinear", align_corners=False
+            )[0, :, 0, :].T.numpy()
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_pooling_modes():
+    for pooling in ("mean", "token", "dm"):
+        cfg0 = small_cfg()
+        cfg = uit.UITConfig(**{**cfg0.__dict__, "pooling": pooling, "depth": 1})
+        params, state = models.build(cfg, jax.random.key(9))
+        wav = jnp.asarray(np.zeros((2, 16000)), dtype=jnp.float32)
+        probs = models.apply(cfg, params, state, wav)
+        assert probs.shape == (2, 537)
+
+
+def test_train_mode_returns_state_and_grads_flow():
+    cfg0 = small_cfg()
+    cfg = uit.UITConfig(**{**cfg0.__dict__, "depth": 2})
+    params, state = models.build(cfg, jax.random.key(10))
+    wav = jnp.asarray(np.random.default_rng(11).standard_normal((4, 16000)), dtype=jnp.float32) * 0.1
+    y = jnp.zeros((4, 537))
+
+    def loss_fn(p):
+        probs, new_state = uit.forward(cfg, p, state, wav, train=True, rng=jax.random.key(0))
+        eps = 1e-7
+        probs = jnp.clip(probs, eps, 1 - eps)
+        return -jnp.mean(y * jnp.log(probs) + (1 - y) * jnp.log(1 - probs)), new_state
+
+    (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    # BN state must have been updated
+    assert not np.allclose(np.asarray(new_state["init_bn"]["mean"]), 0.0)
+    gnorm = sum(float(jnp.sum(g * g)) for g in jax.tree.leaves(grads))
+    assert gnorm > 0

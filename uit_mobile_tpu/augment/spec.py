@@ -1,0 +1,68 @@
+"""Spectrogram augmentations (JAX equivalents of torchaudio masking).
+
+Reference parses TimeMasking/FrequencyMasking configs (utils.py:267-283,
+train_uit_xs.yaml:29-39) applied on the dB-scale mel inside model.forward
+(uit.py:458-459). torchaudio semantics: mask width ~ U[0, param), start ~
+U[0, length - width), masked bins set to 0.0, iid per sample when
+``iid_masks``. Implemented as static-shape `where` masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_mask(rng, batch, length, mask_param, iid):
+    n = batch if iid else 1
+    r_w, r_s = jax.random.split(rng)
+    width = jax.random.uniform(r_w, (n,), minval=0.0, maxval=float(mask_param))
+    start = jax.random.uniform(r_s, (n,)) * (length - width)
+    pos = jnp.arange(length)[None, :]
+    mask = (pos >= start[:, None]) & (pos < (start + width)[:, None])
+    return mask  # (n, length) True where masked
+
+
+def time_masking(rng, spec, time_mask_param=20, iid_masks=True, mask_value=0.0):
+    """spec: (B, F, T)."""
+    B, F, T = spec.shape
+    mask = _axis_mask(rng, B, T, time_mask_param, iid_masks)  # (B|1, T)
+    return jnp.where(mask[:, None, :], mask_value, spec)
+
+
+def frequency_masking(rng, spec, freq_mask_param=8, iid_masks=True, mask_value=0.0):
+    B, F, T = spec.shape
+    mask = _axis_mask(rng, B, F, freq_mask_param, iid_masks)  # (B|1, F)
+    return jnp.where(mask[:, :, None], mask_value, spec)
+
+
+SPEC_TRANSFORMS = {
+    "TimeMasking": time_masking,
+    "FrequencyMasking": frequency_masking,
+}
+
+
+def parse_spectransforms(transforms) -> Callable:
+    """List [{name: kwargs}] or dict {name: kwargs} -> fn(rng, spec)."""
+    items = []
+    if isinstance(transforms, dict):
+        items = list(transforms.items())
+    elif isinstance(transforms, (list, tuple)):
+        for entry in transforms:
+            items.extend(entry.items())
+    elif transforms is None:
+        items = []
+    else:
+        raise ValueError(f"bad spectransforms {transforms!r}")
+    fns = [functools.partial(SPEC_TRANSFORMS[name], **(kw or {})) for name, kw in items]
+
+    def apply(rng, spec):
+        for fn in fns:
+            rng, r = jax.random.split(rng)
+            spec = fn(r, spec)
+        return spec
+
+    return apply if fns else None

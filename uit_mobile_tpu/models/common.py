@@ -1,0 +1,180 @@
+"""Functional NN primitives shared by the model family.
+
+Design: models are pure functions over explicit parameter pytrees
+(`params` = trainables, `state` = BatchNorm statistics). No module
+framework — this keeps jit/vmap/grad/shard_map composition and the
+torch->JAX checkpoint converter trivial, and all shapes static for XLA.
+
+Weight layout convention: ``y = x @ kernel + bias`` with ``kernel``
+shaped (in, out) — i.e. torch ``Linear.weight.T``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------- init helpers
+
+def trunc_normal(rng, shape, std=0.02, dtype=jnp.float32):
+    """timm-style truncated normal in [-2std, 2std] (reference uit.py:371)."""
+    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, dtype)
+
+
+def linear_init(rng, d_in, d_out, std=0.02, bias=True):
+    p = {"kernel": trunc_normal(rng, (d_in, d_out), std=std)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,))
+    return p
+
+
+def layer_norm_init(dim):
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def conv2d_torch_default_init(rng, shape):
+    """torch Conv2d default (kaiming-uniform a=sqrt(5) => U[-b, b]).
+
+    shape = (kh, kw, c_in, c_out). fan_in = kh*kw*c_in.
+    """
+    kh, kw, c_in, c_out = shape
+    fan_in = kh * kw * c_in
+    # kaiming_uniform(a=sqrt(5)): gain=sqrt(1/3), bound=gain*sqrt(3/fan_in)
+    bound = 1.0 / math.sqrt(fan_in)
+    kr, br = jax.random.split(rng)
+    kernel = jax.random.uniform(kr, shape, minval=-bound, maxval=bound)
+    bias = jax.random.uniform(br, (c_out,), minval=-bound, maxval=bound)
+    return {"kernel": kernel, "bias": bias}
+
+
+# ------------------------------------------------------------------ primitives
+
+def layer_norm(p, x, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"] + p["bias"]
+
+
+def linear(p, x):
+    y = x @ p["kernel"]
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"]
+    return y
+
+
+def dropout(rng, x, rate: float, deterministic: bool):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def drop_path(rng, x, rate: float, deterministic: bool):
+    """Stochastic depth: drop whole residual branches per sample."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def batch_norm_inference(p, s, x, axis=-1, eps=1e-5):
+    """Per-channel affine using running stats; `axis` is the channel axis."""
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+
+    def r(v):
+        return v.reshape(shape)
+
+    inv = jax.lax.rsqrt(r(s["var"]) + eps)
+    return (x - r(s["mean"])) * inv * r(p["scale"]) + r(p["bias"])
+
+
+def batch_norm_train(p, s, x, axis=-1, momentum=0.1, eps=1e-5):
+    """BatchNorm forward with batch stats; returns (y, new_state).
+
+    Matches torch: running stats updated with *unbiased* batch variance,
+    normalization uses biased variance.
+    """
+    reduce_axes = tuple(i for i in range(x.ndim) if i != axis % x.ndim)
+    mean = jnp.mean(x, axis=reduce_axes)
+    var = jnp.var(x, axis=reduce_axes)
+    n = x.size // x.shape[axis]
+    unbiased = var * n / max(n - 1, 1)
+    new_s = {
+        "mean": (1 - momentum) * s["mean"] + momentum * mean,
+        "var": (1 - momentum) * s["var"] + momentum * unbiased,
+    }
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+
+    def r(v):
+        return v.reshape(shape)
+
+    y = (x - r(mean)) * jax.lax.rsqrt(r(var) + eps) * r(p["scale"]) + r(p["bias"])
+    return y, new_s
+
+
+ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "relu": jax.nn.relu,
+    "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
+}
+
+
+def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
+                        causal: bool = False,
+                        attn_drop: float = 0.0, proj_drop: float = 0.0,
+                        rng=None, deterministic: bool = True,
+                        dtype=None):
+    """Shared full/bottleneck MHSA.
+
+    Full attention: inner_dim == D. Bottleneck (reference BNeckAttention,
+    uit.py:89-122): qkv projects D -> 3*(D/4), attention runs in the D/4
+    space, proj maps back D/4 -> D. NOTE the reference's `scale` is
+    head_dim**-0.5 computed from the FULL dim (uit.py:99-100), not from the
+    bottleneck head dim — callers pass it in explicitly to preserve
+    checkpoint parity.
+    """
+    B, N, _ = x.shape
+    h = num_heads
+    hd = inner_dim // h
+    qkv = linear(p["qkv"], x)  # (B, N, 3*inner)
+    if dtype is not None:
+        qkv = qkv.astype(dtype)
+    qkv = qkv.reshape(B, N, 3, h, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, hd)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    if causal:
+        mask = np.triu(np.ones((N, N), dtype=bool), k=1)
+        attn = jnp.where(mask, jnp.finfo(attn.dtype).min, attn)
+    attn = jax.nn.softmax(attn, axis=-1)
+    if not deterministic and attn_drop > 0.0:
+        rng, r1 = jax.random.split(rng)
+        attn = dropout(r1, attn, attn_drop, deterministic)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, inner_dim)
+    out = linear(p["proj"], out.astype(x.dtype))
+    if not deterministic and proj_drop > 0.0:
+        rng, r2 = jax.random.split(rng)
+        out = dropout(r2, out, proj_drop, deterministic)
+    return out
+
+
+def mlp(p, x, act: str, drop: float = 0.0, rng=None, deterministic: bool = True):
+    x = ACTIVATIONS[act](linear(p["fc1"], x))
+    if not deterministic and drop > 0.0:
+        rng, r1 = jax.random.split(rng)
+        x = dropout(r1, x, drop, deterministic)
+    x = linear(p["fc2"], x)
+    if not deterministic and drop > 0.0:
+        rng, r2 = jax.random.split(rng)
+        x = dropout(r2, x, drop, deterministic)
+    return x

@@ -1,0 +1,390 @@
+"""UiT audio transformer family, TPU-native.
+
+Re-designs the reference ``models/uit.py`` (UITBase, uit.py:252-493) as pure
+functions over explicit pytrees with fully static shapes:
+
+- the log-mel frontend (reference uit.py:298-308) is an external, swappable
+  callable (pure-JAX reference impl or the fused Pallas kernel);
+- patch embedding (Conv2d 16x16 stride 16, uit.py:63-66) is expressed as a
+  space-to-depth reshape + matmul so it rides the MXU directly;
+- long-clip evaluation (uit.py:468-488) is a reshape of the time axis into
+  fixed windows folded into the batch dimension — one XLA program, no
+  Python crop loop; the short tail is replaced by the LAST full window
+  (uit.py:477-480) and scores reduce by mean or max (`eval_avg`);
+- training-time stochasticity (dropout, drop-path, patch dropout, mixup)
+  is explicit-RNG keyed.
+
+Checkpoint-parity-critical quirks preserved:
+- BNeckAttention's softmax scale uses the FULL-dim head size (uit.py:99-101);
+- ``self.norm`` / block LayerNorms use eps=1e-6 (uit.py:337) while the
+  output head's LayerNorm uses torch's default eps=1e-5 (uit.py:358-360);
+- the head emits sigmoid probabilities, not logits (uit.py:401);
+- pooling='dm' does freq-mean -> head -> sigmoid -> time-mean (uit.py:405-412).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import FrontendConfig, log_mel_spectrogram
+from .common import (
+    ACTIVATIONS,
+    batch_norm_inference,
+    batch_norm_train,
+    conv2d_torch_default_init,
+    dropout,
+    drop_path,
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+    mlp,
+    multihead_attention,
+    trunc_normal,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UITConfig:
+    outputdim: int = 527
+    patch_size: int = 16
+    patch_stride: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    init_bn: bool = True
+    init_values: Optional[float] = None
+    target_length: int = 1012
+    pooling: str = "token"  # 'token' | 'mean' | 'dm'
+    attention_type: str = "Attention"  # 'Attention' | 'BNeckAttention'
+    act: str = "gelu"  # block MLP activation ('relu' in uit_* factories)
+    eval_avg: str = "mean"  # long-clip score reduction: 'mean' | 'max'
+    time_patch_out: Optional[float] = None
+    freq_patch_out: Optional[float] = None
+    n_mels: int = 64
+    causal: bool = False
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+
+    def __post_init__(self):
+        assert self.pooling in ("mean", "token", "dm")
+        assert self.attention_type in ("Attention", "BNeckAttention")
+        assert self.embed_dim % self.num_heads == 0
+
+    @property
+    def grid_size(self):  # (freq, time) patch grid
+        return (
+            self.n_mels // self.patch_stride,
+            self.target_length // self.patch_stride,
+        )
+
+    @property
+    def inner_dim(self) -> int:
+        if self.attention_type == "BNeckAttention":
+            return self.embed_dim // 4
+        return self.embed_dim
+
+    @property
+    def attn_scale(self) -> float:
+        # Reference quirk (uit.py:99-100, 136-137): always the FULL-dim head.
+        return float((self.embed_dim // self.num_heads) ** -0.5)
+
+
+# ----------------------------------------------------------------------- init
+
+def init(cfg: UITConfig, rng) -> tuple[dict, dict]:
+    """Initialize (params, state) matching reference init (uit.py:361-376)."""
+    keys = iter(jax.random.split(rng, 16 + 8 * cfg.depth))
+    D = cfg.embed_dim
+    fg, tg = cfg.grid_size
+    params: dict[str, Any] = {}
+    state: dict[str, Any] = {}
+
+    if cfg.init_bn:
+        params["init_bn"] = {"scale": jnp.ones((cfg.n_mels,)), "bias": jnp.zeros((cfg.n_mels,))}
+        state["init_bn"] = {"mean": jnp.zeros((cfg.n_mels,)), "var": jnp.ones((cfg.n_mels,))}
+
+    conv = conv2d_torch_default_init(
+        next(keys), (cfg.patch_size, cfg.patch_size, 1, D)
+    )
+    params["patch_embed"] = {
+        "kernel": conv["kernel"].reshape(cfg.patch_size * cfg.patch_size, D),
+        "bias": conv["bias"],
+    }
+    params["cls_token"] = 1e-6 * jax.random.normal(next(keys), (1, 1, D))
+    params["token_pos_embed"] = 0.02 * jax.random.normal(next(keys), (1, D))
+    params["time_pos_embed"] = 0.02 * jax.random.normal(next(keys), (tg, D))
+    params["freq_pos_embed"] = 0.02 * jax.random.normal(next(keys), (fg, D))
+
+    inner = cfg.inner_dim
+    hidden = int(D * cfg.mlp_ratio)
+    blocks = []
+    for _ in range(cfg.depth):
+        blk = {
+            "norm1": layer_norm_init(D),
+            "attn": {
+                "qkv": linear_init(next(keys), D, 3 * inner, bias=cfg.qkv_bias),
+                "proj": linear_init(next(keys), inner, D),
+            },
+            "norm2": layer_norm_init(D),
+            "mlp": {
+                "fc1": linear_init(next(keys), D, hidden),
+                "fc2": linear_init(next(keys), hidden, D),
+            },
+        }
+        if cfg.init_values is not None:
+            blk["ls1"] = {"gamma": cfg.init_values * jnp.ones((D,))}
+            blk["ls2"] = {"gamma": cfg.init_values * jnp.ones((D,))}
+        blocks.append(blk)
+    params["blocks"] = blocks
+    params["norm"] = layer_norm_init(D)
+    params["head_norm"] = layer_norm_init(D)
+    params["head"] = linear_init(next(keys), D, cfg.outputdim)
+    return params, state
+
+
+# ------------------------------------------------------------------- encoder
+
+def patch_embed(cfg: UITConfig, p, x):
+    """(B, n_mels, T) mel -> (B, Fg, Tg, D) patch tokens via reshape+matmul.
+
+    Equivalent to the reference's Conv2d(1, D, 16, stride 16) (uit.py:63-66):
+    valid windows only, so T >= 16 frames beyond the last full patch are
+    dropped exactly like a strided conv would.
+    """
+    B, F, T = x.shape
+    ps = cfg.patch_size
+    fg, tg = F // ps, T // ps
+    if tg < 1:
+        raise ValueError(
+            f"input has {T} mel frames but one {ps}x{ps} patch needs at least "
+            f"{ps}; feed clips of >= {ps * cfg.frontend.hop_length} samples "
+            f"(~{ps * cfg.frontend.hop_length / cfg.frontend.sample_rate:.2f}s)"
+        )
+    x = x[:, : fg * ps, : tg * ps]
+    # (B, fg, ps, tg, ps) -> (B, fg, tg, ps, ps): patch rows are the freq
+    # axis of the conv kernel, matching torch's (D, 1, kh, kw) row-major
+    # flatten in the checkpoint converter.
+    x = x.reshape(B, fg, ps, tg, ps).transpose(0, 1, 3, 2, 4).reshape(B, fg, tg, ps * ps)
+    return x @ p["kernel"] + p["bias"]
+
+
+def _drop_patches(rng, x, axis, frac):
+    """Random patch dropout along `axis`, keeping order (uit.py:26-30)."""
+    n = x.shape[axis]
+    keep = n - int(n * frac)
+    idx = jnp.sort(jax.random.permutation(rng, n)[:keep])
+    return jnp.take(x, idx, axis=axis)
+
+
+def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None):
+    """(B, n_mels, T<=target_length) normalized mel -> (B, N, D) encoded tokens."""
+    x = patch_embed(cfg, params["patch_embed"], mel)  # (B, fg, tg', D)
+    tg = x.shape[2]
+    x = x + params["time_pos_embed"][None, None, :tg, :]
+    x = x + params["freq_pos_embed"][None, :, None, :]
+    if train and cfg.time_patch_out is not None:
+        rng, r = jax.random.split(rng)
+        x = _drop_patches(r, x, axis=2, frac=cfg.time_patch_out)
+    if train and cfg.freq_patch_out is not None:
+        rng, r = jax.random.split(rng)
+        x = _drop_patches(r, x, axis=1, frac=cfg.freq_patch_out)
+    B = x.shape[0]
+    x = x.reshape(B, -1, cfg.embed_dim)  # 'b f t c -> b (f t) c' ordering
+    if cfg.pooling == "token":
+        cls = jnp.broadcast_to(
+            params["cls_token"] + params["token_pos_embed"], (B, 1, cfg.embed_dim)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+    if train and cfg.drop_rate > 0.0:
+        rng, r = jax.random.split(rng)
+        x = dropout(r, x, cfg.drop_rate, deterministic=False)
+
+    dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+    for i, blk in enumerate(params["blocks"]):
+        if rng is not None:
+            rng, r_attn, r_mlp, r_dp1, r_dp2 = jax.random.split(rng, 5)
+        else:
+            r_attn = r_mlp = r_dp1 = r_dp2 = None
+        h = multihead_attention(
+            blk["attn"], layer_norm(blk["norm1"], x, eps=1e-6),
+            num_heads=cfg.num_heads, scale=cfg.attn_scale,
+            inner_dim=cfg.inner_dim, causal=cfg.causal,
+            attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
+            rng=r_attn, deterministic=not train,
+        )
+        if "ls1" in blk:
+            h = h * blk["ls1"]["gamma"]
+        x = x + drop_path(r_dp1, h, float(dpr[i]), deterministic=not train)
+        h = mlp(blk["mlp"], layer_norm(blk["norm2"], x, eps=1e-6),
+                act=cfg.act, drop=cfg.drop_rate, rng=r_mlp,
+                deterministic=not train)
+        if "ls2" in blk:
+            h = h * blk["ls2"]["gamma"]
+        x = x + drop_path(r_dp2, h, float(dpr[i]), deterministic=not train)
+    return layer_norm(params["norm"], x, eps=1e-6)
+
+
+def forward_head(cfg: UITConfig, params, x):
+    """(B, N, D) tokens -> (B, outputdim) sigmoid probabilities."""
+
+    def head(t):
+        # output head LN uses torch default eps=1e-5 (uit.py:358-360)
+        return jax.nn.sigmoid(
+            linear(params["head"], layer_norm(params["head_norm"], t, eps=1e-5))
+        )
+
+    if cfg.pooling == "token":
+        return head(x[:, 0])
+    if cfg.pooling == "mean":
+        return head(x.mean(axis=1))
+    # 'dm': freq-mean -> per-timestep head+sigmoid -> time-mean
+    fg = cfg.grid_size[0]
+    B, N, D = x.shape
+    x = x.reshape(B, fg, N // fg, D).mean(axis=1)  # (B, tg, D)
+    return head(x).mean(axis=1)
+
+
+def encode_window(cfg: UITConfig, params, state, mel, *, train=False, rng=None):
+    """Normalized-input core: (B, n_mels, T) mel-dB -> (B, outputdim) probs.
+
+    Applies init_bn (inference stats) then features+head. This is THE hot
+    jit/vmap unit for serving.
+    """
+    x = apply_init_bn(cfg, params, state, mel)
+    feats = forward_features(cfg, params, x, train=train, rng=rng)
+    return forward_head(cfg, params, feats)
+
+
+def apply_init_bn(cfg, params, state, mel):
+    if not cfg.init_bn:
+        # reference GlobalNormer(-10, 20, fac=2): (x+10)/40 (uit.py:33-41)
+        return (mel + 10.0) / 40.0
+    return batch_norm_inference(params["init_bn"], state["init_bn"], mel, axis=-2)
+
+
+def chunk_long_mel(cfg: UITConfig, mel):
+    """(B, F, T>target) -> (B*n_crops, F, target): the eval crop rule.
+
+    Full windows tile from t=0; a short tail is REPLACED by the last full
+    window of the clip (reference uit.py:474-480). Static shapes.
+    """
+    B, F, T = mel.shape
+    L = cfg.target_length
+    n_crops = -(-T // L)
+    starts = [i * L for i in range(n_crops)]
+    if T % L != 0:
+        starts[-1] = T - L  # tail -> last full window
+    crops = jnp.stack([jax.lax.slice_in_dim(mel, s, s + L, axis=-1) for s in starts], axis=1)
+    return crops.reshape(B * n_crops, F, L), n_crops
+
+
+def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
+            mixup_lamb=None, wav_augment=None, spec_augment=None,
+            frontend_fn: Optional[Callable] = None):
+    """Full reference-equivalent forward: (B, T_wav) waveform -> (B, outputdim).
+
+    In training mode returns (probs, new_state) with updated BN statistics.
+    `frontend_fn` lets callers swap in the fused Pallas mel kernel.
+    """
+    if frontend_fn is None:
+        frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
+    if train and wav_augment is not None:
+        rng, r = jax.random.split(rng)
+        wav = wav_augment(r, wav)
+    mel = frontend_fn(wav)  # (B, n_mels, T)
+    if train and mixup_lamb is not None:
+        from ..augment.mixup import mixup_tensor
+        mel = mixup_tensor(mel, mixup_lamb)
+    if train and spec_augment is not None:
+        rng, r = jax.random.split(rng)
+        mel = spec_augment(r, mel)
+
+    new_state = state
+    if cfg.init_bn:
+        if train:
+            x, bn_state = batch_norm_train(
+                params["init_bn"], state["init_bn"], mel, axis=-2, momentum=0.01
+            )
+            new_state = dict(state, init_bn=bn_state)
+        else:
+            x = batch_norm_inference(params["init_bn"], state["init_bn"], mel, axis=-2)
+    else:
+        x = (mel + 10.0) / 40.0
+
+    T = x.shape[-1]
+    if (not train) and T > cfg.target_length:
+        crops, n_crops = chunk_long_mel(cfg, x)
+        feats = forward_features(cfg, params, crops, train=False)
+        probs = forward_head(cfg, params, feats)
+        probs = probs.reshape(-1, n_crops, cfg.outputdim)
+        probs = probs.mean(axis=1) if cfg.eval_avg == "mean" else probs.max(axis=1)
+    else:
+        if rng is not None:
+            rng, r = jax.random.split(rng)
+        else:
+            r = None
+        feats = forward_features(cfg, params, x, train=train, rng=r)
+        probs = forward_head(cfg, params, feats)
+    if train:
+        return probs, new_state
+    return probs
+
+
+# ------------------------------------------------------------------ factories
+
+def _factory(name: str, **base):
+    def make(**overrides) -> UITConfig:
+        kw = dict(base)
+        kw.update(overrides)
+        return UITConfig(**kw)
+
+    make.__name__ = name
+    return make
+
+
+# Reference factory configs (uit.py:514-635). All: D=128, 2 heads, mlp x3,
+# mean pooling, init_bn, patch 16/16.
+_H128 = dict(patch_size=16, embed_dim=128, num_heads=2, mlp_ratio=3.0,
+             pooling="mean", init_bn=True, drop_path_rate=0.0)
+
+uit_xs = _factory("uit_xs", depth=12, act="relu", attention_type="BNeckAttention", **_H128)
+uit_xxs = _factory("uit_xxs", depth=6, act="relu", attention_type="BNeckAttention", **_H128)
+uit_xxxs = _factory("uit_xxxs", depth=4, act="relu", attention_type="BNeckAttention", **_H128)
+audio_transformer_h128_d4_m3 = _factory("audio_transformer_h128_d4_m3", depth=4, **_H128)
+audio_transformer_h128_d4_m3_relu = _factory(
+    "audio_transformer_h128_d4_m3_relu", depth=4, act="relu", **_H128)
+audio_transformer_h128_d6_m3 = _factory("audio_transformer_h128_d6_m3", depth=6, **_H128)
+audio_transformer_h128_d6_m3_relu = _factory(
+    "audio_transformer_h128_d6_m3_relu", depth=6, act="relu", **_H128)
+# NOTE: the reference also declares audio_transformer_h128_d3_m3_bneck_v2_relu
+# referencing an undefined BNeckAttentionV2 class (uit.py:496-512 vs :224) —
+# it crashes if used; intentionally not reproduced.
+
+# name -> (factory, kwargs, upstream checkpoint URL) (reference uit.py:639-655)
+PRETRAINED_CHECKPOINTS = {
+    "uit_xs": {
+        "factory": uit_xs,
+        "model_kwargs": dict(outputdim=537, target_length=102),
+        "url": "https://zenodo.org/record/7690036/files/uit_xs_mAP3409.pt?download=1",
+    },
+    "uit_xxs": {
+        "factory": uit_xxs,
+        "model_kwargs": dict(outputdim=537, target_length=102),
+        "url": "https://zenodo.org/record/7690036/files/uit_xxs_mAP3221.pt?download=1",
+    },
+    "uit_xxxs": {
+        "factory": uit_xxxs,
+        "model_kwargs": dict(outputdim=537, target_length=102),
+        "url": "https://zenodo.org/record/7690036/files/uit_xxxs_mAP3097.pt?download=1",
+    },
+}
