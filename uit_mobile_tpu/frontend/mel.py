@@ -109,6 +109,11 @@ def frame_signal(wav: jax.Array, config: FrontendConfig) -> jax.Array:
     n_fft, hop = config.n_fft, config.hop_length
     if config.center:
         pad = n_fft // 2
+        if wav.shape[-1] <= pad:
+            raise ValueError(
+                f"waveform of {wav.shape[-1]} samples is too short for "
+                f"reflect padding of {pad}; need > {pad} samples"
+            )
         wav = jnp.concatenate(
             [wav[..., 1 : pad + 1][..., ::-1], wav, wav[..., -pad - 1 : -1][..., ::-1]],
             axis=-1,
