@@ -1,0 +1,138 @@
+"""Shared CLI helpers: label maps and checkpoint resolution."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .. import models
+from ..models import uit as uit_model
+from ..utils import get_logger
+
+REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+LABEL_CSV = REPO_ROOT / "datasets" / "merged_class_label_indices.csv"
+CACHE_DIR = Path(os.environ.get("UIT_MOBILE_TPU_CACHE", Path.home() / ".cache" / "uit_mobile_tpu"))
+
+log = get_logger()
+
+
+def load_label_map(path=None) -> dict[int, str]:
+    import csv
+
+    with open(path or LABEL_CSV) as f:
+        return {int(r["index"]): r["display_name"] for r in csv.DictReader(f)}
+
+
+def infer_uit_config_from_state_dict(sd: dict, **overrides):
+    """Recover a UITConfig from a raw torch state_dict's shapes.
+
+    embed_dim <- patch_embed.proj.weight[0]; depth <- max blocks.N;
+    attention type <- qkv out-features vs 3*D; outputdim <- outputlayer.1;
+    mlp_ratio <- fc1 hidden / D. num_heads/act/target_length are not
+    recoverable from shapes — defaults match every published checkpoint
+    (2 heads, relu, 102) and can be overridden.
+    """
+    D = sd["patch_embed.proj.weight"].shape[0]
+    depth = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    three_inner = sd["blocks.0.attn.qkv.weight"].shape[0]
+    attention_type = "BNeckAttention" if three_inner < 3 * D else "Attention"
+    outputdim = sd["outputlayer.1.weight"].shape[0]
+    hidden = sd["blocks.0.mlp.fc1.weight"].shape[0]
+    tg = sd["time_pos_embed"].shape[-1]
+    kwargs = dict(
+        outputdim=outputdim,
+        embed_dim=D,
+        depth=depth,
+        num_heads=2,
+        mlp_ratio=hidden / D,
+        pooling="mean",
+        act="relu",
+        attention_type=attention_type,
+        init_bn="init_bn.1.weight" in sd,
+        target_length=102 if tg == 6 else tg * 16,
+        patch_size=sd["patch_embed.proj.weight"].shape[-1],
+    )
+    kwargs.update(overrides)
+    return models.UITConfig(**kwargs)
+
+
+def _convert_torch_dump(path, **cfg_overrides):
+    from ..ckpt.torch_convert import (
+        load_torch_checkpoint,
+        uit_params_from_torch_state_dict,
+    )
+
+    dump = load_torch_checkpoint(path)
+    sd = dump["state_dict"]
+    if dump["config"]:
+        c = dump["config"]
+        cfg = models.get_model_config(
+            c["model"], outputdim=c.get("num_classes", 537), **c.get("model_args", {})
+        )
+    else:
+        cfg = infer_uit_config_from_state_dict(sd, **cfg_overrides)
+    params, state = uit_params_from_torch_state_dict(sd, cfg)
+    return cfg, params, state
+
+
+def resolve_model(spec: str, **cfg_overrides):
+    """Resolve a model spec -> (cfg, params, state).
+
+    Accepted specs (superset of reference inference.py:35-48):
+    - a pretrained name (uit_xs/uit_xxs/uit_xxxs): looks for a converted
+      native checkpoint ``checkpoints/<name>.npz`` (or $UIT_MOBILE_TPU_CACHE),
+      then a torch dump ``checkpoints/<name>*.pt``, then tries the zenodo
+      URL (fails cleanly when offline);
+    - a native ``.npz`` checkpoint path;
+    - a torch ``.pt`` checkpoint path (raw state_dict or trainer dump);
+    - an experiment directory (globs best_*.npz / *.npz / *.pt).
+    """
+    from ..ckpt.io import load_checkpoint
+
+    p = Path(spec)
+    if spec in models.PRETRAINED_CHECKPOINTS:
+        entry = models.PRETRAINED_CHECKPOINTS[spec]
+        for root in (REPO_ROOT / "checkpoints", CACHE_DIR):
+            npz = root / f"{spec}.npz"
+            if npz.exists():
+                params, state, cfg, _ = load_checkpoint(npz)
+                if cfg is None:
+                    cfg = entry["factory"](**entry["model_kwargs"])
+                return cfg, params, state
+            hits = sorted(root.glob(f"{spec}*.pt")) if root.exists() else []
+            if hits:
+                return _convert_torch_dump(hits[0], **cfg_overrides)
+        # last resort: fetch the published dump (requires egress)
+        url = entry["url"]
+        dest = CACHE_DIR / f"{spec}.pt"
+        try:
+            import urllib.request
+
+            CACHE_DIR.mkdir(parents=True, exist_ok=True)
+            log.info(f"downloading {url} -> {dest}")
+            urllib.request.urlretrieve(url, dest)
+            return _convert_torch_dump(dest, **cfg_overrides)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"no local checkpoint for {spec!r} (looked in "
+                f"{REPO_ROOT / 'checkpoints'} and {CACHE_DIR}) and download "
+                f"failed ({e}). Place the zenodo dump at "
+                f"checkpoints/{spec}.pt or a converted checkpoints/{spec}.npz"
+            ) from e
+    if p.is_dir():
+        for pattern in ("best_*.npz", "*.npz", "averaged.pt", "best*.pt", "*.pt"):
+            hits = sorted(p.glob(pattern))
+            if hits:
+                p = hits[0]
+                break
+        else:
+            raise FileNotFoundError(f"no checkpoint found under {p}")
+    if p.suffix == ".npz":
+        params, state, cfg, _ = load_checkpoint(p)
+        assert cfg is not None, f"{p} has no embedded config"
+        return cfg, params, state
+    if p.suffix == ".pt":
+        return _convert_torch_dump(p, **cfg_overrides)
+    raise ValueError(f"cannot resolve model spec {spec!r}")

@@ -1,0 +1,88 @@
+"""Inference CLI: wav files in, ranked label probabilities out.
+
+Replicates the reference's public demo (inference.py:11-62) including the
+output format (``Keyword:`` prefix for indices > 526), plus a batched mode
+that pads all inputs to a shared length and scores them in one TPU program.
+
+    python -m uit_mobile_tpu.cli.infer samples/*.wav -m uit_xs -k 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .. import models
+from ..data import read_wav
+from .common import load_label_map, resolve_model
+
+
+def run_inference(cfg, params, state, wavs: list[np.ndarray], batched: bool = False):
+    """Score a list of (T,) float32 waveforms -> list of (outputdim,) probs.
+
+    The forward is jitted once per distinct input shape (eager dispatch on a
+    remote TPU is orders of magnitude slower). Non-batched mode scores each
+    clip at its exact length (bit-parity with the reference CLI, one compile
+    per distinct length); --batched pads to the batch max and runs one
+    program.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fwd = jax.jit(lambda w: models.apply(cfg, params, state, w))
+    if batched and len(wavs) > 1:
+        max_len = max(w.shape[-1] for w in wavs)
+        batch = np.zeros((len(wavs), max_len), dtype=np.float32)
+        for i, w in enumerate(wavs):
+            batch[i, : w.shape[-1]] = w
+        probs = fwd(jnp.asarray(batch))
+        return [np.asarray(p) for p in probs]
+    return [np.asarray(fwd(jnp.asarray(w[None, :]))[0]) for w in wavs]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="uit-infer", description="UiT audio tagging + keyword spotting"
+    )
+    parser.add_argument("input_wav", type=Path, nargs="+")
+    parser.add_argument(
+        "-m", "--model", default="uit_xs",
+        help=f"pretrained name [{', '.join(models.PRETRAINED_CHECKPOINTS)}], "
+             "a .npz/.pt checkpoint, or an experiment directory",
+    )
+    parser.add_argument("-k", "--topk", type=int, default=3)
+    parser.add_argument("--batched", action="store_true",
+                        help="score all wavs in one padded batch (fast path; "
+                        "padding may slightly alter per-clip frames)")
+    parser.add_argument("--labels", type=Path, default=None,
+                        help="label index CSV (default: bundled 537-class map)")
+    args = parser.parse_args(argv)
+
+    label_maps = load_label_map(args.labels)
+    cfg, params, state = resolve_model(args.model)
+
+    wavs = []
+    for wavpath in args.input_wav:
+        wave, sr = read_wav(wavpath)
+        assert sr == 16000, (
+            "Models are trained on 16khz, please sample your input to 16khz"
+        )
+        wavs.append(wave[0])
+
+    outputs = run_inference(cfg, params, state, wavs, batched=args.batched)
+    for wavpath, output in zip(args.input_wav, outputs):
+        print(f"===== {str(wavpath):^20} =====")
+        top = np.argsort(output)[::-1][: args.topk]
+        for lab_idx in top:
+            label_name = label_maps[int(lab_idx)]
+            if lab_idx > 526:
+                label_name = f"Keyword: {label_name}"
+            print(f"{label_name:<30} {output[lab_idx]:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,10 @@
+from .config import DEFAULT_ARGS, parse_config_or_kwargs, parse_override
+from .logging import get_logger, add_file_sink
+
+__all__ = [
+    "DEFAULT_ARGS",
+    "parse_config_or_kwargs",
+    "parse_override",
+    "get_logger",
+    "add_file_sink",
+]
