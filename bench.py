@@ -1,0 +1,79 @@
+"""Headline benchmark: uit_xs 1s-clip batched inference throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The metric is the BASELINE.json north star — 1s-clip inferences/sec/chip for
+uit_xs with the fused Pallas mel frontend. ``vs_baseline`` compares against
+the reference implementation's ambition proxy: the published Snapdragon-865
+single-clip latency of 3.4 ms (README.md:15-24) => ~294 clips/s on the
+reference's best mobile target. Extra diagnostic lines go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from uit_mobile_tpu import models
+    from uit_mobile_tpu.ops import make_frontend_fn
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev} platform={dev.platform}", file=sys.stderr)
+
+    cfg = models.get_model_config("uit_xs", outputdim=537, target_length=102)
+    params, state = models.build(cfg, jax.random.key(0))
+    frontend = make_frontend_fn(cfg.frontend, use_pallas=(dev.platform == "tpu"))
+
+    fwd = jax.jit(lambda p, s, w: models.apply(cfg, p, s, w, frontend_fn=frontend))
+
+    B = 2048 if dev.platform == "tpu" else 64
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((B, 16000)).astype(np.float32) * 0.1)
+
+    out = fwd(params, state, wav)
+    out.block_until_ready()  # compile
+
+    # steady-state pipelined throughput (the serving number): enqueue a
+    # stream of batches, block once — overlaps dispatch/tunnel latency the
+    # way a real service loop does
+    # (pipeline depth capped at 8: deeper async queues can stall the
+    # remote-TPU relay in this environment)
+    rounds, depth = (4, 8) if dev.platform == "tpu" else (2, 2)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        for _ in range(depth):
+            out = fwd(params, state, wav)
+        out.block_until_ready()
+    clips_per_s = rounds * depth * B / (time.perf_counter() - t0)
+
+    # blocking per-batch p50 (diagnostic; includes dispatch/tunnel RTT)
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = fwd(params, state, wav)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    print(f"# batch={B} pipelined={clips_per_s:.0f} clips/s/chip; "
+          f"blocking p50={p50 * 1e3:.2f} ms/batch",
+          file=sys.stderr)
+
+    # Reference ambition proxy: 3.4 ms/clip on Snapdragon 865 (README.md:15-24)
+    baseline_clips_per_s = 1000.0 / 3.4
+    print(json.dumps({
+        "metric": "uit_xs 1s-clip inferences/sec/chip (batched, pallas mel frontend)",
+        "value": round(clips_per_s, 1),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_s / baseline_clips_per_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Pallas fused mel kernel vs the pure-JAX reference frontend.
+
+Runs in interpreter mode on the CPU test platform; the same kernel is
+exercised compiled on real TPU by bench.py and the verify drive.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from uit_mobile_tpu.frontend import FrontendConfig, log_mel_spectrogram
+from uit_mobile_tpu.ops import pallas_log_mel, make_frontend_fn
+
+
+@pytest.mark.parametrize("shape", [(2, 16000), (1, 8000), (3, 40000)])
+def test_pallas_matches_reference(shape):
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.1)
+    cfg = FrontendConfig()
+    a = np.asarray(log_mel_spectrogram(wav, cfg))
+    b = np.asarray(pallas_log_mel(wav, cfg))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_pallas_per_sample_topdb():
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    cfg = FrontendConfig(top_db_mode="per_sample")
+    a = np.asarray(log_mel_spectrogram(wav, cfg))
+    b = np.asarray(pallas_log_mel(wav, cfg))
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_pallas_topdb_clamp_engages():
+    # a loud transient forces max-120 to bind on silent-ish regions
+    wav = np.zeros((1, 16000), dtype=np.float32)
+    wav[0, 4000:4050] = 0.99
+    cfg = FrontendConfig()
+    a = np.asarray(log_mel_spectrogram(jnp.asarray(wav), cfg))
+    b = np.asarray(pallas_log_mel(jnp.asarray(wav), cfg))
+    assert (a.min() > 10.0 * np.log10(1e-10) + 1e-3), "clamp should bind"
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_make_frontend_fn_model_integration():
+    import jax
+    from uit_mobile_tpu import models
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102)
+    params, state = models.build(cfg, jax.random.key(0))
+    wav = jnp.asarray(np.random.default_rng(2).standard_normal((2, 16000)).astype(np.float32) * 0.1)
+    a = models.apply(cfg, params, state, wav)
+    b = models.apply(cfg, params, state, wav, frontend_fn=make_frontend_fn(cfg.frontend, use_pallas=True))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

