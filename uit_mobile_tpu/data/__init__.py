@@ -1,3 +1,35 @@
 from .audio_io import read_wav, write_wav
+from .manifest import read_tsv_data, multihot
+from .hdf5 import (
+    WeakHDF5Dataset,
+    WeakRandomCropHDF5Dataset,
+    WeakChunkedHDF5Dataset,
+    UnlabeledRandomChunkedHDF5Dataset,
+    BalancedSampler,
+    RandomSampler,
+    SequentialSampler,
+    DataLoader,
+    MultiDataLoader,
+    device_prefetch,
+    collate,
+    pad_batch,
+)
 
-__all__ = ["read_wav", "write_wav"]
+__all__ = [
+    "read_wav",
+    "write_wav",
+    "read_tsv_data",
+    "multihot",
+    "WeakHDF5Dataset",
+    "WeakRandomCropHDF5Dataset",
+    "WeakChunkedHDF5Dataset",
+    "UnlabeledRandomChunkedHDF5Dataset",
+    "BalancedSampler",
+    "RandomSampler",
+    "SequentialSampler",
+    "DataLoader",
+    "MultiDataLoader",
+    "device_prefetch",
+    "collate",
+    "pad_batch",
+]

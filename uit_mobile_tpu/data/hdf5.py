@@ -1,0 +1,311 @@
+"""HDF5-backed audio datasets + samplers + batching.
+
+Host-side equivalents of the reference's ``dataset.py`` (WeakHDF5Dataset
+:16-56, WeakRandomCropHDF5Dataset :58-102, WeakChunkedHDF5Dataset :104-141,
+UnlabeledRandomChunkedHDF5Dataset :143-180, pad/sequential_pad :183-204,
+BalancedSampler :207-224, MultiDataLoader :227-247) rebuilt without torch:
+numpy batches, thread-pool loading, and an async device-prefetch stage that
+keeps the TPU fed (the torch-DataLoader-worker role).
+
+Waveforms are stored as int16 PCM keyed by filename; int arrays are scaled
+by 1/32768 to float32 exactly like the reference (dataset.py:44-45).
+"""
+
+from __future__ import annotations
+
+import queue
+import random as _random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .manifest import multihot
+
+try:
+    from h5py import File as _H5File
+except ImportError:  # pragma: no cover
+    _H5File = None
+
+
+def _to_float32(data: np.ndarray) -> np.ndarray:
+    if np.issubdtype(data.dtype, np.integer):
+        return (data / 32768.0).astype(np.float32)
+    return np.asarray(data, dtype=np.float32)
+
+
+class WeakHDF5Dataset:
+    """Full-clip dataset: index -> (waveform, multihot target, filename)."""
+
+    def __init__(self, data_frame: pd.DataFrame, num_classes: int):
+        self._dataframe = data_frame.reset_index(drop=True)
+        self._num_classes = num_classes
+        self._local = threading.local()  # per-thread h5 handle cache
+
+    def __len__(self) -> int:
+        return len(self._dataframe)
+
+    def _file(self, hdf5path: str):
+        cache = getattr(self._local, "cache", None)
+        if cache is None:
+            cache = self._local.cache = {}
+        if hdf5path not in cache:
+            cache[hdf5path] = _H5File(hdf5path, "r")
+        return cache[hdf5path]
+
+    def _read(self, hdf5path: str, fname: str) -> np.ndarray:
+        return _to_float32(self._file(hdf5path)[fname][:])
+
+    def __getitem__(self, index: int):
+        row = self._dataframe.iloc[index]
+        target = multihot(row["labels"], self._num_classes)
+        data = self._read(row["hdf5path"], row["filename"])
+        return data, target, row["filename"]
+
+
+class WeakRandomCropHDF5Dataset(WeakHDF5Dataset):
+    """Random fixed-length crop (long clips) or random-offset zero-pad
+    (short clips) — reference dataset.py:75-93 semantics."""
+
+    def __init__(self, data_frame, chunk_length: float, num_classes: int,
+                 sample_rate: int = 16000, rng: Optional[_random.Random] = None):
+        super().__init__(data_frame, num_classes)
+        self.chunk_length = int(chunk_length * sample_rate)
+        self._rng = rng or _random.Random()
+
+    def _read(self, hdf5path: str, fname: str) -> np.ndarray:
+        node = self._file(hdf5path)[fname]
+        n = node.shape[-1]
+        L = self.chunk_length
+        if n > L:
+            start = self._rng.randint(0, n - L - 1)
+            data = node[start:start + L]
+        else:
+            loaded = node[:]
+            data = np.zeros(L, dtype=loaded.dtype)
+            start = self._rng.randint(0, L - n - 1) if L > n else 0
+            data[start:start + n] = loaded
+        return _to_float32(data)
+
+
+class WeakChunkedHDF5Dataset(WeakHDF5Dataset):
+    """Time-interval reads driven by 'from'/'to' manifest columns (seconds);
+    -1 labels are dropped (reference dataset.py:104-141)."""
+
+    def __init__(self, data_frame, num_classes: int, sample_rate: int = 16000):
+        super().__init__(data_frame, num_classes)
+        self._sr = sample_rate
+
+    def __getitem__(self, index: int):
+        row = self._dataframe.iloc[index]
+        target = multihot(row["labels"], self._num_classes)
+        node = self._file(row["hdf5path"])[row["filename"]]
+        data = node[int(float(row["from"]) * self._sr): int(float(row["to"]) * self._sr)]
+        return _to_float32(data), target, row["filename"]
+
+
+class UnlabeledRandomChunkedHDF5Dataset(WeakRandomCropHDF5Dataset):
+    """Self-supervised variant: random chunks, all-zero targets."""
+
+    def __init__(self, data_frame, chunk_length: float = 2.0,
+                 sample_rate: int = 16000, num_classes: int = 527, rng=None):
+        df = data_frame.copy()
+        if "labels" not in df.columns:
+            df["labels"] = [[] for _ in range(len(df))]
+        super().__init__(df, chunk_length, num_classes, sample_rate, rng)
+
+    def __getitem__(self, index: int):
+        row = self._dataframe.iloc[index]
+        data = self._read(row["hdf5path"], row["filename"])
+        return data, np.zeros(self._num_classes, np.float32), row["filename"]
+
+
+# -------------------------------------------------------------------- batching
+
+def pad_batch(waves: Sequence[np.ndarray], padding_value: float = 0.0):
+    """Right-pad to batch max -> ((B, T), lengths). reference dataset.py:183-197."""
+    lengths = np.asarray([w.shape[-1] for w in waves], dtype=np.int32)
+    out = np.full((len(waves), int(lengths.max())), padding_value, dtype=np.float32)
+    for i, w in enumerate(waves):
+        out[i, : w.shape[-1]] = w
+    return out, lengths
+
+
+def collate(samples):
+    """[(wav, target, fname)] -> dict batch (the sequential_pad contract)."""
+    waves, targets, fnames = zip(*samples)
+    data, lengths = pad_batch(waves)
+    return {
+        "wav": data,
+        "target": np.stack(targets),
+        "lengths": lengths,
+        "filenames": list(fnames),
+    }
+
+
+# -------------------------------------------------------------------- samplers
+
+class BalancedSampler:
+    """Label-frequency-balanced sampling with replacement.
+
+    weight(sample) = sum over its labels of 1000/(class_count + offset)
+    (reference dataset.py:207-224).
+    """
+
+    def __init__(self, labels_series: pd.Series, offset: int = 100,
+                 random_state: Optional[int] = None):
+        single = labels_series.copy().explode().reset_index()
+        single.columns = ["index", "label"]
+        occurrences = single.groupby("label")["index"].apply(len).sort_index()
+        weights = (1000.0 / (occurrences + offset)).to_dict()
+        w = labels_series.apply(lambda lab: sum(weights[c] for c in lab)).values
+        self._p = np.array(w, dtype=np.float64, copy=True)
+        self._p /= self._p.sum()
+        self._n = len(self._p)
+        self._rng = np.random.default_rng(random_state)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __iter__(self) -> Iterator[int]:
+        yield from self._rng.choice(self._n, size=self._n, p=self._p)
+
+
+class RandomSampler:
+    def __init__(self, n: int, seed: Optional[int] = None):
+        self._n = n
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self._n
+
+    def __iter__(self):
+        yield from self._rng.permutation(self._n)
+
+
+class SequentialSampler:
+    def __init__(self, n: int):
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __iter__(self):
+        yield from range(self._n)
+
+
+# --------------------------------------------------------------------- loaders
+
+class DataLoader:
+    """Minimal map-style loader: sampler -> thread-pool fetch -> collate.
+
+    Threads (not processes) carry the h5py reads: they release the GIL in
+    libhdf5, and the decoded batches land in shared memory with zero IPC —
+    the TPU-side analogue of torch's worker processes.
+    """
+
+    def __init__(self, dataset, batch_size: int, sampler=None, shuffle: bool = False,
+                 num_workers: int = 2, drop_last: bool = False, seed=None,
+                 collate_fn=collate):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        if sampler is None:
+            sampler = (RandomSampler(len(dataset), seed) if shuffle
+                       else SequentialSampler(len(dataset)))
+        self.sampler = sampler
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        idxs = list(iter(self.sampler))
+        batches = [
+            idxs[i: i + self.batch_size]
+            for i in range(0, len(idxs), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # pipeline: keep a couple of batches in flight
+            pending = []
+            it = iter(batches)
+
+            def submit_next():
+                try:
+                    b = next(it)
+                except StopIteration:
+                    return False
+                pending.append(pool.submit(
+                    lambda bb: self.collate_fn([self.dataset[i] for i in bb]), b
+                ))
+                return True
+
+            for _ in range(2 + 1):
+                submit_next()
+            while pending:
+                fut = pending.pop(0)
+                submit_next()
+                yield fut.result()
+
+
+class MultiDataLoader:
+    """Zip N child loaders into dict batches, re-iterating each child on
+    exhaustion -> an infinite stream (reference dataset.py:227-247); epochs
+    are therefore bounded by epoch_length, as in the reference trainer."""
+
+    def __init__(self, **loaders):
+        self.loaders = loaders
+        self._iters = {k: iter(v) for k, v in loaders.items()}
+
+    def __len__(self) -> int:
+        return min(len(dl) for dl in self.loaders.values())
+
+    def __iter__(self):
+        while True:
+            out = {}
+            for key in self._iters:
+                try:
+                    out[key] = next(self._iters[key])
+                except StopIteration:
+                    self._iters[key] = iter(self.loaders[key])
+                    out[key] = next(self._iters[key])
+            yield out
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Move batches to device ahead of consumption on a background thread.
+
+    With a NamedSharding this doubles as the host->mesh distribution stage.
+    """
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def put(x):
+        if isinstance(x, np.ndarray) and x.dtype != object:
+            return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+        if isinstance(x, dict):
+            return {k: put(v) for k, v in x.items()}
+        return x  # filenames / lists pass through on host
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,42 @@
+"""Manifest (TSV/CSV) reading.
+
+Schema matches the reference's training artifacts (utils.read_tsv_data,
+utils.py:320-332): whitespace-separated columns ``filename``, ``labels``
+(";"-joined int class indices) and ``hdf5path``. The GSC-vs-AudioSet
+``basename`` hack is preserved: with basename=True, filenames are reduced
+to their basename unless they contain 'Google_Speech_Commands'.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+
+def read_tsv_data(datafile, nrows: int | None = None, basename: bool = True) -> pd.DataFrame:
+    df = pd.read_csv(datafile, sep=r"\s+", nrows=nrows).astype(str)
+    assert (
+        "hdf5path" in df.columns and "filename" in df.columns and "labels" in df.columns
+    ), f"manifest {datafile} must have filename/labels/hdf5path columns"
+    if df["labels"].str.contains(";").any():
+        df["labels"] = df["labels"].str.split(";").apply(
+            lambda x: np.array(x, dtype=int)
+        )
+    else:
+        df["labels"] = df["labels"].apply(lambda x: [int(x)])
+    if basename:
+        df["filename"] = df["filename"].apply(
+            lambda x: x if "Google_Speech_Commands" in x else Path(x).name
+        )
+    return df
+
+
+def multihot(label_idxs, num_classes: int) -> np.ndarray:
+    target = np.zeros(num_classes, dtype=np.float32)
+    idxs = np.asarray(label_idxs, dtype=np.int64)
+    idxs = idxs[idxs >= 0]
+    if idxs.size:
+        target[idxs] = 1.0
+    return target

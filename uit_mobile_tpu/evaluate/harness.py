@@ -1,0 +1,177 @@
+"""Evaluation harness: AudioSet tagging + GSC keyword spotting.
+
+Rebuild of the reference Evaluator (evaluate.py): loads a checkpoint
+(file / directory / pretrained name via cli.common.resolve_model), streams
+the eval manifest through a jitted batched forward (the long-clip crop
+path engages inside the model), accumulates (probs, targets) on host, and
+computes the metric suites:
+
+- ``audioset``: slices predictions/targets to the 527 AudioSet classes and
+  reports the reference's 11 metrics (evaluate.py:94-101);
+- ``gsc``/``kws``: the Accuracy@threshold protocol (metrics.gsc_accuracy);
+- ``test_sample``: single-wav top-5 with the reference's pad-to-target rule
+  (evaluate.py:253-260).
+
+Reports are written to ``evaluation_<target>.txt`` with per-class metrics
+sorted descending, matching the reference's report shape
+(evaluate.py:133-149).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..data import DataLoader, WeakHDF5Dataset, read_tsv_data, device_prefetch
+from ..utils import get_logger, add_file_sink
+from .metrics import compute_metrics, gsc_accuracy
+
+log = get_logger()
+
+AUDIOSET_METRICS = [
+    "Precision", "Recall", "Macro_Precision", "Macro_Recall", "Macro_F1",
+    "Micro_Precision", "Micro_Recall", "Micro_F1", "AP",
+    "PositiveMultiClass_Accuracy", "mAP",
+]
+
+
+class Evaluator:
+    def __init__(self, model_spec: Optional[str] = None, batch_size: int = 32,
+                 num_workers: int = 3, use_pallas: Optional[bool] = None,
+                 report_dir: Optional[str] = None):
+        self._resolved = None
+        self._model_spec = model_spec
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.use_pallas = use_pallas
+        self.report_dir = report_dir
+
+    # ------------------------------------------------------------------ setup
+
+    def _setup(self, model_spec=None):
+        if self._resolved is None:
+            from ..cli.common import resolve_model
+
+            spec = model_spec or self._model_spec
+            assert spec is not None, "no model specified"
+            cfg, params, state = resolve_model(spec)
+            if self.report_dir is None:
+                p = Path(spec)
+                self.report_dir = str(p if p.is_dir() else (p.parent if p.exists() else "."))
+            self._resolved = (cfg, params, state)
+            self._fwd = self._make_forward(cfg, params, state)
+        return self._resolved
+
+    def _make_forward(self, cfg, params, state):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import make_frontend_fn
+        from .. import models
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas)
+        jitted = jax.jit(
+            lambda w: models.apply(cfg, params, state, w, frontend_fn=frontend)
+        )
+
+        def fwd(wav_np: np.ndarray) -> np.ndarray:
+            return np.asarray(jitted(jnp.asarray(wav_np)))
+
+        return fwd
+
+    # -------------------------------------------------------------- inference
+
+    def _run_epoch(self, df, num_classes: int, pad_to_target: bool = False):
+        cfg, params, state = self._setup()
+        ds = WeakHDF5Dataset(df, num_classes=num_classes)
+        loader = DataLoader(ds, batch_size=self.batch_size, shuffle=False,
+                            num_workers=self.num_workers)
+        preds, targets = [], []
+        for batch in loader:
+            wav = batch["wav"]
+            if pad_to_target and hasattr(cfg, "target_length"):
+                t_len = cfg.target_length - 1
+                n_frames = wav.shape[-1] / cfg.frontend.hop_length
+                if n_frames < t_len:
+                    diff = int((t_len - n_frames) * cfg.frontend.hop_length)
+                    wav = np.pad(wav, ((0, 0), (0, diff)))
+            preds.append(self._fwd(wav))
+            targets.append(batch["target"])
+        return np.concatenate(preds), np.concatenate(targets)
+
+    # ---------------------------------------------------------------- targets
+
+    def audioset(self, experiment_path: Optional[str] = None,
+                 audioset_eval_data: str = "datasets/audioset/data/labels/eval.csv",
+                 label_csv: Optional[str] = None):
+        self._setup(experiment_path)
+        df = read_tsv_data(audioset_eval_data)
+        preds, targets = self._run_epoch(df, num_classes=527)
+        results = compute_metrics(AUDIOSET_METRICS, preds[:, :527], targets[:, :527])
+        self._write_report("Audioset", results, label_csv)
+        return results
+
+    def gsc(self, experiment_path: Optional[str] = None,
+            eval_data: str = "datasets/gsc/data/labels/test_gsc_aslabels.tsv",
+            threshold: float = 0.2, pad: bool = False):
+        return self._kws(experiment_path, eval_data, threshold=threshold,
+                         label_name="GSC", pad=pad)
+
+    def _kws(self, experiment_path, eval_data, threshold: float = 0.2,
+             label_name: str = "GSC", pad: bool = False):
+        self._setup(experiment_path)
+        df = read_tsv_data(eval_data, basename=False)
+        num_classes = getattr(self._resolved[0], "outputdim", 537)
+        preds, targets = self._run_epoch(df, num_classes=num_classes,
+                                         pad_to_target=pad)
+        acc = gsc_accuracy(preds, targets, threshold=threshold)
+        results = {f"Accuracy@{threshold}": acc}
+        self._write_report(label_name, results, None)
+        return results
+
+    def test_sample(self, experiment_path: Optional[str], sample: str, topk: int = 5):
+        from ..data import read_wav
+
+        cfg, params, state = self._setup(experiment_path)
+        wav, sr = read_wav(sample)
+        assert sr == cfg.frontend.sample_rate
+        wav = wav[:1]
+        t_len = cfg.target_length - 1
+        n_frames = wav.shape[-1] / cfg.frontend.hop_length
+        if n_frames < t_len:
+            diff = int((t_len - n_frames) * cfg.frontend.hop_length)
+            wav = np.pad(wav, ((0, 0), (0, diff)))
+        pred = self._fwd(wav)[0]
+        top = np.argsort(pred)[::-1][:topk]
+        for idx in top:
+            print(f"[{idx:=3}] : {pred[idx] * 100:.2f}")
+        return {int(i): float(pred[i]) for i in top}
+
+    # ----------------------------------------------------------------- report
+
+    def _write_report(self, target: str, results: dict, label_csv, scale=100.0):
+        label_maps = None
+        if label_csv:
+            from ..cli.common import load_label_map
+
+            label_maps = load_label_map(label_csv)
+        lines = [f"{target} Results"]
+        for metric, value in results.items():
+            if isinstance(value, np.ndarray):
+                lm = label_maps or {i: i for i in range(len(value))}
+                for cl in np.argsort(value)[::-1]:
+                    lines.append(f"{metric} Class {lm[int(cl)]} : {value[cl] * scale:<4.2f}")
+            else:
+                lines.append(f"{metric} : {value * scale:<4.2f}")
+        report = "\n".join(lines)
+        out = Path(self.report_dir or ".") / f"evaluation_{target}.txt"
+        try:
+            out.write_text(report + "\n")
+        except OSError:
+            pass
+        log.info(report)

@@ -1,0 +1,141 @@
+"""Metric suite (host-side, epoch-accumulated).
+
+Mirrors the reference registry (utils.py:75-164): mAP / per-class AP /
+lwlrap / ROC-AUC / micro+macro P/R/F1 at threshold 0.2 /
+PositiveMultiClass_Accuracy / BCE / error rate, computed once over the
+full epoch's (predictions, targets) — plus the GSC keyword-spotting
+accuracy protocol (evaluate.py:212-229) as a vectorized function.
+
+sklearn stays the backend for AP/lwlrap exactly as in the reference
+(ignite EpochMetric wrapped sklearn); probabilities arrive as numpy from
+the device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+import numpy as np
+from sklearn.metrics import (
+    accuracy_score,
+    average_precision_score,
+    f1_score,
+    label_ranking_average_precision_score,
+    precision_score,
+    recall_score,
+    roc_auc_score,
+)
+
+THRESHOLD = 0.2  # the reference's fixed decision threshold
+
+
+def _binarize(y_pred):
+    return (y_pred > THRESHOLD).astype(np.float32)
+
+
+def lwlrap(y_pred: np.ndarray, y_true: np.ndarray) -> float:
+    """Label-weighted label-ranking AP (reference utils.py:42-54)."""
+    sample_weight = np.sum(y_true > 0, axis=1)
+    nz = np.flatnonzero(sample_weight > 0)
+    return float(
+        label_ranking_average_precision_score(
+            y_true[nz, :] > 0, y_pred[nz, :], sample_weight=sample_weight[nz]
+        )
+    )
+
+
+def roc_auc(y_pred, y_true) -> float:
+    try:
+        return float(roc_auc_score(y_true, y_pred, average="macro"))
+    except ValueError:
+        return 0.0
+
+
+def positive_multiclass_accuracy(y_pred, y_true) -> float:
+    """Argmax accuracy over samples that have at least one positive label
+    (reference utils.py:68-73)."""
+    valid = y_true.max(-1) > 0
+    return float(
+        accuracy_score(y_true[valid].argmax(-1), y_pred[valid].argmax(-1))
+    )
+
+
+def bce(y_pred, y_true, eps=1e-7) -> float:
+    p = np.clip(y_pred, eps, 1 - eps)
+    return float(-np.mean(y_true * np.log(p) + (1 - y_true) * np.log1p(-p)))
+
+
+ALL_EVAL_METRICS: Dict[str, Callable[[np.ndarray, np.ndarray], float | np.ndarray]] = {
+    "mAP": lambda p, t: float(np.nanmean(average_precision_score(t, p, average=None))),
+    "AP": lambda p, t: average_precision_score(t, p, average=None),
+    "mAPAudioset": lambda p, t: float(
+        np.nanmean(average_precision_score(t, p, average=None)[:527])
+    ),
+    "mAPKWS": lambda p, t: float(
+        np.nanmean(average_precision_score(t, p, average=None)[527:])
+    ),
+    "lwlwrap": lwlrap,
+    "AUC": roc_auc,
+    "PositiveMultiClass_Accuracy": positive_multiclass_accuracy,
+    "Precision": lambda p, t: precision_score(t, _binarize(p), average=None, zero_division=0),
+    "Recall": lambda p, t: recall_score(t, _binarize(p), average=None, zero_division=0),
+    "Macro_Precision": lambda p, t: float(
+        precision_score(t, _binarize(p), average="macro", zero_division=0)
+    ),
+    "Macro_Recall": lambda p, t: float(
+        recall_score(t, _binarize(p), average="macro", zero_division=0)
+    ),
+    "Micro_Precision": lambda p, t: float(
+        precision_score(t, _binarize(p), average="micro", zero_division=0)
+    ),
+    "Micro_Recall": lambda p, t: float(
+        recall_score(t, _binarize(p), average="micro", zero_division=1)
+    ),
+    "Macro_F1": lambda p, t: float(f1_score(t, _binarize(p), average="macro", zero_division=0)),
+    "Micro_F1": lambda p, t: float(f1_score(t, _binarize(p), average="micro", zero_division=0)),
+    "BCELoss": bce,
+    "ErrorRate": lambda p, t: float(1.0 - np.nan_to_num(accuracy_score(t, p))),
+}
+
+
+def compute_metrics(names: List[str], y_pred: np.ndarray, y_true: np.ndarray):
+    return {name: ALL_EVAL_METRICS[name](y_pred, y_true) for name in names}
+
+
+def gsc_accuracy(y_pred: np.ndarray, y_true_multihot: np.ndarray,
+                 threshold: float = 0.2, n_audioset: int = 527) -> float:
+    """The GSC keyword-spotting accuracy protocol — a faithful, vectorized
+    re-statement of the reference's decision rule (evaluate.py:212-229):
+
+    1. Among the AudioSet classes keep only the per-sample argmax score,
+       zero the rest ("filler" collapses to its best class).
+    2. The ground-truth label is the argmax of the multihot target; if it
+       is an AudioSet index (<527, i.e. a non-keyword "filler" word), the
+       target is REWRITTEN to the predicted AudioSet argmax — any AudioSet
+       prediction counts as correct filler rejection.
+    3. If any keyword score >= threshold, the surviving AudioSet score is
+       zeroed (keywords take precedence at the operating point).
+    4. Prediction = argmax over the masked vector; accuracy vs the
+       (possibly rewritten) targets.
+
+    This quirky protocol is behaviorally load-bearing: GSC Accuracy@0.2 =
+    97.76 for uit_xs is a BASELINE parity gate.
+    """
+    y_pred = np.asarray(y_pred, dtype=np.float32).copy()
+    y = np.asarray(y_true_multihot).argmax(-1)
+
+    as_scores = y_pred[:, :n_audioset]
+    as_argmax = as_scores.argmax(-1)
+    keep = as_scores.max(-1, keepdims=True)
+    masked_as = np.where(as_scores == keep, as_scores, 0.0)
+    y_pred[:, :n_audioset] = masked_as
+
+    filler = y < n_audioset
+    y = np.where(filler, as_argmax, y)
+
+    any_kw = (y_pred[:, n_audioset:] >= threshold).any(-1)
+    y_pred[np.arange(len(y_pred)), as_argmax] = np.where(
+        any_kw, 0.0, y_pred[np.arange(len(y_pred)), as_argmax]
+    )
+
+    return float((y_pred.argmax(-1) == y).mean())
