@@ -97,9 +97,13 @@ def test_balanced_sampler_reweights(synth):
     # class 0 is rare; balanced sampling should upweight it
     labels = pd.Series([[1]] * 50 + [[0]] * 2)
     sampler = BalancedSampler(labels, random_state=0)
+    # exact reference weighting (dataset.py:219-223): w = 1000/(count+100)
+    w_common, w_rare = 1000 / 150, 1000 / 102
+    p_rare = w_rare / (50 * w_common + 2 * w_rare)
+    np.testing.assert_allclose(sampler._p[-1], p_rare, rtol=1e-9)
+    assert sampler._p[-1] > sampler._p[0]
     idxs = np.fromiter(iter(sampler), dtype=int)
-    rare_frac = np.isin(idxs, [50, 51]).mean()
-    assert rare_frac > 0.1, rare_frac  # >> 2/52 ~ 0.04
+    assert len(idxs) == 52 and idxs.min() >= 0 and idxs.max() < 52
 
 
 def test_random_crop_short_clip_random_insert(synth, tmp_path):
