@@ -1,0 +1,119 @@
+"""End-to-end training smoke: synthetic HDF5 -> Trainer -> checkpoints ->
+averaged model -> evaluation harness. Runs on the 8-device CPU mesh."""
+
+import numpy as np
+import pandas as pd
+import h5py
+import pytest
+import yaml
+
+
+@pytest.fixture()
+def synth_env(tmp_path):
+    """Two tiny datasets (audioset-ish 527-550ish labels + kws) as h5+tsv."""
+    rng = np.random.default_rng(0)
+
+    def make(name, n, label_pool, lengths=(12000, 17000)):
+        h5 = tmp_path / f"{name}.h5"
+        rows = []
+        with h5py.File(h5, "w") as f:
+            for i in range(n):
+                L = int(rng.integers(*lengths))
+                f[f"{name}_{i}.wav"] = (rng.standard_normal(L) * 3000).astype(np.int16)
+                lab = ";".join(map(str, rng.choice(label_pool, size=2, replace=False)))
+                rows.append((f"{name}_{i}.wav", lab, str(h5)))
+        tsv = tmp_path / f"{name}.tsv"
+        pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+            tsv, sep="\t", index=False
+        )
+        return tsv
+
+    as_train = make("astrain", 16, np.arange(0, 527))
+    as_eval = make("aseval", 8, np.arange(0, 527))
+    kws_train = make("kwstrain", 16, np.arange(527, 537))
+    kws_eval = make("kwseval", 8, np.arange(527, 537))
+    return dict(
+        audioset_train_data=str(as_train),
+        audioset_eval_data=str(as_eval),
+        kws_train_data=str(kws_train),
+        kws_test_data=str(kws_eval),
+    )
+
+
+def base_config(tmp_path, synth_env, **overrides):
+    cfg = dict(
+        outputpath=str(tmp_path / "exp"),
+        num_classes=537,
+        model="uit_xxxs",
+        model_args={"target_length": 102, "depth": 1},
+        batch_size=8,
+        epochs=2,
+        epoch_length=3,
+        warmup_iters=2,
+        chunk_length=1.0,
+        optimizer="AdamW",
+        optimizer_args={"lr": 1e-3, "weight_decay": 1e-8},
+        early_stop=10,
+        n_saved=2,
+        num_workers=2,
+        valid_every=1,
+        seed=0,
+        config_stem="smoke",
+        **synth_env,
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def test_train_smoke_no_psl(tmp_path, synth_env):
+    from uit_mobile_tpu.train.loop import train_from_config
+    from uit_mobile_tpu.ckpt.io import load_checkpoint
+
+    out = train_from_config(base_config(tmp_path, synth_env))
+    assert out.name == "averaged.npz" and out.exists()
+    params, state, cfg, extra = load_checkpoint(out)
+    assert cfg.outputdim == 537
+    assert "averaged_from" in extra
+
+
+def test_train_smoke_with_psl_and_augment(tmp_path, synth_env):
+    from uit_mobile_tpu.train.loop import train_from_config
+
+    cfg = base_config(
+        tmp_path, synth_env,
+        mixup=0.3,
+        max_grad_norm=1.0,
+        psl={"model": "MobileNetV2", "pretrained": str(tmp_path / "missing.npz"),
+             "allow_untrained": True},
+        spectransforms=[{"TimeMasking": {"time_mask_param": 20}},
+                        {"FrequencyMasking": {"freq_mask_param": 8}}],
+        wavtransforms={"Shift": {"min_shift": -0.5, "max_shift": 0.5},
+                       "Gain": {"p": 0.5}, "PolarityInversion": {"p": 0.5}},
+        epochs=1, epoch_length=2,
+    )
+    out = train_from_config(cfg)
+    assert out.exists()
+
+
+def test_evaluator_on_trained_ckpt(tmp_path, synth_env):
+    from uit_mobile_tpu.train.loop import train_from_config
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    out = train_from_config(base_config(tmp_path, synth_env, epochs=1, epoch_length=2))
+    ev = Evaluator(str(out), batch_size=8, num_workers=2)
+    gsc = ev.gsc(eval_data=synth_env["kws_test_data"])
+    assert 0.0 <= gsc["Accuracy@0.2"] <= 1.0
+    audioset = ev.audioset(audioset_eval_data=synth_env["audioset_eval_data"])
+    assert 0.0 <= audioset["mAP"] <= 1.0
+    assert (out.parent / "evaluation_GSC.txt").exists()
+    assert (out.parent / "evaluation_Audioset.txt").exists()
+
+
+def test_train_cli_yaml(tmp_path, synth_env):
+    from uit_mobile_tpu.cli.train import main
+
+    cfg = base_config(tmp_path, synth_env, epochs=1, epoch_length=2)
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    rc = main(["train", str(cfg_path), "--epochs", "1"])
+    assert rc == 0

@@ -1,0 +1,80 @@
+"""Benchmark CLI: throughput + latency for any model/batch on this host.
+
+    python -m uit_mobile_tpu.cli.bench [-m uit_xs] [-b 2048] [--no-pallas]
+    python -m uit_mobile_tpu.cli.bench --frontend-only   # mel kernel alone
+
+Reports pipelined clips/s/chip and blocking p50 batch latency (the repo's
+top-level bench.py prints the canonical one-line JSON for the driver).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="uit-bench")
+    parser.add_argument("-m", "--model", default="uit_xs")
+    parser.add_argument("-b", "--batch-size", type=int, default=2048)
+    parser.add_argument("--seconds", type=float, default=1.0, help="clip length")
+    parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument("--frontend-only", action="store_true")
+    parser.add_argument("--random-weights", action="store_true", default=True)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import models
+    from ..ops import make_frontend_fn
+    from ..frontend import FrontendConfig, log_mel_spectrogram
+
+    dev = jax.devices()[0]
+    use_pallas = (dev.platform == "tpu") and not args.no_pallas
+    B = args.batch_size
+    T = int(16000 * args.seconds)
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, T)).astype(np.float32) * 0.1
+    )
+
+    if args.frontend_only:
+        fc = FrontendConfig()
+        frontend = make_frontend_fn(fc, use_pallas=use_pallas)
+        fwd = jax.jit(frontend)
+        run = lambda: fwd(wav)
+        label = f"frontend({'pallas' if use_pallas else 'xla'})"
+    else:
+        cfg = models.get_model_config(args.model, outputdim=537, target_length=102)
+        params, state = models.build(cfg, jax.random.key(0))
+        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas)
+        fwd = jax.jit(lambda w: models.apply(cfg, params, state, w, frontend_fn=frontend))
+        run = lambda: fwd(wav)
+        label = f"{args.model}({'pallas' if use_pallas else 'xla'} frontend)"
+
+    out = run()
+    out.block_until_ready()
+    rounds, depth = (4, 8) if dev.platform == "tpu" else (2, 2)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        for _ in range(depth):
+            out = run()
+        out.block_until_ready()
+    thr = rounds * depth * B / (time.perf_counter() - t0)
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = run()
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50)) * 1e3
+    print(f"{label}: batch={B} clip={args.seconds}s device={dev.platform} "
+          f"pipelined={thr:.0f} clips/s/chip blocking_p50={p50:.2f} ms/batch")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Evaluation CLI.
+
+    python -m uit_mobile_tpu.cli.evaluate audioset CKPT [--audioset-eval-data PATH]
+    python -m uit_mobile_tpu.cli.evaluate gsc CKPT [--eval-data PATH] [--pad]
+    python -m uit_mobile_tpu.cli.evaluate test_sample CKPT WAV
+
+Equivalent of the reference ``evaluate.py {audioset|gsc|test_sample}``
+(evaluate.py:266-267).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..evaluate import Evaluator
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="uit-evaluate")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_as = sub.add_parser("audioset")
+    p_as.add_argument("experiment_path")
+    p_as.add_argument("--audioset-eval-data",
+                      default="datasets/audioset/data/labels/eval.csv")
+    p_as.add_argument("--batch-size", type=int, default=32)
+    p_as.add_argument("--label-csv", default=None)
+
+    p_gsc = sub.add_parser("gsc")
+    p_gsc.add_argument("experiment_path")
+    p_gsc.add_argument("--eval-data",
+                       default="datasets/gsc/data/labels/test_gsc_aslabels.tsv")
+    p_gsc.add_argument("--threshold", type=float, default=0.2)
+    p_gsc.add_argument("--batch-size", type=int, default=32)
+    p_gsc.add_argument("--pad", action="store_true")
+
+    p_ts = sub.add_parser("test_sample")
+    p_ts.add_argument("experiment_path")
+    p_ts.add_argument("sample")
+    p_ts.add_argument("--topk", type=int, default=5)
+
+    args = parser.parse_args(argv)
+    ev = Evaluator(args.experiment_path,
+                   batch_size=getattr(args, "batch_size", 32))
+    if args.command == "audioset":
+        results = ev.audioset(audioset_eval_data=args.audioset_eval_data,
+                              label_csv=args.label_csv)
+        print({k: v for k, v in results.items() if not hasattr(v, "shape")})
+    elif args.command == "gsc":
+        results = ev.gsc(eval_data=args.eval_data, threshold=args.threshold,
+                         pad=args.pad)
+        print(results)
+    else:
+        ev.test_sample(args.experiment_path, args.sample, topk=args.topk)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

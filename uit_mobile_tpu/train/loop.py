@@ -1,0 +1,360 @@
+"""Training loop: the reference Runner.train (run.py:96-413) rebuilt TPU-first.
+
+Differences from the reference, by design:
+- the whole iteration (teacher fwd + student fwd/bwd + optimizer) is ONE
+  jitted XLA program with donated buffers (train/steps.py);
+- data parallelism over a jax.sharding Mesh: batch sharded on 'data',
+  params/opt-state replicated, gradient psum inserted by jit;
+- checkpoints are native .npz (params + BN state + config + step/score)
+  saved top-k by validation mAP, then element-wise averaged into
+  ``averaged.npz`` (ckpt.io.average_checkpoints) — same deliverable shape
+  as the reference (run.py:385-397);
+- early stopping on patience evaluations without mAP improvement
+  (run.py:368-372);
+- fixed-shape training batches (1s random crops) -> zero recompiles.
+
+Reference quirks intentionally fixed (documented, not copied):
+``max_grad_norm`` applies to the non-PSL path too (reference drops it,
+run.py:220-234).
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+import uuid
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .. import models
+from ..augment import parse_spectransforms, parse_wavtransforms
+from ..ckpt.io import (
+    average_checkpoints,
+    load_checkpoint,
+    load_pretrained_partial,
+    save_checkpoint,
+)
+from ..data import (
+    BalancedSampler,
+    DataLoader,
+    MultiDataLoader,
+    WeakHDF5Dataset,
+    WeakRandomCropHDF5Dataset,
+    device_prefetch,
+    read_tsv_data,
+)
+from ..evaluate.metrics import compute_metrics
+from ..utils import add_file_sink, get_logger
+from .schedule import cosine_with_warmup
+from .steps import build_optimizer, make_eval_step, make_train_step
+
+log = get_logger()
+
+
+def _make_outputdir(config: dict) -> Path:
+    stem = config.get("config_stem", "run")
+    outputdir = (
+        Path(config["outputpath"]) / stem / str(config["model"]) /
+        f"{datetime.datetime.now().strftime('%Y-%m-%d_%H-%M')}_{uuid.uuid1().hex}"
+    )
+    outputdir.mkdir(exist_ok=True, parents=True)
+    return outputdir
+
+
+def _load_psl(config):
+    """Load the frozen distillation teacher (reference run.py:160-173)."""
+    psl = config.get("psl")
+    if psl is None:
+        return None, None, None
+    from ..cli.common import resolve_model
+
+    spec = psl.get("pretrained")
+    log.info(f"Using PSL model {psl['model']} from {spec}")
+    try:
+        cfg, params, state = resolve_model(spec)
+    except Exception:
+        # allow an untrained teacher for smoke runs
+        if not psl.get("allow_untrained", False):
+            raise
+        import jax
+
+        cfg = models.get_model_config(psl["model"], outputdim=527)
+        params, state = models.build(cfg, jax.random.key(0))
+    return cfg, params, state
+
+
+class Trainer:
+    def __init__(self, config: dict):
+        self.config = config
+        self.outputdir = _make_outputdir(config)
+        self._file_handler = add_file_sink(
+            log, self.outputdir / config.get("logfile", "train.log")
+        )
+        import jax
+
+        log.info(f"Storing output in {self.outputdir}")
+        log.info(f"devices: {jax.devices()}")
+        for k, v in sorted(config.items()):
+            log.info(f"{k} : {v}")
+
+    # ------------------------------------------------------------------ setup
+
+    def _build_model(self):
+        import jax
+
+        c = self.config
+        cfg = models.get_model_config(
+            c["model"], outputdim=c.get("num_classes", 527), **c.get("model_args", {})
+        )
+        params, state = models.build(cfg, jax.random.key(c.get("seed", 42)))
+        pretrained = c.get("pretrained")
+        if pretrained:
+            log.info(f"initializing from pretrained {pretrained}")
+            from ..cli.common import resolve_model
+
+            _, p_params, p_state = resolve_model(pretrained)
+            params, n = load_pretrained_partial(params, p_params)
+            log.info(f"Loading {n} parameter tensors")
+        return cfg, params, state
+
+    def _build_data(self):
+        c = self.config
+        num_classes = c.get("num_classes", 527)
+        chunk_length = c.get("chunk_length")
+        use_crop = c.get("psl") is not None or chunk_length is not None
+
+        def make_ds(df):
+            if use_crop:
+                return WeakRandomCropHDF5Dataset(
+                    df, chunk_length=chunk_length or 1.0, num_classes=num_classes
+                )
+            return WeakHDF5Dataset(df, num_classes=num_classes)
+
+        basename = c.get("basename", True)
+        as_train = read_tsv_data(c["audioset_train_data"], basename=True)
+        as_eval = read_tsv_data(c["audioset_eval_data"], basename=True)
+        kws_train = read_tsv_data(c["kws_train_data"], basename=basename)
+        kws_eval = read_tsv_data(c["kws_test_data"], basename=basename)
+        log.info(
+            f"#Lengths: Audioset Train - {len(as_train)} Audioset Eval - {len(as_eval)} "
+            f"KWS Train - {len(kws_train)} KWS Eval - {len(kws_eval)}"
+        )
+
+        batch_size = c["batch_size"]
+        kws_bs = c.get("kws_batch_size", batch_size // 2)
+        as_bs = c.get("as_batch_size", batch_size // 2)
+        num_workers = c.get("num_workers", 2)
+
+        def sampler_for(which, df):
+            if c.get(which) == "balanced":
+                return BalancedSampler(df["labels"], random_state=c.get("seed", 42))
+            return None
+
+        train_loader = MultiDataLoader(
+            kws=DataLoader(
+                make_ds(kws_train), batch_size=kws_bs, num_workers=num_workers,
+                sampler=sampler_for("kws_sampler", kws_train),
+                shuffle=True, drop_last=True, seed=c.get("seed", 42),
+            ),
+            audioset=DataLoader(
+                make_ds(as_train), batch_size=as_bs, num_workers=num_workers,
+                sampler=sampler_for("as_sampler", as_train),
+                shuffle=True, drop_last=True, seed=c.get("seed", 42),
+            ),
+        )
+        import pandas as pd
+
+        test_df = pd.concat((as_eval, kws_eval))
+        test_loader = DataLoader(
+            WeakHDF5Dataset(test_df, num_classes=num_classes),
+            batch_size=c.get("eval_batch_size", batch_size),
+            num_workers=num_workers, shuffle=False,
+        )
+        return train_loader, test_loader
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> Path:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops import make_frontend_fn
+        from ..parallel import make_mesh
+
+        c = self.config
+        cfg, params, state = self._build_model()
+        psl_cfg, psl_params, psl_state = _load_psl(c)
+        train_loader, test_loader = self._build_data()
+
+        epochs = c["epochs"]
+        epoch_length = c.get("epoch_length") or len(train_loader)
+        total_steps = epochs * epoch_length
+        lr = c.get("optimizer_args", {}).get("lr", 1e-3)
+        opt_args = {k: v for k, v in c.get("optimizer_args", {}).items() if k != "lr"}
+        if c.get("use_scheduler", True):
+            schedule = cosine_with_warmup(lr, total_steps, c.get("warmup_iters"))
+        else:
+            schedule = lr
+        optimizer = build_optimizer(c.get("optimizer", "Adam"), schedule, **opt_args)
+        opt_state = optimizer.init(params)
+
+        use_pallas = jax.devices()[0].platform == "tpu"
+        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas)
+        train_step = make_train_step(
+            cfg, optimizer,
+            loss_name=c.get("loss", "BCELoss"),
+            mixup_alpha=c.get("mixup"),
+            max_grad_norm=c.get("max_grad_norm"),
+            psl_cfg=psl_cfg,
+            wav_augment=parse_wavtransforms(c.get("wavtransforms", {})),
+            spec_augment=parse_spectransforms(c.get("spectransforms", {})),
+            frontend_fn=frontend,
+        )
+        eval_step = jax.jit(make_eval_step(cfg, frontend_fn=frontend))
+
+        # DP mesh over the largest device count that divides every batch
+        # axis the step sees (each PSL half shards independently)
+        c_batch = c["batch_size"]
+        halves = [c.get("kws_batch_size", c_batch // 2),
+                  c.get("as_batch_size", c_batch // 2)]
+        shard_dims = halves if psl_cfg is not None else [sum(halves)]
+        n_dev = jax.device_count()
+        while n_dev > 1 and any(d % n_dev for d in shard_dims):
+            n_dev -= 1
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        if mesh is not None:
+            log.info(f"data-parallel over {n_dev} devices")
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            data_sh = NamedSharding(mesh, P("data"))
+            jit_step = jax.jit(
+                train_step,
+                in_shardings=(repl, repl, repl, data_sh, repl, repl, repl),
+                out_shardings=(repl, repl, repl, repl),
+                donate_argnums=(0, 1, 2),
+            )
+            put = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
+            params, state, opt_state = put((params, state, opt_state))
+            if psl_params is not None:
+                psl_params, psl_state = put((psl_params, psl_state))
+        else:
+            data_sh = None
+            jit_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+        rng = jax.random.key(c.get("seed", 42))
+        best_score = -np.inf
+        patience = c.get("early_stop", 10)
+        bad_evals = 0
+        n_saved = c.get("n_saved", 4)
+        saved: list[tuple[float, Path]] = []
+        step_count = 0
+
+        def to_step_batch(batch):
+            if psl_cfg is not None:
+                return {
+                    "audioset": {"wav": jnp.asarray(batch["audioset"]["wav"]),
+                                 "target": jnp.asarray(batch["audioset"]["target"])},
+                    "kws": {"wav": jnp.asarray(batch["kws"]["wav"]),
+                            "target": jnp.asarray(batch["kws"]["target"])},
+                }
+            if "wav" in batch:
+                return {"wav": jnp.asarray(batch["wav"]),
+                        "target": jnp.asarray(batch["target"])}
+            # dual-loader batch without PSL: concat the halves
+            return {
+                "wav": jnp.concatenate(
+                    [jnp.asarray(batch["audioset"]["wav"]), jnp.asarray(batch["kws"]["wav"])]
+                ),
+                "target": jnp.concatenate(
+                    [jnp.asarray(batch["audioset"]["target"]), jnp.asarray(batch["kws"]["target"])]
+                ),
+            }
+
+        train_iter = iter(train_loader)
+        stop = False
+        for epoch in range(1, epochs + 1):
+            if stop:
+                break
+            t0 = time.time()
+            losses = []
+            for _ in range(epoch_length):
+                batch = to_step_batch(next(train_iter))
+                if data_sh is not None:
+                    batch = jax.tree.map(lambda x: jax.device_put(x, data_sh), batch)
+                rng, step_rng = jax.random.split(rng)
+                params, state, opt_state, metrics = jit_step(
+                    params, state, opt_state, batch, step_rng, psl_params, psl_state
+                )
+                step_count += 1
+                losses.append(metrics["total_loss"])
+            mean_loss = float(np.mean([float(l) for l in losses]))
+            log.info(
+                f"Epoch {epoch:<4} loss {mean_loss:.4f} "
+                f"({epoch_length / (time.time() - t0):.1f} it/s)"
+            )
+
+            if epoch % c.get("valid_every", 1) == 0:
+                score = self._validate(eval_step, params, state, test_loader, epoch)
+                ckpt_path = self.outputdir / f"best_model_{step_count}_mAP={score:.4f}.npz"
+                saved.append((score, ckpt_path))
+                saved.sort(key=lambda x: -x[0])
+                if (score, ckpt_path) in saved[:n_saved]:
+                    save_checkpoint(ckpt_path, params, state, cfg,
+                                    extra={"step": step_count, "mAP": score})
+                for s, p in saved[n_saved:]:
+                    p.unlink(missing_ok=True)
+                saved = saved[:n_saved]
+                if score > best_score:
+                    best_score = score
+                    bad_evals = 0
+                else:
+                    bad_evals += 1
+                    if bad_evals >= patience:
+                        log.info(f"Early stopping at epoch {epoch}")
+                        stop = True
+
+        # average the kept best checkpoints -> the deliverable
+        if c.get("average", True) and saved:
+            log.info("Averaging best models ...")
+            avg_p, avg_s, avg_cfg, _ = average_checkpoints([p for _, p in saved])
+            output_model = self.outputdir / "averaged.npz"
+            save_checkpoint(output_model, avg_p, avg_s, avg_cfg,
+                            extra={"averaged_from": [str(p) for _, p in saved]})
+            final_score = self._validate(eval_step, avg_p, avg_s, test_loader, "avg")
+            log.info(f"Averaged model mAP: {final_score:.4f}")
+        elif saved:
+            output_model = saved[0][1]
+        else:
+            output_model = self.outputdir / "final.npz"
+            save_checkpoint(output_model, params, state, cfg,
+                            extra={"step": step_count})
+        log.info(f"Results can be found at {self.outputdir}")
+        log.info(f"Final model is at {output_model}")
+        log.removeHandler(self._file_handler)
+        return output_model
+
+    def _validate(self, eval_step, params, state, test_loader, epoch) -> float:
+        import jax.numpy as jnp
+
+        preds, targets = [], []
+        for batch in test_loader:
+            preds.append(np.asarray(eval_step(params, state, jnp.asarray(batch["wav"]))))
+            targets.append(batch["target"])
+        preds = np.concatenate(preds)
+        targets = np.concatenate(targets)
+        names = ["mAP"]
+        if preds.shape[1] > 527:
+            names += ["mAPAudioset", "mAPKWS"]
+        m = compute_metrics(names, preds, targets)
+        log.info(
+            f"Validation Results - Epoch : {epoch:<4} "
+            + " ".join(f"{k} {v:<5.4f}" for k, v in m.items())
+        )
+        return float(m["mAP"])
+
+
+def train_from_config(config: dict) -> Path:
+    return Trainer(config).train()
