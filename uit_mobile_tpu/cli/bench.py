@@ -24,6 +24,8 @@ def main(argv=None):
     parser.add_argument("--no-pallas", action="store_true")
     parser.add_argument("--frontend-only", action="store_true")
     parser.add_argument("--random-weights", action="store_true", default=True)
+    parser.add_argument("--profile", metavar="LOGDIR", default=None,
+                        help="capture a jax.profiler trace of 3 batches")
     args = parser.parse_args(argv)
 
     import jax
@@ -73,6 +75,15 @@ def main(argv=None):
     p50 = float(np.percentile(times, 50)) * 1e3
     print(f"{label}: batch={B} clip={args.seconds}s device={dev.platform} "
           f"pipelined={thr:.0f} clips/s/chip blocking_p50={p50:.2f} ms/batch")
+    if args.profile:
+        from ..utils.profiling import trace, device_memory_stats
+
+        with trace(args.profile):
+            for _ in range(3):
+                out = run()
+            out.block_until_ready()
+        print(f"trace written to {args.profile}")
+        print(f"memory: {device_memory_stats()}")
     return 0
 
 

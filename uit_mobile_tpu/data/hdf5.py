@@ -134,9 +134,21 @@ def pad_batch(waves: Sequence[np.ndarray], padding_value: float = 0.0):
 
 
 def collate(samples):
-    """[(wav, target, fname)] -> dict batch (the sequential_pad contract)."""
+    """[(wav, target, fname)] -> dict batch (the sequential_pad contract).
+
+    Uses the native C++ batch assembler (uit_mobile_tpu.native) when built;
+    falls back to the numpy path transparently.
+    """
     waves, targets, fnames = zip(*samples)
-    data, lengths = pad_batch(waves)
+    try:
+        from .. import native
+
+        if native.available():
+            data, lengths = native.pad_batch_native(waves)
+        else:
+            data, lengths = pad_batch(waves)
+    except Exception:
+        data, lengths = pad_batch(waves)
     return {
         "wav": data,
         "target": np.stack(targets),

@@ -1,0 +1,135 @@
+"""ctypes bindings for libuitdata (native host data plane).
+
+Falls back to numpy implementations transparently when the shared library
+has not been built — `available()` reports which path is active. Build
+with ``python -m uit_mobile_tpu.native.build``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parent / "libuitdata.so"
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        try:  # best-effort lazy build (g++ is in the image)
+            from .build import build
+
+            build()
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.uit_parse_wav16.restype = ctypes.c_int
+    lib.uit_parse_wav16.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.uit_pad_batch_pcm16.restype = None
+    lib.uit_pad_batch_f32.restype = None
+    lib.uit_crop_or_pad_pcm16.restype = None
+    lib.uit_multihot.restype = None
+    lib.uit_version.restype = ctypes.c_int32
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_wav_native(path) -> tuple[np.ndarray, int]:
+    """RIFF parse + int16->f32 via libuitdata; (channels, T) float32, sr."""
+    lib = _load()
+    if lib is None:
+        from ..data.audio_io import read_wav
+
+        return read_wav(path)
+    buf = Path(path).read_bytes()
+    data_ptr = ctypes.POINTER(ctypes.c_int16)()
+    frames = ctypes.c_int64()
+    channels = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    rc = lib.uit_parse_wav16(buf, len(buf), ctypes.byref(data_ptr),
+                             ctypes.byref(frames), ctypes.byref(channels),
+                             ctypes.byref(sr))
+    if rc != 0:
+        from ..data.audio_io import read_wav  # non-16-bit formats
+
+        return read_wav(path)
+    n = frames.value * channels.value
+    pcm = np.ctypeslib.as_array(data_ptr, shape=(n,))
+    out = np.empty(n, dtype=np.float32)
+    lib.uit_pcm16_to_f32(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n),
+    )
+    return out.reshape(-1, channels.value).T.copy(), sr.value
+
+
+def pad_batch_native(waves: Sequence[np.ndarray], threads: int = 4):
+    """Right-zero-padded (B, max_len) float32 batch via native threads."""
+    lib = _load()
+    lengths = np.asarray([w.shape[-1] for w in waves], dtype=np.int64)
+    max_len = int(lengths.max())
+    b = len(waves)
+    out = np.empty((b, max_len), dtype=np.float32)
+    if lib is None:
+        out.fill(0.0)
+        for i, w in enumerate(waves):
+            out[i, : w.shape[-1]] = w
+        return out, lengths.astype(np.int32)
+    waves32 = [np.ascontiguousarray(w, dtype=np.float32) for w in waves]
+    ptrs = (ctypes.POINTER(ctypes.c_float) * b)(
+        *[w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for w in waves32]
+    )
+    lib.uit_pad_batch_f32(
+        ptrs, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(b), ctypes.c_int64(max_len),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int32(threads),
+    )
+    return out, lengths.astype(np.int32)
+
+
+def multihot_batch_native(label_lists: Sequence[Sequence[int]], n_classes: int):
+    lib = _load()
+    b = len(label_lists)
+    if lib is None:
+        out = np.zeros((b, n_classes), dtype=np.float32)
+        for i, labs in enumerate(label_lists):
+            idx = np.asarray(list(labs), dtype=np.int64)
+            idx = idx[(idx >= 0) & (idx < n_classes)]
+            out[i, idx] = 1.0
+        return out
+    flat = []
+    offsets = np.zeros(b + 1, dtype=np.int64)
+    for i, labs in enumerate(label_lists):
+        flat.extend(int(x) for x in labs)
+        offsets[i + 1] = len(flat)
+    flat_arr = np.asarray(flat, dtype=np.int32)
+    out = np.empty((b, n_classes), dtype=np.float32)
+    lib.uit_multihot(
+        flat_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(b), ctypes.c_int32(n_classes),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
