@@ -43,48 +43,47 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=4)
 def _dft_matrices(n_fft: int, win_length: int, n_freqs: int, lanes: int):
-    """Window-folded DFT cosine/sine matrices, lane-padded.
+    """Window-folded packed DFT matrix + doubled mel filterbank rows layout.
 
-    C[n, k] = w[n] * cos(2*pi*n*k/n_fft), S likewise with sin; columns
-    beyond n_freqs are zero (they feed zero rows of the padded filterbank).
+    G (n_fft, lanes) holds cos columns at [0, n_freqs) and sin columns at
+    [sin_off, sin_off + n_freqs) where sin_off = n_freqs rounded up to the
+    sublane multiple — ONE matmul produces [Re | Im] packed; squaring and
+    multiplying by a filterbank whose rows are duplicated at both offsets
+    yields mel power = fb @ (Re^2 + Im^2) directly.
     """
     w = hann_window_periodic(win_length, dtype=np.float64)
     n = np.arange(n_fft, dtype=np.float64)[:, None]
     k = np.arange(n_freqs, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * n * k / n_fft
-    C = np.zeros((n_fft, lanes), dtype=np.float32)
-    S = np.zeros((n_fft, lanes), dtype=np.float32)
-    C[:, :n_freqs] = (w[:, None] * np.cos(ang)).astype(np.float32)
-    S[:, :n_freqs] = (w[:, None] * np.sin(ang)).astype(np.float32)
-    return C, S
+    sin_off = _round_up(n_freqs, 64)
+    assert sin_off + n_freqs <= lanes
+    G = np.zeros((n_fft, lanes), dtype=np.float32)
+    G[:, :n_freqs] = (w[:, None] * np.cos(ang)).astype(np.float32)
+    G[:, sin_off:sin_off + n_freqs] = (w[:, None] * np.sin(ang)).astype(np.float32)
+    return G, sin_off
 
 
-def _mel_kernel(frames_ref, cos_ref, sin_ref, fb_ref, out_ref):
-    """frames (Bb, P, n_fft) -> log-mel (Bb, P, n_mels), all in VMEM.
+def _mel_kernel(frames_ref, g_ref, fb_ref, out_ref):
+    """frames (M_BLK, n_fft) -> log-mel (M_BLK, n_mels), all in VMEM.
 
     Mosaic cannot prove hop-strided (160) lane offsets 128-aligned, so the
-    framing gather happens in XLA (a single fused HBM pass); everything
-    bandwidth-heavy after it — window, rDFT, power, mel, log — is fused
-    here and touches HBM exactly once on the way out.
+    framing gather happens in XLA (a single fused HBM pass) and frames
+    arrive flattened to (B*P, n_fft) rows — the grid tiles plain rows, so
+    every matmul runs at full MXU M-extent with no in-kernel reshapes.
+    Everything bandwidth-heavy after framing — window, rDFT, power, mel,
+    log — is fused here and touches HBM exactly once on the way out.
     """
-    frames = frames_ref[0]
-    # windowed rDFT as two MXU matmuls (window folded into cos/sin)
-    re = jax.lax.dot_general(
-        frames, cos_ref[:], (((1,), (0,)), ((), ())),
+    g = jax.lax.dot_general(  # packed [Re | Im] in one matmul
+        frames_ref[:], g_ref[:], (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
     )
-    im = jax.lax.dot_general(
-        frames, sin_ref[:], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
-    )
-    power = re * re + im * im  # (P, lanes)
-    # mel filterbank matmul (zero rows absorb lane padding)
+    power = g * g  # lane-aligned Re^2 and Im^2; fb row duplication sums them
     mel = jax.lax.dot_general(
         power, fb_ref[:], (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
-    )  # (P, n_mels)
+    )  # (M_BLK, n_mels)
     # dB (floor at amin=1e-10; top_db clamp applied by the caller)
-    out_ref[0] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
+    out_ref[:] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
 
 
 def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
@@ -107,40 +106,41 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     Tp = wav.shape[-1]
     n_frames = (Tp - n_fft) // hop + 1
     frames_pad = _round_up(n_frames, 8)
-    lanes = _round_up(config.n_freqs, 128)
+    lanes = _round_up(_round_up(config.n_freqs, 64) + config.n_freqs, 128)
 
-    C, S = _dft_matrices(n_fft, config.win_length, config.n_freqs, lanes)
+    G, sin_off = _dft_matrices(n_fft, config.win_length, config.n_freqs, lanes)
     fb = np.zeros((lanes, config.n_mels), dtype=np.float32)
     fb[: config.n_freqs] = mel_filterbank(config)
+    fb[sin_off: sin_off + config.n_freqs] = mel_filterbank(config)
 
     # hop-strided framing as one XLA gather (static indices, clamped so the
     # sublane-alignment rows read in-bounds garbage that we slice away)
     idx = np.arange(frames_pad)[:, None] * hop + np.arange(n_fft)[None, :]
     idx = np.minimum(idx, Tp - 1)
-    frames = wav[:, idx]  # (B, frames_pad, n_fft)
+    frames = wav[:, idx].reshape(B * frames_pad, n_fft)  # free reshape
 
+    rows = B * frames_pad
+    m_blk = min(1024, rows)
     mel_t = pl.pallas_call(
         _mel_kernel,
-        grid=(B,),
+        grid=(pl.cdiv(rows, m_blk),),
         in_specs=[
-            pl.BlockSpec((1, frames_pad, n_fft), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, lanes), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_blk, n_fft), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, lanes), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, config.n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, frames_pad, config.n_mels), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((m_blk, config.n_mels), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, frames_pad, config.n_mels), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, config.n_mels), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * frames_pad * n_fft * lanes * 2
-            + 2 * B * frames_pad * lanes * config.n_mels,
-            bytes_accessed=B * frames_pad * (n_fft + config.n_mels) * 4,
-            transcendentals=B * frames_pad * config.n_mels,
+            flops=2 * rows * n_fft * lanes + 2 * rows * lanes * config.n_mels,
+            bytes_accessed=rows * (n_fft + config.n_mels) * 4,
+            transcendentals=rows * config.n_mels,
         ),
         interpret=interpret,
-    )(frames, jnp.asarray(C), jnp.asarray(S), jnp.asarray(fb))
+    )(frames, jnp.asarray(G), jnp.asarray(fb))
 
+    mel_t = mel_t.reshape(B, frames_pad, config.n_mels)
     x_db = jnp.swapaxes(mel_t[:, :n_frames, :], -1, -2)  # (B, n_mels, n_frames)
     if config.top_db is not None:
         if config.top_db_mode == "torch":
