@@ -152,7 +152,10 @@ def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
         qkv = qkv.astype(dtype)
     qkv = qkv.reshape(B, N, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, hd)
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    # logits + softmax in f32 regardless of compute dtype (stability)
+    attn = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
     if causal:
         mask = np.triu(np.ones((N, N), dtype=bool), k=1)
         attn = jnp.where(mask, jnp.finfo(attn.dtype).min, attn)
@@ -160,7 +163,9 @@ def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
     if not deterministic and attn_drop > 0.0:
         rng, r1 = jax.random.split(rng)
         attn = dropout(r1, attn, attn_drop, deterministic)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, inner_dim)
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd", attn.astype(v.dtype), v
+    ).reshape(B, N, inner_dim)
     out = linear(p["proj"], out.astype(x.dtype))
     if not deterministic and proj_drop > 0.0:
         rng, r2 = jax.random.split(rng)

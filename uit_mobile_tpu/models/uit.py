@@ -73,6 +73,9 @@ class UITConfig:
     freq_patch_out: Optional[float] = None
     n_mels: int = 64
     causal: bool = False
+    # 'float32' (parity) or 'bfloat16' (fast serving: encoder matmuls in
+    # bf16, LayerNorm/softmax/head in f32)
+    compute_dtype: str = "float32"
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
 
     def __post_init__(self):
@@ -209,29 +212,37 @@ def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None):
         rng, r = jax.random.split(rng)
         x = dropout(r, x, cfg.drop_rate, deterministic=False)
 
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cast = (lambda t: jax.tree.map(lambda a: a.astype(cdt), t)) if cdt != jnp.float32 else (lambda t: t)
+    if cdt != jnp.float32:
+        x = x.astype(cdt)
+
     dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
     for i, blk in enumerate(params["blocks"]):
         if rng is not None:
             rng, r_attn, r_mlp, r_dp1, r_dp2 = jax.random.split(rng, 5)
         else:
             r_attn = r_mlp = r_dp1 = r_dp2 = None
+        # LayerNorm in f32 for stability; matmuls in compute_dtype
+        h = layer_norm(blk["norm1"], x.astype(jnp.float32), eps=1e-6).astype(cdt)
         h = multihead_attention(
-            blk["attn"], layer_norm(blk["norm1"], x, eps=1e-6),
+            cast(blk["attn"]), h,
             num_heads=cfg.num_heads, scale=cfg.attn_scale,
             inner_dim=cfg.inner_dim, causal=cfg.causal,
             attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
             rng=r_attn, deterministic=not train,
         )
         if "ls1" in blk:
-            h = h * blk["ls1"]["gamma"]
+            h = h * blk["ls1"]["gamma"].astype(cdt)
         x = x + drop_path(r_dp1, h, float(dpr[i]), deterministic=not train)
-        h = mlp(blk["mlp"], layer_norm(blk["norm2"], x, eps=1e-6),
+        h = layer_norm(blk["norm2"], x.astype(jnp.float32), eps=1e-6).astype(cdt)
+        h = mlp(cast(blk["mlp"]), h,
                 act=cfg.act, drop=cfg.drop_rate, rng=r_mlp,
                 deterministic=not train)
         if "ls2" in blk:
-            h = h * blk["ls2"]["gamma"]
+            h = h * blk["ls2"]["gamma"].astype(cdt)
         x = x + drop_path(r_dp2, h, float(dpr[i]), deterministic=not train)
-    return layer_norm(params["norm"], x, eps=1e-6)
+    return layer_norm(params["norm"], x.astype(jnp.float32), eps=1e-6)
 
 
 def forward_head(cfg: UITConfig, params, x):
