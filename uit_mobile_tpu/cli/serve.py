@@ -1,0 +1,70 @@
+"""Serving CLI: a stdin/stdout tagging service.
+
+    python -m uit_mobile_tpu.cli.serve -m uit_xs [-k 5] [--batch-size 256]
+
+Reads wav paths (one per line) on stdin, emits one JSON line per clip:
+    {"path": ..., "top": [[label, prob], ...]}
+Requests are batched across stdin lines by the TaggingService, so piping a
+large file list exercises the full batched TPU path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from ..data import read_wav
+from .common import load_label_map, resolve_model
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="uit-serve")
+    parser.add_argument("-m", "--model", default="uit_xs")
+    parser.add_argument("-k", "--topk", type=int, default=5)
+    parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--max-seconds", type=int, default=10)
+    parser.add_argument("--no-warmup", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..serve import ServiceConfig, TaggingService
+
+    labels = load_label_map()
+    cfg, params, state = resolve_model(args.model)
+    service = TaggingService(
+        cfg, params, state,
+        ServiceConfig(batch_size=args.batch_size, max_seconds=args.max_seconds,
+                      warmup=not args.no_warmup),
+    )
+    print("ready", file=sys.stderr, flush=True)
+
+    pending = []
+    with service:
+        for line in sys.stdin:
+            path = line.strip()
+            if not path:
+                continue
+            wav, sr = read_wav(path)
+            assert sr == cfg.frontend.sample_rate, f"{path}: expected 16 kHz"
+            pending.append((path, service.submit(wav[0])))
+        for path, fut in pending:
+            probs = fut.result()
+            top = np.argsort(probs)[::-1][: args.topk]
+            out = {
+                "path": path,
+                "top": [
+                    [
+                        f"Keyword: {labels[int(i)]}" if i > 526 else labels[int(i)],
+                        round(float(probs[i]), 4),
+                    ]
+                    for i in top
+                ],
+            }
+            print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

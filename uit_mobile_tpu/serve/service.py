@@ -1,0 +1,156 @@
+"""Batching inference service: the production serving loop.
+
+The reference has no serving layer (its CLI scores one clip per process
+invocation). This module turns the model into a high-throughput TPU
+service:
+
+- callers submit waveforms of any length up to ``max_seconds`` and get a
+  Future; a background worker drains the queue, groups requests into
+  LENGTH BUCKETS (multiples of one second), right-zero-pads each request
+  to its bucket and pads each batch to a FIXED batch size — so the entire
+  service runs on a small, closed set of compiled XLA programs (no
+  recompiles, ever, after warmup);
+- each bucket's forward uses the fused Pallas mel frontend and the
+  model's window-folding long-clip path (models/uit.chunk_long_mel);
+- batches are dispatched asynchronously (device queue depth bounded), so
+  host batching overlaps TPU compute.
+
+Zero-padding a clip to its bucket boundary adds trailing silent frames;
+for strict parity with offline evaluation (which pads to the batch max,
+reference dataset.py:183-197) use bucket_seconds=1 inputs of exactly 1 s.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ServiceConfig:
+    batch_size: int = 256          # slots per 1s-bucket batch
+    max_seconds: int = 10          # longest accepted clip
+    max_wait_ms: float = 5.0       # batching window before a partial batch runs
+    sample_rate: int = 16000
+    use_pallas: Optional[bool] = None
+    warmup: bool = True            # compile all buckets at startup
+
+
+class TaggingService:
+    """Batched async tagging: submit((T,) float32 wav) -> Future[(C,) probs]."""
+
+    def __init__(self, model_cfg, params, state, config: ServiceConfig = ServiceConfig()):
+        import jax
+        import jax.numpy as jnp
+
+        from .. import models
+        from ..ops import make_frontend_fn
+
+        self.cfg = config
+        self._jnp = jnp
+        use_pallas = config.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        frontend = make_frontend_fn(model_cfg.frontend, use_pallas=use_pallas)
+        self._fwd = jax.jit(
+            lambda w: models.apply(model_cfg, params, state, w, frontend_fn=frontend)
+        )
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        sr = config.sample_rate
+        # bucket lengths: 1..max_seconds seconds; batch size shrinks with
+        # length so every bucket does similar work per dispatch
+        self._buckets = []
+        for s in range(1, config.max_seconds + 1):
+            bs = max(1, config.batch_size // s)
+            self._buckets.append((s * sr, bs))
+        if config.warmup:
+            for length, bs in self._buckets:
+                self._fwd(jnp.zeros((bs, length), jnp.float32))
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------- API
+
+    def submit(self, wav: np.ndarray) -> Future:
+        """Queue a single (T,) float32 waveform; resolves to (C,) probs."""
+        assert not self._closed, "service is closed"
+        wav = np.asarray(wav, dtype=np.float32).reshape(-1)
+        assert wav.shape[0] <= self.cfg.max_seconds * self.cfg.sample_rate, (
+            f"clip longer than max_seconds={self.cfg.max_seconds}"
+        )
+        fut: Future = Future()
+        self._q.put((wav, fut))
+        return fut
+
+    def infer_many(self, wavs: Sequence[np.ndarray]) -> list[np.ndarray]:
+        futs = [self.submit(w) for w in wavs]
+        return [f.result() for f in futs]
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # ---------------------------------------------------------------- worker
+
+    def _bucket_of(self, n: int):
+        for length, bs in self._buckets:
+            if n <= length:
+                return length, bs
+        raise ValueError(n)
+
+    def _run(self):
+        jnp = self._jnp
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            pending = [item]
+            # batching window: drain whatever arrives within max_wait_ms
+            deadline = self.cfg.max_wait_ms / 1e3
+            try:
+                while True:
+                    nxt = self._q.get(timeout=deadline)
+                    if nxt is None:
+                        self._dispatch(pending, jnp)
+                        return
+                    pending.append(nxt)
+                    if len(pending) >= self.cfg.batch_size:
+                        break
+            except queue.Empty:
+                pass
+            self._dispatch(pending, jnp)
+
+    def _dispatch(self, pending, jnp):
+        groups: dict[int, list] = {}
+        for wav, fut in pending:
+            length, bs = self._bucket_of(wav.shape[0])
+            groups.setdefault(length, []).append((wav, fut))
+        for length, items in groups.items():
+            bs = dict(self._buckets)[length]
+            for i in range(0, len(items), bs):
+                chunk = items[i: i + bs]
+                batch = np.zeros((bs, length), dtype=np.float32)
+                for j, (wav, _) in enumerate(chunk):
+                    batch[j, : wav.shape[0]] = wav
+                try:
+                    probs = np.asarray(self._fwd(jnp.asarray(batch)))
+                    for j, (_, fut) in enumerate(chunk):
+                        fut.set_result(probs[j])
+                except Exception as e:  # pragma: no cover
+                    for _, fut in chunk:
+                        if not fut.done():
+                            fut.set_exception(e)
