@@ -123,6 +123,53 @@ def average_checkpoints(paths):
     return avg(acc_p), avg(acc_s), cfg, extra
 
 
+def save_training_state(path, params, state, opt_state, cfg=None,
+                        extra: dict | None = None):
+    """Full resumable snapshot: params + BN state + OPTIMIZER state + step.
+
+    The reference cannot resume mid-training (only best-k model weights are
+    kept, no optimizer state — reference run.py:338-349); this makes
+    restarts lossless. `opt_state` may be any optax pytree (NamedTuples
+    included): leaves are stored by index and re-attached to a treedef
+    recreated from `optimizer.init(params)` at load time.
+    """
+    leaves = jax.tree.leaves(opt_state)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    blobs = {}
+    for name, tree in (("params", params), ("state", state)):
+        for k, v in _flatten(tree).items():
+            blobs[f"{name}{_SEP}{k}"] = v
+    for i, leaf in enumerate(leaves):
+        blobs[f"opt{_SEP}{i}"] = np.asarray(leaf)
+    meta = {"config": config_to_dict(cfg) if cfg is not None else None,
+            "extra": extra or {}, "n_opt_leaves": len(leaves)}
+    blobs["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **blobs)
+
+
+def load_training_state(path, opt_state_template):
+    """-> (params, state, opt_state, cfg, extra). `opt_state_template` is a
+    freshly-initialized optimizer state providing the treedef."""
+    with np.load(Path(path), allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        flat_p = {k[len("params/"):]: z[k] for k in z.files if k.startswith("params/")}
+        flat_s = {k[len("state/"):]: z[k] for k in z.files if k.startswith("state/")}
+        n = meta["n_opt_leaves"]
+        opt_leaves = [jnp.asarray(z[f"opt{_SEP}{i}"]) for i in range(n)]
+    treedef = jax.tree.structure(opt_state_template)
+    template_leaves = jax.tree.leaves(opt_state_template)
+    assert len(template_leaves) == n, (
+        f"optimizer structure changed: snapshot has {n} leaves, "
+        f"current optimizer has {len(template_leaves)}"
+    )
+    opt_leaves = [l.astype(t.dtype) if hasattr(t, "dtype") else l
+                  for l, t in zip(opt_leaves, template_leaves)]
+    opt_state = jax.tree.unflatten(treedef, opt_leaves)
+    cfg = config_from_dict(meta["config"]) if meta.get("config") else None
+    return _unflatten(flat_p), _unflatten(flat_s), opt_state, cfg, meta.get("extra", {})
+
+
 def load_pretrained_partial(params, new_params):
     """Shape-filtered partial load (reference utils.load_pretrained,
     utils.py:184-205): copy every leaf whose path+shape matches; keep the

@@ -34,7 +34,9 @@ from ..ckpt.io import (
     average_checkpoints,
     load_checkpoint,
     load_pretrained_partial,
+    load_training_state,
     save_checkpoint,
+    save_training_state,
 )
 from ..data import (
     BalancedSampler,
@@ -201,6 +203,13 @@ class Trainer:
         optimizer = build_optimizer(c.get("optimizer", "Adam"), schedule, **opt_args)
         opt_state = optimizer.init(params)
 
+        start_epoch = 1
+        resume = c.get("resume")
+        if resume:
+            params, state, opt_state, _, extra = load_training_state(resume, opt_state)
+            start_epoch = int(extra.get("epoch", 0)) + 1
+            log.info(f"resumed from {resume} at epoch {start_epoch}")
+
         use_pallas = jax.devices()[0].platform == "tpu"
         frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas)
         train_step = make_train_step(
@@ -273,9 +282,11 @@ class Trainer:
                 ),
             }
 
+        score_name, score_sign = (c.get("score_function") or ["mAP", 1.0])
+
         train_iter = iter(train_loader)
         stop = False
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch, epochs + 1):
             if stop:
                 break
             t0 = time.time()
@@ -297,7 +308,13 @@ class Trainer:
             )
 
             if epoch % c.get("valid_every", 1) == 0:
-                score = self._validate(eval_step, params, state, test_loader, epoch)
+                score = score_sign * self._validate(
+                    eval_step, params, state, test_loader, epoch, metric=score_name
+                )
+                save_training_state(  # lossless mid-training resume point
+                    self.outputdir / "last.npz", params, state, opt_state, cfg,
+                    extra={"epoch": epoch, "step": step_count, score_name: score},
+                )
                 ckpt_path = self.outputdir / f"best_model_{step_count}_mAP={score:.4f}.npz"
                 saved.append((score, ckpt_path))
                 saved.sort(key=lambda x: -x[0])
@@ -336,7 +353,8 @@ class Trainer:
         log.removeHandler(self._file_handler)
         return output_model
 
-    def _validate(self, eval_step, params, state, test_loader, epoch) -> float:
+    def _validate(self, eval_step, params, state, test_loader, epoch,
+                  metric: str = "mAP") -> float:
         import jax.numpy as jnp
 
         preds, targets = [], []
@@ -345,7 +363,9 @@ class Trainer:
             targets.append(batch["target"])
         preds = np.concatenate(preds)
         targets = np.concatenate(targets)
-        names = ["mAP"]
+        names = [metric] if metric != "mAP" else ["mAP"]
+        if "mAP" not in names:
+            names.append("mAP")
         if preds.shape[1] > 527:
             names += ["mAPAudioset", "mAPKWS"]
         m = compute_metrics(names, preds, targets)
@@ -353,7 +373,7 @@ class Trainer:
             f"Validation Results - Epoch : {epoch:<4} "
             + " ".join(f"{k} {v:<5.4f}" for k, v in m.items())
         )
-        return float(m["mAP"])
+        return float(m[metric])
 
 
 def train_from_config(config: dict) -> Path:
