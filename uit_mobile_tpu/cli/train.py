@@ -32,12 +32,18 @@ def _parse_overrides(pairs):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(prog="uit-train")
-    parser.add_argument("command", choices=["train", "run"])
+    parser.add_argument("command", choices=["train", "run", "pretrain"])
     parser.add_argument("config")
     args, rest = parser.parse_known_args(argv)
 
     overrides = _parse_overrides(rest)
     config = parse_config_or_kwargs(args.config, **overrides)
+
+    if args.command == "pretrain":
+        from ..train.pretrain import pretrain_from_config
+
+        print(pretrain_from_config(config))
+        return 0
 
     from ..train.loop import train_from_config
 

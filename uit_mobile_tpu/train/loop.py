@@ -105,6 +105,7 @@ class Trainer:
 
     def _build_model(self):
         import jax
+        import jax.numpy as jnp
 
         c = self.config
         cfg = models.get_model_config(
@@ -115,8 +116,20 @@ class Trainer:
         if pretrained:
             log.info(f"initializing from pretrained {pretrained}")
             from ..cli.common import resolve_model
+            from ..ckpt.torch_convert import resize_pos_embed
 
             _, p_params, p_state = resolve_model(pretrained)
+            # retarget factorized pos embeds across target_length changes
+            # (reference load_pretrained force-copies them and resizes,
+            # utils.py:196-198 + uit.py:416-450) — e.g. MAE pretraining at
+            # 1012 frames -> fine-tuning at 102
+            for key in ("time_pos_embed", "freq_pos_embed"):
+                if key in p_params and p_params[key].shape != params[key].shape:
+                    p_params = dict(p_params)
+                    p_params[key] = jnp.asarray(
+                        resize_pos_embed(np.asarray(p_params[key]),
+                                         params[key].shape[0])
+                    )
             params, n = load_pretrained_partial(params, p_params)
             log.info(f"Loading {n} parameter tensors")
         return cfg, params, state
