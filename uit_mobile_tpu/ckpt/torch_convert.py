@@ -251,6 +251,43 @@ def mobilenetv2_params_from_torch_state_dict(sd: dict, cfg) -> tuple[dict, dict]
     return _to_jnp(params), _to_jnp({"features": feats_s})
 
 
+def mobilenetv2_torch_state_dict_from_params(params: dict, state: dict, cfg) -> dict:
+    """Inverse MobileNetV2 mapping: our pytrees -> reference torch naming."""
+    from ..models.mobilenetv2 import layer_specs
+
+    sd: dict[str, np.ndarray] = {}
+
+    def put_conv_bn(p, s, conv_key, bn_key):
+        sd[conv_key] = np.asarray(p["conv"]["kernel"]).transpose(3, 2, 0, 1)
+        sd[bn_key + ".weight"] = np.asarray(p["bn"]["scale"])
+        sd[bn_key + ".bias"] = np.asarray(p["bn"]["bias"])
+        sd[bn_key + ".running_mean"] = np.asarray(s["bn"]["mean"])
+        sd[bn_key + ".running_var"] = np.asarray(s["bn"]["var"])
+
+    for idx, spec in enumerate(layer_specs(cfg)):
+        base = f"features.{idx}"
+        p = params["features"][idx]
+        s = state["features"][idx]
+        if spec[0] == "convbnrelu":
+            put_conv_bn(p, s, f"{base}.0.weight", f"{base}.1")
+        else:
+            _, _, _, _, t = spec
+            j = 0
+            li = 0
+            if t != 1:
+                put_conv_bn(p["layers"][li], s["layers"][li],
+                            f"{base}.conv.{j}.0.weight", f"{base}.conv.{j}.1")
+                j += 1; li += 1
+            put_conv_bn(p["layers"][li], s["layers"][li],
+                        f"{base}.conv.{j}.0.weight", f"{base}.conv.{j}.1")
+            j += 1; li += 1
+            put_conv_bn(p["layers"][li], s["layers"][li],
+                        f"{base}.conv.{j}.weight", f"{base}.conv.{j + 1}")
+    sd["classifier.1.weight"] = np.asarray(params["classifier"]["kernel"]).T
+    sd["classifier.1.bias"] = np.asarray(params["classifier"]["bias"])
+    return sd
+
+
 def _to_jnp(tree):
     if isinstance(tree, dict):
         return {k: _to_jnp(v) for k, v in tree.items()}

@@ -1,0 +1,54 @@
+"""Multi-host (multi-slice) initialization helpers.
+
+One TPU host only sees its local chips until `jax.distributed.initialize`
+runs; after that, `jax.devices()` spans the full slice and the SAME mesh +
+NamedSharding code in `parallel.mesh` scales across hosts (ICI within a
+slice, DCN across slices — handled by the runtime, per the scaling-book
+recipe). Call `initialize()` once at process start on every host.
+
+Data loading stays per-host: `host_local_batch_slice` tells each host
+which rows of the global batch to produce;
+`jax.make_array_from_process_local_data` assembles the global sharded
+batch.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Initialize the distributed runtime (no-op on single-process)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process / already-initialized environments
+        pass
+
+
+def host_local_batch_slice(global_batch: int) -> slice:
+    """Rows of the global batch this host should load."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (global_batch, n)
+    per = global_batch // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def global_batch_from_host_local(mesh, host_batch, axis: str = "data"):
+    """Assemble a globally-sharded array from each host's local rows."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        host_batch,
+    )
