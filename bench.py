@@ -29,15 +29,25 @@ def main():
 
     cfg = models.get_model_config("uit_xs", outputdim=537, target_length=102)
     params, state = models.build(cfg, jax.random.key(0))
-    frontend = make_frontend_fn(cfg.frontend, use_pallas=(dev.platform == "tpu"))
+    # 'fast' = 3-pass bf16 DFT; <=2.5e-4 output drift vs the exact path,
+    # inside the 1e-3 parity budget (see ops/pallas_mel._mel_kernel_fast)
+    frontend = make_frontend_fn(cfg.frontend, use_pallas=(dev.platform == "tpu"),
+                                precision="fast")
 
     fwd = jax.jit(lambda p, s, w: models.apply(cfg, p, s, w, frontend_fn=frontend))
 
     B = 2048 if dev.platform == "tpu" else 64
     rng = np.random.default_rng(0)
-    wav = jnp.asarray(rng.standard_normal((B, 16000)).astype(np.float32) * 0.1)
+    # two distinct buffers, alternated: guards against any same-args
+    # dispatch dedup in remote-TPU relays
+    wavs = [
+        jnp.asarray(rng.standard_normal((B, 16000)).astype(np.float32) * 0.1)
+        for _ in range(2)
+    ]
+    wav = wavs[0]
 
-    out = fwd(params, state, wav)
+    for w in wavs:
+        out = fwd(params, state, w)
     out.block_until_ready()  # compile
 
     # steady-state pipelined throughput (the serving number): enqueue a
@@ -48,8 +58,8 @@ def main():
     rounds, depth = (4, 8) if dev.platform == "tpu" else (2, 2)
     t0 = time.perf_counter()
     for _ in range(rounds):
-        for _ in range(depth):
-            out = fwd(params, state, wav)
+        for i in range(depth):
+            out = fwd(params, state, wavs[i % 2])
         out.block_until_ready()
     clips_per_s = rounds * depth * B / (time.perf_counter() - t0)
 

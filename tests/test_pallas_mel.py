@@ -43,6 +43,18 @@ def test_pallas_topdb_clamp_engages():
     np.testing.assert_allclose(a, b, atol=5e-4)
 
 
+def test_fast_precision_mode():
+    """tri-bf16 DFT fast mode: dB error bounded at valleys, tiny elsewhere."""
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+    cfg = FrontendConfig()
+    exact = np.asarray(pallas_log_mel(wav, cfg, precision="exact"))
+    fast = np.asarray(pallas_log_mel(wav, cfg, precision="fast"))
+    d = np.abs(exact - fast)
+    assert d.max() < 1.0  # worst-case valley error stays <1 dB
+    assert d.mean() < 0.02
+
+
 def test_make_frontend_fn_model_integration():
     import jax
     from uit_mobile_tpu import models

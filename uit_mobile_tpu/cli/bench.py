@@ -22,6 +22,9 @@ def main(argv=None):
     parser.add_argument("-b", "--batch-size", type=int, default=2048)
     parser.add_argument("--seconds", type=float, default=1.0, help="clip length")
     parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument("--exact", action="store_true",
+                        help="bit-parity DFT precision instead of the fast "
+                        "3-pass-bf16 mode")
     parser.add_argument("--frontend-only", action="store_true")
     parser.add_argument("--random-weights", action="store_true", default=True)
     parser.add_argument("--profile", metavar="LOGDIR", default=None,
@@ -37,6 +40,7 @@ def main(argv=None):
 
     dev = jax.devices()[0]
     use_pallas = (dev.platform == "tpu") and not args.no_pallas
+    prec = "exact" if args.exact else "fast"
     B = args.batch_size
     T = int(16000 * args.seconds)
     wav = jnp.asarray(
@@ -45,14 +49,14 @@ def main(argv=None):
 
     if args.frontend_only:
         fc = FrontendConfig()
-        frontend = make_frontend_fn(fc, use_pallas=use_pallas)
+        frontend = make_frontend_fn(fc, use_pallas=use_pallas, precision=prec)
         fwd = jax.jit(frontend)
         run = lambda: fwd(wav)
         label = f"frontend({'pallas' if use_pallas else 'xla'})"
     else:
         cfg = models.get_model_config(args.model, outputdim=537, target_length=102)
         params, state = models.build(cfg, jax.random.key(0))
-        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas)
+        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas, precision=prec)
         fwd = jax.jit(lambda w: models.apply(cfg, params, state, w, frontend_fn=frontend))
         run = lambda: fwd(wav)
         label = f"{args.model}({'pallas' if use_pallas else 'xla'} frontend)"

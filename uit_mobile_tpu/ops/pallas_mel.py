@@ -72,6 +72,10 @@ def _mel_kernel(frames_ref, g_ref, fb_ref, out_ref):
     every matmul runs at full MXU M-extent with no in-kernel reshapes.
     Everything bandwidth-heavy after framing — window, rDFT, power, mel,
     log — is fused here and touches HBM exactly once on the way out.
+
+    Exact mode: the packed [Re|Im] DFT matmul runs at Precision.HIGHEST
+    (6-pass f32 — spectral valleys suffer catastrophic cancellation, so
+    full f32 products matter for bit-parity).
     """
     g = jax.lax.dot_general(  # packed [Re | Im] in one matmul
         frames_ref[:], g_ref[:], (((1,), (0,)), ((), ())),
@@ -86,13 +90,43 @@ def _mel_kernel(frames_ref, g_ref, fb_ref, out_ref):
     out_ref[:] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
 
 
+def _mel_kernel_fast(frames_ref, ghi_ref, glo_ref, fb_ref, out_ref):
+    """Fast serving variant: the DFT matmul (88% of kernel FLOPs) runs as a
+    3-pass bf16 hi/lo split (~16-bit mantissa products, f32 accumulation) —
+    2x fewer MXU passes than HIGHEST. Worst-case ~0.4 dB at deep spectral
+    valleys; after init_bn this is <=2.5e-4 output-probability drift on
+    uit_xs (measured), i.e. inside the 1e-3 parity budget. The mel matmul
+    (power -> mel) stays HIGHEST: power spans a huge dynamic range.
+    """
+    a = frames_ref[:]
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dd(x, y):
+        return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    g = dd(a_hi, ghi_ref[:]) + dd(a_hi, glo_ref[:]) + dd(a_lo, ghi_ref[:])
+    power = g * g
+    mel = jax.lax.dot_general(
+        power, fb_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
+
+
 def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
-                   interpret: bool | None = None) -> jax.Array:
+                   interpret: bool | None = None,
+                   precision: str = "exact") -> jax.Array:
     """(B, T) waveform -> (B, n_mels, n_frames) log-mel dB, fused on TPU.
 
     Drop-in replacement for frontend.mel.log_mel_spectrogram (same
     torchaudio semantics, including the configured top_db_mode).
+    precision: 'exact' (bit-parity, HIGHEST) or 'fast' (3-pass bf16 DFT,
+    ~1.15x end-to-end throughput, <=2.5e-4 prob drift — see
+    _mel_kernel_fast).
     """
+    assert precision in ("exact", "fast")
     config = config or FrontendConfig()
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -121,24 +155,34 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
 
     rows = B * frames_pad
     m_blk = min(1024, rows)
-    mel_t = pl.pallas_call(
-        _mel_kernel,
-        grid=(pl.cdiv(rows, m_blk),),
-        in_specs=[
-            pl.BlockSpec((m_blk, n_fft), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, lanes), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lanes, config.n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((m_blk, config.n_mels), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, config.n_mels), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * n_fft * lanes + 2 * rows * lanes * config.n_mels,
-            bytes_accessed=rows * (n_fft + config.n_mels) * 4,
-            transcendentals=rows * config.n_mels,
-        ),
-        interpret=interpret,
-    )(frames, jnp.asarray(G), jnp.asarray(fb))
+    cost = pl.CostEstimate(
+        flops=2 * rows * n_fft * lanes + 2 * rows * lanes * config.n_mels,
+        bytes_accessed=rows * (n_fft + config.n_mels) * 4,
+        transcendentals=rows * config.n_mels,
+    )
+    frames_spec = pl.BlockSpec((m_blk, n_fft), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((n_fft, lanes), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    fb_spec = pl.BlockSpec((lanes, config.n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((m_blk, config.n_mels), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows, config.n_mels), jnp.float32)
+    if precision == "fast":
+        G_hi = G.astype(np.float32).astype(jnp.bfloat16)
+        G_lo = (G - np.asarray(G_hi, dtype=np.float32)).astype(jnp.bfloat16)
+        mel_t = pl.pallas_call(
+            _mel_kernel_fast,
+            grid=(pl.cdiv(rows, m_blk),),
+            in_specs=[frames_spec, g_spec, g_spec, fb_spec],
+            out_specs=out_spec, out_shape=out_shape,
+            cost_estimate=cost, interpret=interpret,
+        )(frames, jnp.asarray(G_hi), jnp.asarray(G_lo), jnp.asarray(fb))
+    else:
+        mel_t = pl.pallas_call(
+            _mel_kernel,
+            grid=(pl.cdiv(rows, m_blk),),
+            in_specs=[frames_spec, g_spec, fb_spec],
+            out_specs=out_spec, out_shape=out_shape,
+            cost_estimate=cost, interpret=interpret,
+        )(frames, jnp.asarray(G), jnp.asarray(fb))
 
     mel_t = mel_t.reshape(B, frames_pad, config.n_mels)
     x_db = jnp.swapaxes(mel_t[:, :n_frames, :], -1, -2)  # (B, n_mels, n_frames)
@@ -151,11 +195,12 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     return x_db
 
 
-def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = True):
+def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = True,
+                     precision: str = "exact"):
     """Frontend callable for models.*.forward(frontend_fn=...)."""
     config = config or FrontendConfig()
     if use_pallas:
-        return lambda wav: pallas_log_mel(wav, config)
+        return lambda wav: pallas_log_mel(wav, config, precision=precision)
     from ..frontend.mel import log_mel_spectrogram
 
     return lambda wav: log_mel_spectrogram(wav, config)

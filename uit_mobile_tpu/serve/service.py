@@ -56,7 +56,8 @@ class TaggingService:
         use_pallas = config.use_pallas
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
-        frontend = make_frontend_fn(model_cfg.frontend, use_pallas=use_pallas)
+        frontend = make_frontend_fn(model_cfg.frontend, use_pallas=use_pallas,
+                                    precision="fast" if use_pallas else "exact")
         self._fwd = jax.jit(
             lambda w: models.apply(model_cfg, params, state, w, frontend_fn=frontend)
         )
