@@ -42,25 +42,36 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=4)
-def _dft_matrices(n_fft: int, win_length: int, n_freqs: int, lanes: int):
-    """Window-folded packed DFT matrix + doubled mel filterbank rows layout.
+def _dft_matrices(n_fft: int, win_length: int, n_freqs: int):
+    """Window-folded packed DFT matrix + matching mel-filterbank row map.
 
-    G (n_fft, lanes) holds cos columns at [0, n_freqs) and sin columns at
-    [sin_off, sin_off + n_freqs) where sin_off = n_freqs rounded up to the
-    sublane multiple — ONE matmul produces [Re | Im] packed; squaring and
-    multiplying by a filterbank whose rows are duplicated at both offsets
-    yields mel power = fb @ (Re^2 + Im^2) directly.
+    ONE matmul produces all real/imaginary DFT components packed into
+    exactly `lanes` columns; squaring and multiplying by a filterbank
+    whose rows repeat each bin's mel weights at the matching columns
+    yields mel power = fb @ (Re^2 + Im^2) with zero layout constraints —
+    the fb matmul does the summation, so column order is free.
+
+    Packing exploits real-input DFT structure: sin columns for k=0 and
+    k=n_fft/2 are identically zero, so cos(n_freqs) + sin(n_freqs-2)
+    columns pack into exactly n_fft lanes (no padding waste: 512 for the
+    standard config, vs 640 with naive [cos|sin] alignment).
+
+    Returns (G (n_fft, lanes), col_bin (lanes,) mapping column -> freq bin).
     """
     w = hann_window_periodic(win_length, dtype=np.float64)
     n = np.arange(n_fft, dtype=np.float64)[:, None]
     k = np.arange(n_freqs, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * n * k / n_fft
-    sin_off = _round_up(n_freqs, 64)
-    assert sin_off + n_freqs <= lanes
+    cos_part = (w[:, None] * np.cos(ang))          # (n_fft, n_freqs)
+    sin_part = (w[:, None] * np.sin(ang))[:, 1:n_freqs - 1]  # drop k=0, k=N/2
+    lanes = _round_up(n_freqs + (n_freqs - 2), 128)
     G = np.zeros((n_fft, lanes), dtype=np.float32)
-    G[:, :n_freqs] = (w[:, None] * np.cos(ang)).astype(np.float32)
-    G[:, sin_off:sin_off + n_freqs] = (w[:, None] * np.sin(ang)).astype(np.float32)
-    return G, sin_off
+    G[:, :n_freqs] = cos_part.astype(np.float32)
+    G[:, n_freqs: 2 * n_freqs - 2] = sin_part.astype(np.float32)
+    col_bin = np.full((lanes,), -1, dtype=np.int64)
+    col_bin[:n_freqs] = np.arange(n_freqs)
+    col_bin[n_freqs: 2 * n_freqs - 2] = np.arange(1, n_freqs - 1)
+    return G, col_bin
 
 
 def _mel_kernel(frames_ref, g_ref, fb_ref, out_ref):
@@ -140,12 +151,13 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     Tp = wav.shape[-1]
     n_frames = (Tp - n_fft) // hop + 1
     frames_pad = _round_up(n_frames, 8)
-    lanes = _round_up(_round_up(config.n_freqs, 64) + config.n_freqs, 128)
 
-    G, sin_off = _dft_matrices(n_fft, config.win_length, config.n_freqs, lanes)
+    G, col_bin = _dft_matrices(n_fft, config.win_length, config.n_freqs)
+    lanes = G.shape[1]
+    mel_fb = mel_filterbank(config)
     fb = np.zeros((lanes, config.n_mels), dtype=np.float32)
-    fb[: config.n_freqs] = mel_filterbank(config)
-    fb[sin_off: sin_off + config.n_freqs] = mel_filterbank(config)
+    valid = col_bin >= 0
+    fb[valid] = mel_fb[col_bin[valid]]
 
     # hop-strided framing as one XLA gather (static indices, clamped so the
     # sublane-alignment rows read in-bounds garbage that we slice away)
