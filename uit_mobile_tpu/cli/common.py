@@ -12,7 +12,9 @@ from ..models import uit as uit_model
 from ..utils import get_logger
 
 REPO_ROOT = Path(__file__).resolve().parent.parent.parent
-LABEL_CSV = REPO_ROOT / "datasets" / "merged_class_label_indices.csv"
+# the 538-row merged AudioSet+keywords index ships as package data; the
+# repo-level datasets/ copy is used if present (both are identical)
+LABEL_CSV = Path(__file__).resolve().parent.parent / "data" / "merged_class_label_indices.csv"
 CACHE_DIR = Path(os.environ.get("UIT_MOBILE_TPU_CACHE", Path.home() / ".cache" / "uit_mobile_tpu"))
 
 log = get_logger()
@@ -21,7 +23,10 @@ log = get_logger()
 def load_label_map(path=None) -> dict[int, str]:
     import csv
 
-    with open(path or LABEL_CSV) as f:
+    if path is None:
+        repo_csv = REPO_ROOT / "datasets" / "merged_class_label_indices.csv"
+        path = repo_csv if repo_csv.exists() else LABEL_CSV
+    with open(path) as f:
         return {int(r["index"]): r["display_name"] for r in csv.DictReader(f)}
 
 

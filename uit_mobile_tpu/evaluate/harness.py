@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..data import DataLoader, WeakHDF5Dataset, read_tsv_data, device_prefetch
+from ..data import DataLoader, WeakHDF5Dataset, read_tsv_data
 from ..utils import get_logger, add_file_sink
 from .metrics import compute_metrics, gsc_accuracy
 
@@ -113,6 +113,11 @@ class Evaluator:
         df = read_tsv_data(audioset_eval_data)
         preds, targets = self._run_epoch(df, num_classes=527)
         results = compute_metrics(AUDIOSET_METRICS, preds[:, :527], targets[:, :527])
+        if label_csv is None:
+            # reference uses the merged index when present (evaluate.py:103-108)
+            from ..cli.common import LABEL_CSV
+
+            label_csv = LABEL_CSV if LABEL_CSV.exists() else None
         self._write_report("Audioset", results, label_csv)
         return results
 

@@ -133,8 +133,7 @@ ACTIVATIONS = {
 def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
                         causal: bool = False,
                         attn_drop: float = 0.0, proj_drop: float = 0.0,
-                        rng=None, deterministic: bool = True,
-                        dtype=None):
+                        rng=None, deterministic: bool = True):
     """Shared full/bottleneck MHSA.
 
     Full attention: inner_dim == D. Bottleneck (reference BNeckAttention,
@@ -148,8 +147,6 @@ def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
     h = num_heads
     hd = inner_dim // h
     qkv = linear(p["qkv"], x)  # (B, N, 3*inner)
-    if dtype is not None:
-        qkv = qkv.astype(dtype)
     qkv = qkv.reshape(B, N, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, hd)
     # logits + softmax in f32 regardless of compute dtype (stability)

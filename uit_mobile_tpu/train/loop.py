@@ -44,7 +44,6 @@ from ..data import (
     MultiDataLoader,
     WeakHDF5Dataset,
     WeakRandomCropHDF5Dataset,
-    device_prefetch,
     read_tsv_data,
 )
 from ..evaluate.metrics import compute_metrics
