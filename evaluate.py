@@ -1,0 +1,13 @@
+#!/usr/bin/env python3
+"""Reference-compatible entry point: python3 evaluate.py {audioset|gsc|test_sample|all} CKPT ...
+
+Thin wrapper over uit_mobile_tpu.cli.evaluate.
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from uit_mobile_tpu.cli.evaluate import main  # noqa: E402
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,10 +40,22 @@ def main(argv=None):
     p_ts.add_argument("sample")
     p_ts.add_argument("--topk", type=int, default=5)
 
+    p_all = sub.add_parser("all", help="gsc + audioset with one model load")
+    p_all.add_argument("experiment_path")
+    p_all.add_argument("--eval-data",
+                       default="datasets/gsc/data/labels/test_gsc_aslabels.tsv")
+    p_all.add_argument("--audioset-eval-data",
+                       default="datasets/audioset/data/labels/eval.csv")
+    p_all.add_argument("--batch-size", type=int, default=32)
+
     args = parser.parse_args(argv)
     ev = Evaluator(args.experiment_path,
                    batch_size=getattr(args, "batch_size", 32))
-    if args.command == "audioset":
+    if args.command == "all":
+        print(ev.gsc(eval_data=args.eval_data))
+        results = ev.audioset(audioset_eval_data=args.audioset_eval_data)
+        print({k: v for k, v in results.items() if not hasattr(v, "shape")})
+    elif args.command == "audioset":
         results = ev.audioset(audioset_eval_data=args.audioset_eval_data,
                               label_csv=args.label_csv)
         print({k: v for k, v in results.items() if not hasattr(v, "shape")})
