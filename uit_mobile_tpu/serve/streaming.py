@@ -1,0 +1,144 @@
+"""Real-time sliding-window tagging over continuous audio streams.
+
+The UiT models have a 1-second receptive window by design (reference
+README "model delay: 1s") — always-on deployment means re-scoring a
+sliding window every hop. This module does that the TPU way: S independent
+streams share one fixed-shape batched forward (S, window) compiled once;
+per-stream ring buffers advance by `hop_seconds` and all due windows score
+in a single dispatch.
+
+Events: every scored window yields (stream, t_end_seconds, probs); keyword
+triggers (prob >= threshold, default the GSC operating point 0.2) fire
+with a refractory period so one utterance doesn't spam events.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingConfig:
+    window_seconds: float = 1.0
+    hop_seconds: float = 0.25
+    sample_rate: int = 16000
+    threshold: float = 0.2          # keyword trigger threshold (GSC point)
+    refractory_seconds: float = 1.0  # min gap between triggers per keyword
+    n_audioset: int = 527
+    use_pallas: Optional[bool] = None
+
+
+@dataclasses.dataclass
+class Event:
+    stream: int
+    time: float            # stream time at window end, seconds
+    probs: np.ndarray      # (outputdim,)
+    triggers: list         # [(class_index, prob), ...] newly fired keywords
+
+
+class MultiStreamTagger:
+    """S always-on streams -> batched fixed-shape scoring."""
+
+    def __init__(self, model_cfg, params, state, n_streams: int = 1,
+                 config: StreamingConfig = StreamingConfig()):
+        import jax
+        import jax.numpy as jnp
+
+        from .. import models
+        from ..ops import make_frontend_fn
+
+        self.cfg = config
+        self.n_streams = n_streams
+        self._jnp = jnp
+        sr = config.sample_rate
+        self._win = int(config.window_seconds * sr)
+        self._hop = int(config.hop_seconds * sr)
+        use_pallas = config.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        frontend = make_frontend_fn(model_cfg.frontend, use_pallas=use_pallas,
+                                    precision="fast" if use_pallas else "exact")
+        self._fwd = jax.jit(
+            lambda w: models.apply(model_cfg, params, state, w, frontend_fn=frontend)
+        )
+        self._buf = np.zeros((n_streams, self._win), dtype=np.float32)
+        self._filled = np.zeros(n_streams, dtype=np.int64)   # samples seen
+        self._since_hop = np.zeros(n_streams, dtype=np.int64)
+        self._last_trigger: dict[tuple[int, int], float] = {}
+
+    def feed(self, stream: int, chunk: np.ndarray) -> list[Event]:
+        """Append audio to one stream; returns events for every window that
+        became due (one per elapsed hop)."""
+        chunk = np.asarray(chunk, dtype=np.float32).reshape(-1)
+        events = []
+        pos = 0
+        while pos < chunk.shape[0]:
+            # fill until the next hop boundary
+            need = self._hop - self._since_hop[stream]
+            take = min(need, chunk.shape[0] - pos)
+            piece = chunk[pos: pos + take]
+            self._push(stream, piece)
+            self._since_hop[stream] += take
+            pos += take
+            if self._since_hop[stream] >= self._hop:
+                self._since_hop[stream] = 0
+                if self._filled[stream] >= self._win:
+                    events.extend(self._score([stream]))
+        return events
+
+    def feed_all(self, chunks: np.ndarray) -> list[Event]:
+        """chunks (S, hop) — advance every stream one hop and score the due
+        ones in ONE batched dispatch (the steady-state service loop)."""
+        assert chunks.shape == (self.n_streams, self._hop), chunks.shape
+        due = []
+        for s in range(self.n_streams):
+            self._push(s, chunks[s])
+            if self._filled[s] >= self._win:
+                due.append(s)
+        return self._score(due) if due else []
+
+    def _push(self, stream: int, piece: np.ndarray):
+        n = piece.shape[0]
+        if n == 0:
+            return
+        if n >= self._win:
+            self._buf[stream] = piece[-self._win:]
+        else:
+            self._buf[stream] = np.roll(self._buf[stream], -n)
+            self._buf[stream, -n:] = piece
+        self._filled[stream] += n
+
+    def _score(self, streams: list[int]) -> list[Event]:
+        jnp = self._jnp
+        batch = self._buf[streams]  # (k, win) -> pad to n_streams for one shape
+        if batch.shape[0] < self.n_streams:
+            pad = np.zeros((self.n_streams - batch.shape[0], self._win), np.float32)
+            batch = np.concatenate([batch, pad])
+        probs = np.asarray(self._fwd(jnp.asarray(batch)))
+        events = []
+        for i, s in enumerate(streams):
+            t = self._filled[s] / self.cfg.sample_rate
+            p = probs[i]
+            triggers = []
+            for k in np.flatnonzero(p[self.cfg.n_audioset:] >= self.cfg.threshold):
+                cls = int(self.cfg.n_audioset + k)
+                last = self._last_trigger.get((s, cls), -np.inf)
+                if t - last >= self.cfg.refractory_seconds:
+                    self._last_trigger[(s, cls)] = t
+                    triggers.append((cls, float(p[cls])))
+            events.append(Event(stream=s, time=float(t), probs=p, triggers=triggers))
+        return events
+
+
+class StreamingTagger(MultiStreamTagger):
+    """Single-stream convenience wrapper."""
+
+    def __init__(self, model_cfg, params, state,
+                 config: StreamingConfig = StreamingConfig()):
+        super().__init__(model_cfg, params, state, n_streams=1, config=config)
+
+    def feed_audio(self, chunk: np.ndarray) -> list[Event]:
+        return self.feed(0, chunk)
