@@ -101,15 +101,9 @@ def _mel_kernel(frames_ref, g_ref, fb_ref, out_ref):
     out_ref[:] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
 
 
-def _mel_kernel_fast(frames_ref, ghi_ref, glo_ref, fb_ref, out_ref):
-    """Fast serving variant: the DFT matmul (88% of kernel FLOPs) runs as a
-    3-pass bf16 hi/lo split (~16-bit mantissa products, f32 accumulation) —
-    2x fewer MXU passes than HIGHEST. Worst-case ~0.4 dB at deep spectral
-    valleys; after init_bn this is <=2.5e-4 output-probability drift on
-    uit_xs (measured), i.e. inside the 1e-3 parity budget. The mel matmul
-    (power -> mel) stays HIGHEST: power spans a huge dynamic range.
-    """
-    a = frames_ref[:]
+def _tri_dot(a, b_hi, b_lo):
+    """3-pass bf16 split matmul: ~16-bit-mantissa products with f32
+    accumulation at half the MXU passes of Precision.HIGHEST."""
     a_hi = a.astype(jnp.bfloat16)
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -117,12 +111,19 @@ def _mel_kernel_fast(frames_ref, ghi_ref, glo_ref, fb_ref, out_ref):
         return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    g = dd(a_hi, ghi_ref[:]) + dd(a_hi, glo_ref[:]) + dd(a_lo, ghi_ref[:])
+    return dd(a_hi, b_hi) + dd(a_hi, b_lo) + dd(a_lo, b_hi)
+
+
+def _mel_kernel_fast(frames_ref, ghi_ref, glo_ref, fbhi_ref, fblo_ref, out_ref):
+    """Fast serving variant: both matmuls run as 3-pass bf16 hi/lo splits —
+    2x fewer MXU passes than HIGHEST. Worst-case ~0.4 dB at deep spectral
+    valleys (catastrophic cancellation needs >16-bit products); after
+    init_bn this is <=3e-4 output-probability drift on uit_xs (measured),
+    comfortably inside the 1e-3 parity budget.
+    """
+    g = _tri_dot(frames_ref[:], ghi_ref[:], glo_ref[:])
     power = g * g
-    mel = jax.lax.dot_general(
-        power, fb_ref[:], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
-    )
+    mel = _tri_dot(power, fbhi_ref[:], fblo_ref[:])
     out_ref[:] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
 
 
@@ -178,15 +179,20 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     out_spec = pl.BlockSpec((m_blk, config.n_mels), lambda b: (b, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows, config.n_mels), jnp.float32)
     if precision == "fast":
-        G_hi = G.astype(np.float32).astype(jnp.bfloat16)
-        G_lo = (G - np.asarray(G_hi, dtype=np.float32)).astype(jnp.bfloat16)
+        def split(M):
+            hi = M.astype(jnp.bfloat16)
+            lo = (M - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
+            return jnp.asarray(hi), jnp.asarray(lo)
+
+        G_hi, G_lo = split(G)
+        fb_hi, fb_lo = split(fb)
         mel_t = pl.pallas_call(
             _mel_kernel_fast,
             grid=(pl.cdiv(rows, m_blk),),
-            in_specs=[frames_spec, g_spec, g_spec, fb_spec],
+            in_specs=[frames_spec, g_spec, g_spec, fb_spec, fb_spec],
             out_specs=out_spec, out_shape=out_shape,
             cost_estimate=cost, interpret=interpret,
-        )(frames, jnp.asarray(G_hi), jnp.asarray(G_lo), jnp.asarray(fb))
+        )(frames, G_hi, G_lo, fb_hi, fb_lo)
     else:
         mel_t = pl.pallas_call(
             _mel_kernel,
