@@ -26,6 +26,9 @@ def main(argv=None):
                         help="bit-parity DFT precision instead of the fast "
                         "3-pass-bf16 mode")
     parser.add_argument("--frontend-only", action="store_true")
+    parser.add_argument("--train", action="store_true",
+                        help="benchmark the fused PSL training step instead "
+                        "of inference")
     parser.add_argument("--random-weights", action="store_true", default=True)
     parser.add_argument("--profile", metavar="LOGDIR", default=None,
                         help="capture a jax.profiler trace of 3 batches")
@@ -46,6 +49,56 @@ def main(argv=None):
     wav = jnp.asarray(
         np.random.default_rng(0).standard_normal((B, T)).astype(np.float32) * 0.1
     )
+
+    if args.train:
+        import optax
+
+        from ..train import make_train_step
+        from ..train.steps import build_optimizer
+
+        cfg = models.get_model_config(args.model, outputdim=537, target_length=102)
+        psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
+        params, state = models.build(cfg, jax.random.key(0))
+        psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
+        optimizer = build_optimizer("AdamW", 1e-3, weight_decay=5e-8)
+        opt_state = optimizer.init(params)
+        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas, precision=prec)
+        step = jax.jit(
+            make_train_step(cfg, optimizer, mixup_alpha=0.3, max_grad_norm=1.0,
+                            psl_cfg=psl_cfg, frontend_fn=frontend),
+            donate_argnums=(0, 1, 2),
+        )
+        half = B // 2
+        rng = np.random.default_rng(0)
+
+        def mk():
+            return {
+                "audioset": {
+                    "wav": jnp.asarray(rng.standard_normal((half, T)).astype(np.float32) * 0.1),
+                    "target": jnp.asarray((rng.random((half, 537)) < 0.02).astype(np.float32)),
+                },
+                "kws": {
+                    "wav": jnp.asarray(rng.standard_normal((half, T)).astype(np.float32) * 0.1),
+                    "target": jnp.asarray((rng.random((half, 537)) < 0.02).astype(np.float32)),
+                },
+            }
+
+        batches = [mk(), mk()]
+        key = jax.random.key(0)
+        params, state, opt_state, m = step(params, state, opt_state, batches[0], key,
+                                           psl_params, psl_state)
+        jax.block_until_ready(m)
+        iters = 10 if dev.platform == "tpu" else 3
+        t0 = time.perf_counter()
+        for i in range(iters):
+            key, k = jax.random.split(key)
+            params, state, opt_state, m = step(params, state, opt_state,
+                                               batches[i % 2], k, psl_params, psl_state)
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / iters
+        print(f"train({args.model}+PSL): batch={B} {dt * 1e3:.1f} ms/step = "
+              f"{B / dt:.0f} clips/s trained; loss={float(m['total_loss']):.4f}")
+        return 0
 
     if args.frontend_only:
         fc = FrontendConfig()
