@@ -131,7 +131,7 @@ ACTIVATIONS = {
 
 
 def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
-                        causal: bool = False,
+                        causal: bool = False, key_mask=None,
                         attn_drop: float = 0.0, proj_drop: float = 0.0,
                         rng=None, deterministic: bool = True):
     """Shared full/bottleneck MHSA.
@@ -156,6 +156,9 @@ def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
     if causal:
         mask = np.triu(np.ones((N, N), dtype=bool), k=1)
         attn = jnp.where(mask, jnp.finfo(attn.dtype).min, attn)
+    if key_mask is not None:  # (B, N) True = valid key token
+        attn = jnp.where(key_mask[:, None, None, :], attn,
+                         jnp.finfo(attn.dtype).min)
     attn = jax.nn.softmax(attn, axis=-1)
     if not deterministic and attn_drop > 0.0:
         rng, r1 = jax.random.split(rng)

@@ -73,6 +73,12 @@ class UITConfig:
     freq_patch_out: Optional[float] = None
     n_mels: int = 64
     causal: bool = False
+    # opt-in: mask padded-region patches in attention and pooling when
+    # `lengths` are passed to forward(). The reference plumbs lengths but
+    # its masking is dead code (uit.py:153-163 commented out; use_mask is
+    # a no-op) — this implements the feature properly; OFF by default to
+    # preserve checkpoint-parity behavior.
+    use_length_mask: bool = False
     # 'float32' (parity) or 'bfloat16' (fast serving: encoder matmuls in
     # bf16, LayerNorm/softmax/head in f32)
     compute_dtype: str = "float32"
@@ -189,7 +195,22 @@ def _drop_patches(rng, x, axis, frac):
     return jnp.take(x, idx, axis=axis)
 
 
-def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None):
+def token_validity_mask(cfg: UITConfig, lengths, tg: int):
+    """lengths (B,) samples -> (B, fg*tg) bool: which patch tokens lie
+    fully inside real (non-padded) audio. center=True framing yields
+    1 + len//hop frames; time-patch t needs frames [t*ps, (t+1)*ps)."""
+    import jax.numpy as jnp
+
+    fg = cfg.grid_size[0]
+    n_frames = 1 + lengths // cfg.frontend.hop_length  # (B,)
+    t_idx = jnp.arange(tg)
+    t_valid = (t_idx + 1) * cfg.patch_stride <= n_frames[:, None]  # (B, tg)
+    t_valid = t_valid | (t_idx == 0)[None, :]  # always keep >=1 token
+    return jnp.repeat(t_valid[:, None, :], fg, axis=1).reshape(lengths.shape[0], -1)
+
+
+def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None,
+                     token_mask=None):
     """(B, n_mels, T<=target_length) normalized mel -> (B, N, D) encoded tokens."""
     x = patch_embed(cfg, params["patch_embed"], mel)  # (B, fg, tg', D)
     tg = x.shape[2]
@@ -208,6 +229,10 @@ def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None):
             params["cls_token"] + params["token_pos_embed"], (B, 1, cfg.embed_dim)
         )
         x = jnp.concatenate([cls, x], axis=1)
+        if token_mask is not None:
+            token_mask = jnp.concatenate(
+                [jnp.ones((B, 1), dtype=bool), token_mask], axis=1
+            )
     if train and cfg.drop_rate > 0.0:
         rng, r = jax.random.split(rng)
         x = dropout(r, x, cfg.drop_rate, deterministic=False)
@@ -228,7 +253,7 @@ def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None):
         h = multihead_attention(
             cast(blk["attn"]), h,
             num_heads=cfg.num_heads, scale=cfg.attn_scale,
-            inner_dim=cfg.inner_dim, causal=cfg.causal,
+            inner_dim=cfg.inner_dim, causal=cfg.causal, key_mask=token_mask,
             attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
             rng=r_attn, deterministic=not train,
         )
@@ -245,7 +270,7 @@ def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None):
     return layer_norm(params["norm"], x.astype(jnp.float32), eps=1e-6)
 
 
-def forward_head(cfg: UITConfig, params, x):
+def forward_head(cfg: UITConfig, params, x, token_mask=None):
     """(B, N, D) tokens -> (B, outputdim) sigmoid probabilities."""
 
     def head(t):
@@ -257,6 +282,10 @@ def forward_head(cfg: UITConfig, params, x):
     if cfg.pooling == "token":
         return head(x[:, 0])
     if cfg.pooling == "mean":
+        if token_mask is not None:
+            w = token_mask.astype(x.dtype)[:, :, None]
+            pooled = (x * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
+            return head(pooled)
         return head(x.mean(axis=1))
     # 'dm': freq-mean -> per-timestep head+sigmoid -> time-mean
     fg = cfg.grid_size[0]
@@ -301,11 +330,13 @@ def chunk_long_mel(cfg: UITConfig, mel):
 
 def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
             mixup_lamb=None, wav_augment=None, spec_augment=None,
-            frontend_fn: Optional[Callable] = None):
+            lengths=None, frontend_fn: Optional[Callable] = None):
     """Full reference-equivalent forward: (B, T_wav) waveform -> (B, outputdim).
 
     In training mode returns (probs, new_state) with updated BN statistics.
     `frontend_fn` lets callers swap in the fused Pallas mel kernel.
+    With cfg.use_length_mask and `lengths` (samples per clip), padded-region
+    patches are excluded from attention and pooling (single-window path).
     """
     if frontend_fn is None:
         frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
@@ -344,8 +375,13 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
             rng, r = jax.random.split(rng)
         else:
             r = None
-        feats = forward_features(cfg, params, x, train=train, rng=r)
-        probs = forward_head(cfg, params, feats)
+        token_mask = None
+        if cfg.use_length_mask and lengths is not None:
+            tg = min(x.shape[-1], cfg.target_length) // cfg.patch_stride
+            token_mask = token_validity_mask(cfg, jnp.asarray(lengths), tg)
+        feats = forward_features(cfg, params, x, train=train, rng=r,
+                                 token_mask=token_mask)
+        probs = forward_head(cfg, params, feats, token_mask=token_mask)
     if train:
         return probs, new_state
     return probs
