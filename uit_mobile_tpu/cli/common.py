@@ -46,6 +46,21 @@ def infer_uit_config_from_state_dict(sd: dict, **overrides):
     outputdim = sd["outputlayer.1.weight"].shape[0]
     hidden = sd["blocks.0.mlp.fc1.weight"].shape[0]
     tg = sd["time_pos_embed"].shape[-1]
+    # target_length is not exactly recoverable from shapes (any value in
+    # [tg*16, tg*16+15] yields the same grid); special-case the two values
+    # the reference ecosystem uses (102 fine-tuned, 1012 MAE default) and
+    # warn otherwise — pass target_length explicitly for other checkpoints.
+    if tg == 6:
+        target_length = 102
+    elif tg == 63:
+        target_length = 1012
+    else:
+        target_length = tg * 16
+        log.warning(
+            f"inferred target_length={target_length} from grid size {tg}; "
+            "the true value may be up to 15 frames larger — pass "
+            "target_length explicitly if long-clip windows matter"
+        )
     kwargs = dict(
         outputdim=outputdim,
         embed_dim=D,
@@ -56,7 +71,7 @@ def infer_uit_config_from_state_dict(sd: dict, **overrides):
         act="relu",
         attention_type=attention_type,
         init_bn="init_bn.1.weight" in sd,
-        target_length=102 if tg == 6 else tg * 16,
+        target_length=target_length,
         patch_size=sd["patch_embed.proj.weight"].shape[-1],
     )
     kwargs.update(overrides)
@@ -95,6 +110,31 @@ def resolve_model(spec: str, **cfg_overrides):
     - an experiment directory (globs best_*.npz / *.npz / *.pt).
     """
     from ..ckpt.io import load_checkpoint
+
+    if spec.startswith(("http://", "https://")):
+        # URL spec (e.g. the shipped configs' zenodo 'pretrained:' keys):
+        # look for a local copy by filename first, then download.
+        from urllib.parse import urlparse
+
+        fname = Path(urlparse(spec).path).name  # strips ?download=1
+        for root in (REPO_ROOT / "checkpoints", CACHE_DIR):
+            local = root / fname
+            if local.exists():
+                log.info(f"using local copy {local} for {spec}")
+                return resolve_model(str(local), **cfg_overrides)
+        dest = CACHE_DIR / fname
+        try:
+            import urllib.request
+
+            CACHE_DIR.mkdir(parents=True, exist_ok=True)
+            log.info(f"downloading {spec} -> {dest}")
+            urllib.request.urlretrieve(spec, dest)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"cannot fetch {spec} ({e}); on offline hosts place the file "
+                f"at checkpoints/{fname} or {CACHE_DIR / fname}"
+            ) from e
+        return resolve_model(str(dest), **cfg_overrides)
 
     p = Path(spec)
     if spec in models.PRETRAINED_CHECKPOINTS:

@@ -299,6 +299,7 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    _ERR = object()
 
     def put(x):
         if isinstance(x, np.ndarray) and x.dtype != object:
@@ -311,8 +312,10 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
-            q.put(_END)
+        except BaseException as e:  # surface I/O errors to the consumer
+            q.put((_ERR, e))
+            return
+        q.put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -320,4 +323,6 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise RuntimeError("device_prefetch producer failed") from item[1]
         yield item

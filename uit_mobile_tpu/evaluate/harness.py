@@ -47,20 +47,22 @@ class Evaluator:
         self.num_workers = num_workers
         self.use_pallas = use_pallas
         self.report_dir = report_dir
+        self._user_report_dir = report_dir is not None
 
     # ------------------------------------------------------------------ setup
 
     def _setup(self, model_spec=None):
-        if self._resolved is None:
+        spec = model_spec or self._model_spec
+        assert spec is not None, "no model specified"
+        if self._resolved is None or spec != getattr(self, "_resolved_spec", None):
             from ..cli.common import resolve_model
 
-            spec = model_spec or self._model_spec
-            assert spec is not None, "no model specified"
             cfg, params, state = resolve_model(spec)
-            if self.report_dir is None:
+            if not self._user_report_dir:
                 p = Path(spec)
                 self.report_dir = str(p if p.is_dir() else (p.parent if p.exists() else "."))
             self._resolved = (cfg, params, state)
+            self._resolved_spec = spec
             self._fwd = self._make_forward(cfg, params, state)
         return self._resolved
 

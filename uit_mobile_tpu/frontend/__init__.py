@@ -1,6 +1,7 @@
 from .mel import (
     FrontendConfig,
     hann_window_periodic,
+    padded_window,
     mel_filterbank,
     spectrogram,
     log_mel_spectrogram,
@@ -10,6 +11,7 @@ from .mel import (
 __all__ = [
     "FrontendConfig",
     "hann_window_periodic",
+    "padded_window",
     "mel_filterbank",
     "spectrogram",
     "log_mel_spectrogram",

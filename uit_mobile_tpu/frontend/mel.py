@@ -67,6 +67,19 @@ def hann_window_periodic(win_length: int, dtype=np.float32) -> np.ndarray:
     return w.astype(dtype)
 
 
+def padded_window(win_length: int, n_fft: int, dtype=np.float32) -> np.ndarray:
+    """Hann window center-padded to n_fft (torch.stft semantics for
+    win_length < n_fft: pad (n_fft - win)//2 zeros on each side)."""
+    assert win_length <= n_fft, (win_length, n_fft)
+    w = hann_window_periodic(win_length, dtype)
+    if win_length == n_fft:
+        return w
+    left = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, dtype=dtype)
+    out[left:left + win_length] = w
+    return out
+
+
 def _hz_to_mel_htk(f):
     return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
 
@@ -127,7 +140,7 @@ def frame_signal(wav: jax.Array, config: FrontendConfig) -> jax.Array:
 def spectrogram(wav: jax.Array, config: FrontendConfig) -> jax.Array:
     """Power spectrogram, (..., T) -> (..., n_freqs, n_frames). power=2.0."""
     frames = frame_signal(wav, config)
-    window = jnp.asarray(hann_window_periodic(config.win_length))
+    window = jnp.asarray(padded_window(config.win_length, config.n_fft))
     spec = jnp.fft.rfft(frames * window, n=config.n_fft, axis=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     return jnp.swapaxes(power, -1, -2)

@@ -212,8 +212,24 @@ def token_validity_mask(cfg: UITConfig, lengths, tg: int):
 def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None,
                      token_mask=None):
     """(B, n_mels, T<=target_length) normalized mel -> (B, N, D) encoded tokens."""
+    if token_mask is not None and (
+        cfg.time_patch_out is not None or cfg.freq_patch_out is not None
+    ) and train:
+        raise ValueError(
+            "use_length_mask is incompatible with time/freq_patch_out during "
+            "training: patch dropout changes the token count after the mask "
+            "is built — disable one of the two"
+        )
     x = patch_embed(cfg, params["patch_embed"], mel)  # (B, fg, tg', D)
     tg = x.shape[2]
+    if tg > params["time_pos_embed"].shape[0]:
+        raise ValueError(
+            f"input spans {tg} time patches but target_length="
+            f"{cfg.target_length} provides only "
+            f"{params['time_pos_embed'].shape[0]} positional embeddings; in "
+            "training, crop clips (chunk_length) or raise target_length — "
+            "long-clip windowing only applies at eval"
+        )
     x = x + params["time_pos_embed"][None, None, :tg, :]
     x = x + params["freq_pos_embed"][None, :, None, :]
     if train and cfg.time_patch_out is not None:

@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..frontend.mel import FrontendConfig, hann_window_periodic, mel_filterbank
+from ..frontend.mel import FrontendConfig, mel_filterbank, padded_window
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,7 +58,7 @@ def _dft_matrices(n_fft: int, win_length: int, n_freqs: int):
 
     Returns (G (n_fft, lanes), col_bin (lanes,) mapping column -> freq bin).
     """
-    w = hann_window_periodic(win_length, dtype=np.float64)
+    w = padded_window(win_length, n_fft, dtype=np.float64)
     n = np.arange(n_fft, dtype=np.float64)[:, None]
     k = np.arange(n_freqs, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * n * k / n_fft
@@ -146,6 +146,11 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     B, T = wav.shape
     if config.center:
         pad = n_fft // 2
+        if T <= pad:
+            raise ValueError(
+                f"waveform of {T} samples is too short for reflect padding "
+                f"of {pad}; need > {pad} samples"
+            )
         wav = jnp.concatenate(
             [wav[:, 1:pad + 1][:, ::-1], wav, wav[:, -pad - 1:-1][:, ::-1]], axis=-1
         )

@@ -20,18 +20,30 @@ import jax
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Initialize the distributed runtime (no-op on single-process)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Initialize the distributed runtime. MUST run before any backend
+    use — do not query jax.devices()/process_count() first (that would
+    initialize the local-only backend and break distributed init).
+    """
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:  # older jax without is_initialized
+        pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process / already-initialized environments
-        pass
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return
+        # single-process environments with no coordinator are fine; any
+        # other failure must be loud — silently running un-distributed on
+        # a multi-host slice is the worst outcome
+        if num_processes in (None, 1) and coordinator_address is None:
+            return
+        raise
 
 
 def host_local_batch_slice(global_batch: int) -> slice:

@@ -114,23 +114,28 @@ class TaggingService:
         raise ValueError(n)
 
     def _run(self):
+        import time
+
         jnp = self._jnp
         while True:
             item = self._q.get()
             if item is None:
                 return
             pending = [item]
-            # batching window: drain whatever arrives within max_wait_ms
-            deadline = self.cfg.max_wait_ms / 1e3
+            # batching window: a hard DEADLINE from the first request, not a
+            # per-arrival idle timeout (a steady trickle must not postpone
+            # dispatch indefinitely)
+            deadline = time.monotonic() + self.cfg.max_wait_ms / 1e3
             try:
-                while True:
-                    nxt = self._q.get(timeout=deadline)
+                while len(pending) < self.cfg.batch_size:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    nxt = self._q.get(timeout=remaining)
                     if nxt is None:
                         self._dispatch(pending, jnp)
                         return
                     pending.append(nxt)
-                    if len(pending) >= self.cfg.batch_size:
-                        break
             except queue.Empty:
                 pass
             self._dispatch(pending, jnp)

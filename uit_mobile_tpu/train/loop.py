@@ -284,11 +284,16 @@ class Trainer:
             if "wav" in batch:
                 return {"wav": jnp.asarray(batch["wav"]),
                         "target": jnp.asarray(batch["target"])}
-            # dual-loader batch without PSL: concat the halves
+            # dual-loader batch without PSL: right-pad both halves to a
+            # common length before concatenating (full-clip datasets pad
+            # each half to its own batch max — e.g. 10s AudioSet vs 1s KWS)
+            aw = batch["audioset"]["wav"]
+            kw = batch["kws"]["wav"]
+            T = max(aw.shape[-1], kw.shape[-1])
+            aw = np.pad(aw, ((0, 0), (0, T - aw.shape[-1])))
+            kw = np.pad(kw, ((0, 0), (0, T - kw.shape[-1])))
             return {
-                "wav": jnp.concatenate(
-                    [jnp.asarray(batch["audioset"]["wav"]), jnp.asarray(batch["kws"]["wav"])]
-                ),
+                "wav": jnp.concatenate([jnp.asarray(aw), jnp.asarray(kw)]),
                 "target": jnp.concatenate(
                     [jnp.asarray(batch["audioset"]["target"]), jnp.asarray(batch["kws"]["target"])]
                 ),
