@@ -13,6 +13,7 @@ the device.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Dict, List
 
 import numpy as np
@@ -99,7 +100,14 @@ ALL_EVAL_METRICS: Dict[str, Callable[[np.ndarray, np.ndarray], float | np.ndarra
 
 
 def compute_metrics(names: List[str], y_pred: np.ndarray, y_true: np.ndarray):
-    return {name: ALL_EVAL_METRICS[name](y_pred, y_true) for name in names}
+    with warnings.catch_warnings():
+        # classes absent from a (small) eval split make sklearn emit a
+        # warning per class; AP for them is NaN and nanmean handles it —
+        # exactly the reference's behavior (utils.py:137)
+        warnings.filterwarnings(
+            "ignore", message="No positive class found", category=UserWarning
+        )
+        return {name: ALL_EVAL_METRICS[name](y_pred, y_true) for name in names}
 
 
 def gsc_accuracy(y_pred: np.ndarray, y_true_multihot: np.ndarray,

@@ -274,16 +274,17 @@ class Trainer:
         step_count = 0
 
         def to_step_batch(batch):
+            """Assemble the step's numpy batch on the host (device placement
+            + sharding happens in the prefetch stage)."""
             if psl_cfg is not None:
                 return {
-                    "audioset": {"wav": jnp.asarray(batch["audioset"]["wav"]),
-                                 "target": jnp.asarray(batch["audioset"]["target"])},
-                    "kws": {"wav": jnp.asarray(batch["kws"]["wav"]),
-                            "target": jnp.asarray(batch["kws"]["target"])},
+                    "audioset": {"wav": batch["audioset"]["wav"],
+                                 "target": batch["audioset"]["target"]},
+                    "kws": {"wav": batch["kws"]["wav"],
+                            "target": batch["kws"]["target"]},
                 }
             if "wav" in batch:
-                return {"wav": jnp.asarray(batch["wav"]),
-                        "target": jnp.asarray(batch["target"])}
+                return {"wav": batch["wav"], "target": batch["target"]}
             # dual-loader batch without PSL: right-pad both halves to a
             # common length before concatenating (full-clip datasets pad
             # each half to its own batch max — e.g. 10s AudioSet vs 1s KWS)
@@ -293,15 +294,22 @@ class Trainer:
             aw = np.pad(aw, ((0, 0), (0, T - aw.shape[-1])))
             kw = np.pad(kw, ((0, 0), (0, T - kw.shape[-1])))
             return {
-                "wav": jnp.concatenate([jnp.asarray(aw), jnp.asarray(kw)]),
-                "target": jnp.concatenate(
-                    [jnp.asarray(batch["audioset"]["target"]), jnp.asarray(batch["kws"]["target"])]
+                "wav": np.concatenate([aw, kw]),
+                "target": np.concatenate(
+                    [batch["audioset"]["target"], batch["kws"]["target"]]
                 ),
             }
 
         score_name, score_sign = (c.get("score_function") or ["mAP", 1.0])
 
-        train_iter = iter(train_loader)
+        # overlap host-side batch assembly/transfer with device compute
+        from ..data import device_prefetch
+
+        def step_batches():
+            for raw in train_loader:
+                yield to_step_batch(raw)
+
+        train_iter = device_prefetch(step_batches(), size=2, sharding=data_sh)
         stop = False
         for epoch in range(start_epoch, epochs + 1):
             if stop:
@@ -309,9 +317,7 @@ class Trainer:
             t0 = time.time()
             losses = []
             for _ in range(epoch_length):
-                batch = to_step_batch(next(train_iter))
-                if data_sh is not None:
-                    batch = jax.tree.map(lambda x: jax.device_put(x, data_sh), batch)
+                batch = next(train_iter)
                 rng, step_rng = jax.random.split(rng)
                 params, state, opt_state, metrics = jit_step(
                     params, state, opt_state, batch, step_rng, psl_params, psl_state
