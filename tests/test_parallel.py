@@ -83,6 +83,44 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_data_parallel_forward_helper():
+    from uit_mobile_tpu.parallel import data_parallel_forward
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=11, target_length=102, depth=1)
+    params, state = models.build(cfg, jax.random.key(2))
+    fwd = data_parallel_forward(lambda w: models.apply(cfg, params, state, w))
+    wav = jnp.asarray(
+        np.random.default_rng(3).standard_normal((16, 16000)).astype(np.float32) * 0.1
+    )
+    got = fwd(wav)
+    assert len(got.sharding.device_set) == 8
+    want = models.apply(cfg, params, state, wav)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    import pytest
+
+    with pytest.raises(AssertionError, match="divide"):
+        fwd(wav[:3])
+
+
+def test_read_wav_24bit(tmp_path):
+    import wave as wave_mod
+
+    from uit_mobile_tpu.data import read_wav
+
+    # hand-write a 24-bit PCM file
+    samples = np.asarray([0, 1 << 22, -(1 << 22), (1 << 23) - 1], dtype=np.int32)
+    raw = b"".join(int(s & 0xFFFFFF).to_bytes(3, "little") for s in samples)
+    p = tmp_path / "w24.wav"
+    with wave_mod.open(str(p), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(16000)
+        f.writeframes(raw)
+    data, sr = read_wav(p)
+    want = samples.astype(np.float32) / (1 << 23)
+    np.testing.assert_allclose(data[0], want, atol=1e-6)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as g
 

@@ -26,6 +26,11 @@ def read_wav(path) -> tuple[np.ndarray, int]:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sampwidth == 4:
         data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sampwidth == 3:  # 24-bit: widen to int32 via a zeroed low byte
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        widened = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        widened[:, 1:] = b
+        data = widened.view("<i4").reshape(-1).astype(np.float32) / 2147483648.0
     elif sampwidth == 1:  # unsigned 8-bit
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:

@@ -4,7 +4,9 @@ from .mesh import (
     batch_sharded,
     shard_batch,
     replicate_tree,
+    data_parallel_forward,
 )
+from . import multihost
 
 __all__ = [
     "make_mesh",
@@ -12,4 +14,6 @@ __all__ = [
     "batch_sharded",
     "shard_batch",
     "replicate_tree",
+    "data_parallel_forward",
+    "multihost",
 ]

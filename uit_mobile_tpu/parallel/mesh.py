@@ -51,3 +51,27 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 def replicate_tree(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def data_parallel_forward(forward_fn, mesh: Mesh | None = None, axis: str = "data"):
+    """Wrap an eval forward (wav -> probs) for batch-sharded execution.
+
+    Weights captured in the closure replicate automatically; the batch axis
+    shards over the mesh and results gather on the way out (fully
+    addressable). Batch sizes must divide the mesh; callers pad to the
+    service batch size (serve/) or a devices-multiple (evaluate/).
+    """
+    mesh = mesh or make_mesh()
+    jitted = jax.jit(
+        forward_fn,
+        in_shardings=batch_sharded(mesh, axis),
+        out_shardings=batch_sharded(mesh, axis),
+    )
+
+    def fn(wav):
+        assert wav.shape[0] % mesh.devices.size == 0, (
+            f"batch {wav.shape[0]} must divide the {mesh.devices.size}-device mesh"
+        )
+        return jitted(wav)
+
+    return fn
