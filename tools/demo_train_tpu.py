@@ -1,0 +1,98 @@
+"""End-to-end on-device training demo: synthetic keyword tones through the
+FULL stack (HDF5 pipeline -> Trainer -> checkpoints -> Evaluator) on
+whatever accelerator is attached.
+
+Builds a 537-class toy world where each GSC keyword index (527-536) is a
+pure tone and the 'AudioSet half' is colored noise labeled 0; a model that
+learns must drive validation mAP far above chance.
+
+    python tools/demo_train_tpu.py [outdir]
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import h5py
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+KW_FREQS = {527 + i: 300.0 * (1.35 ** i) for i in range(10)}  # 300Hz..4.5kHz
+
+
+def synth_clip(rng, label, sr=16000):
+    t = np.arange(sr) / sr
+    if label in KW_FREQS:
+        w = rng.uniform(0.2, 0.8) * np.sin(2 * np.pi * KW_FREQS[label] * t
+                                           + rng.uniform(0, 2 * np.pi))
+        w += rng.standard_normal(sr) * 0.02
+    else:  # "Speech"/noise filler
+        w = rng.standard_normal(sr) * rng.uniform(0.05, 0.3)
+    return (np.clip(w, -1, 1) * 32000).astype(np.int16)
+
+
+def make_split(root, name, n, rng, kws: bool):
+    h5 = root / f"{name}.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(n):
+            label = int(rng.choice(list(KW_FREQS))) if kws else 0
+            f[f"{name}_{i}.wav"] = synth_clip(rng, label)
+            rows.append((f"{name}_{i}.wav", str(label), str(h5)))
+    tsv = root / f"{name}.tsv"
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+        tsv, sep="\t", index=False)
+    return str(tsv)
+
+
+def main():
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp(prefix="uit_demo_"))
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+
+    config = dict(
+        outputpath=str(out / "exp"),
+        num_classes=537,
+        model="uit_xxxs",
+        model_args={"target_length": 102, "init_bn": False},  # GlobalNormer: no BN-stat warmup needed in a short demo
+        batch_size=32,
+        epochs=10,
+        epoch_length=40,
+        warmup_iters=40,
+        chunk_length=1.0,
+        optimizer="AdamW",
+        optimizer_args={"lr": 7e-4, "weight_decay": 1e-8},
+        early_stop=10,
+        n_saved=2,
+        num_workers=2,
+        seed=0,
+        config_stem="demo",
+        audioset_train_data=make_split(out, "as_train", 256, rng, kws=False),
+        audioset_eval_data=make_split(out, "as_eval", 64, rng, kws=False),
+        kws_train_data=make_split(out, "kws_train", 256, rng, kws=True),
+        kws_test_data=make_split(out, "kws_eval", 64, rng, kws=True),
+    )
+
+    from uit_mobile_tpu.train.loop import train_from_config
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    model_path = train_from_config(config)
+    print(f"final model: {model_path}")
+    # Headline for a ~400-step demo is ranking quality (mAPKWS, chance
+    # ~0.1; the averaged model typically reaches ~0.7 — watch the epoch
+    # logs, and note how checkpoint averaging lifts the final score).
+    # The GSC Accuracy@0.2 protocol needs keyword probabilities above the
+    # 0.2 operating threshold, which sparse-positive BCE over 537 classes
+    # only reaches with much longer training — expect ~0 here.
+    ev = Evaluator(str(model_path), batch_size=32, num_workers=2)
+    gsc = ev.gsc(eval_data=config["kws_test_data"])
+    print(f"demo GSC Accuracy@0.2: {gsc['Accuracy@0.2']:.3f} "
+          "(threshold-based; see note above)")
+
+
+if __name__ == "__main__":
+    main()
