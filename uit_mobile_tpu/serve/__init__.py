@@ -1,3 +1,11 @@
 from .service import TaggingService, ServiceConfig
+from .streaming import MultiStreamTagger, StreamingTagger, StreamingConfig, Event
 
-__all__ = ["TaggingService", "ServiceConfig"]
+__all__ = [
+    "TaggingService",
+    "ServiceConfig",
+    "MultiStreamTagger",
+    "StreamingTagger",
+    "StreamingConfig",
+    "Event",
+]
