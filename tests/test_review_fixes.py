@@ -150,6 +150,40 @@ def test_evaluator_respec_resolves_new_model(tmp_path):
     assert cfg2.outputdim == 20  # not the cached model
 
 
+def test_evaluator_bucketed_padding(tmp_path):
+    """bucket_seconds pads batches to second-multiples (bounded compile
+    count); results stay close to exact padding for near-boundary clips."""
+    import h5py
+
+    from uit_mobile_tpu.ckpt.io import save_checkpoint
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    rng = np.random.default_rng(0)
+    h5 = tmp_path / "d.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i, L in enumerate([15500, 16000, 24000]):
+            f[f"c{i}.wav"] = (rng.standard_normal(L) * 3000).astype(np.int16)
+            rows.append((f"c{i}.wav", "530", str(h5)))
+    tsv = tmp_path / "d.tsv"
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+        tsv, sep="\t", index=False)
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102, depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, cfg)
+
+    exact = Evaluator(str(ckpt), batch_size=2, num_workers=1)
+    bucketed = Evaluator(str(ckpt), batch_size=2, num_workers=1, bucket_seconds=1.0)
+    df = __import__("uit_mobile_tpu.data", fromlist=["read_tsv_data"]).read_tsv_data(tsv, basename=False)
+    pe, te = exact._run_epoch(df, num_classes=537)
+    pb, tb = bucketed._run_epoch(df, num_classes=537)
+    assert pe.shape == pb.shape == (3, 537)
+    # bucketing perturbs but does not upend predictions
+    assert np.abs(pe - pb).max() < 0.2
+
+
 def test_infer_config_target_length_1012():
     from uit_mobile_tpu.cli.common import infer_uit_config_from_state_dict
     from uit_mobile_tpu.ckpt.torch_convert import uit_torch_state_dict_from_params

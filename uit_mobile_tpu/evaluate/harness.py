@@ -40,7 +40,14 @@ AUDIOSET_METRICS = [
 class Evaluator:
     def __init__(self, model_spec: Optional[str] = None, batch_size: int = 32,
                  num_workers: int = 3, use_pallas: Optional[bool] = None,
-                 report_dir: Optional[str] = None):
+                 report_dir: Optional[str] = None,
+                 bucket_seconds: Optional[float] = None):
+        """bucket_seconds: when set, every batch right-pads up to the next
+        multiple of this many seconds — the whole eval runs on a handful of
+        compiled shapes instead of one per distinct batch-max length.
+        Padding appends silent frames, which perturbs crop windows
+        slightly; leave None (exact batch-max padding, the reference's
+        collate semantics) when chasing bit parity."""
         self._resolved = None
         self._model_spec = model_spec
         self.batch_size = batch_size
@@ -48,6 +55,7 @@ class Evaluator:
         self.use_pallas = use_pallas
         self.report_dir = report_dir
         self._user_report_dir = report_dir is not None
+        self.bucket_seconds = bucket_seconds
 
     # ------------------------------------------------------------------ setup
 
@@ -102,6 +110,10 @@ class Evaluator:
                 if n_frames < t_len:
                     diff = int((t_len - n_frames) * cfg.frontend.hop_length)
                     wav = np.pad(wav, ((0, 0), (0, diff)))
+            if self.bucket_seconds:
+                step = int(self.bucket_seconds * cfg.frontend.sample_rate)
+                target_len = -(-wav.shape[-1] // step) * step
+                wav = np.pad(wav, ((0, 0), (0, target_len - wav.shape[-1])))
             preds.append(self._fwd(wav))
             targets.append(batch["target"])
         return np.concatenate(preds), np.concatenate(targets)
