@@ -103,6 +103,26 @@ def test_gsc_hand_cases():
     assert gsc_accuracy(p, t) == 0.0
 
 
+def test_kws_operating_metrics():
+    from uit_mobile_tpu.evaluate.metrics import kws_operating_metrics
+
+    C = 537
+    p = np.zeros((4, C), np.float32)
+    t = np.zeros((4, C), np.float32)
+    # keyword 530: one hit, one miss
+    t[0, 530] = 1; p[0, 530] = 0.9
+    t[1, 530] = 1; p[1, 530] = 0.05
+    # filler clip with a false keyword fire
+    t[2, 0] = 1; p[2, 533] = 0.5
+    # clean filler
+    t[3, 0] = 1; p[3, 100] = 0.8
+    m = kws_operating_metrics(p, t)
+    assert m["false_reject_rate_per_keyword"][530] == pytest.approx(0.5)
+    assert m["recall_per_keyword"][530] == pytest.approx(0.5)
+    assert m["filler_false_accept_rate"] == pytest.approx(0.5)
+    assert m["macro_false_reject_rate"] == pytest.approx(0.5)
+
+
 def test_lwlrap_perfect():
     t = np.array([[1, 0, 0], [0, 1, 1]], dtype=np.float32)
     p = np.array([[0.9, 0.1, 0.0], [0.1, 0.8, 0.9]], dtype=np.float32)

@@ -137,12 +137,13 @@ class Evaluator:
 
     def gsc(self, experiment_path: Optional[str] = None,
             eval_data: str = "datasets/gsc/data/labels/test_gsc_aslabels.tsv",
-            threshold: float = 0.2, pad: bool = False):
+            threshold: float = 0.2, pad: bool = False, detailed: bool = False):
         return self._kws(experiment_path, eval_data, threshold=threshold,
-                         label_name="GSC", pad=pad)
+                         label_name="GSC", pad=pad, detailed=detailed)
 
     def _kws(self, experiment_path, eval_data, threshold: float = 0.2,
-             label_name: str = "GSC", pad: bool = False):
+             label_name: str = "GSC", pad: bool = False,
+             detailed: bool = False):
         self._setup(experiment_path)
         df = read_tsv_data(eval_data, basename=False)
         num_classes = getattr(self._resolved[0], "outputdim", 537)
@@ -150,7 +151,15 @@ class Evaluator:
                                          pad_to_target=pad)
         acc = gsc_accuracy(preds, targets, threshold=threshold)
         results = {f"Accuracy@{threshold}": acc}
-        self._write_report(label_name, results, None)
+        if detailed:
+            from .metrics import kws_operating_metrics
+
+            op = kws_operating_metrics(preds, targets, threshold=threshold)
+            results.update({k: v for k, v in op.items() if not isinstance(v, dict)})
+            results["_detail"] = {k: v for k, v in op.items() if isinstance(v, dict)}
+        self._write_report(
+            label_name, {k: v for k, v in results.items() if not k.startswith("_")}, None
+        )
         return results
 
     def test_sample(self, experiment_path: Optional[str], sample: str, topk: int = 5):

@@ -110,6 +110,40 @@ def compute_metrics(names: List[str], y_pred: np.ndarray, y_true: np.ndarray):
         return {name: ALL_EVAL_METRICS[name](y_pred, y_true) for name in names}
 
 
+def kws_operating_metrics(y_pred: np.ndarray, y_true_multihot: np.ndarray,
+                          threshold: float = 0.2, n_audioset: int = 527) -> dict:
+    """Deployment-grade keyword-spotting metrics beyond the reference's
+    single accuracy number: per-keyword false-reject rate, the filler
+    false-accept rate (any keyword fires on a non-keyword clip), and
+    per-keyword recall at the operating threshold.
+    """
+    y_pred = np.asarray(y_pred, dtype=np.float32)
+    y = np.asarray(y_true_multihot).argmax(-1)
+    kw_scores = y_pred[:, n_audioset:]
+    fires = kw_scores >= threshold  # (B, n_kw)
+
+    filler = y < n_audioset
+    out: dict = {}
+    if filler.any():
+        out["filler_false_accept_rate"] = float(fires[filler].any(-1).mean())
+    frr, recall = {}, {}
+    for k in range(kw_scores.shape[1]):
+        cls = n_audioset + k
+        pos = y == cls
+        if pos.any():
+            fired = fires[pos, k]
+            frr[cls] = float(1.0 - fired.mean())
+            # recall counts a hit only when the fired keyword is also the
+            # top-scoring keyword
+            top_kw = kw_scores[pos].argmax(-1) == k
+            recall[cls] = float((fired & top_kw).mean())
+    out["false_reject_rate_per_keyword"] = frr
+    out["recall_per_keyword"] = recall
+    if frr:
+        out["macro_false_reject_rate"] = float(np.mean(list(frr.values())))
+    return out
+
+
 def gsc_accuracy(y_pred: np.ndarray, y_true_multihot: np.ndarray,
                  threshold: float = 0.2, n_audioset: int = 527) -> float:
     """The GSC keyword-spotting accuracy protocol — a faithful, vectorized
