@@ -21,7 +21,8 @@ def test_service_matches_direct_forward(model):
     rng = np.random.default_rng(0)
     wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1 for _ in range(5)]
     with TaggingService(cfg, params, state,
-                        ServiceConfig(batch_size=8, max_seconds=2, warmup=False)) as svc:
+                        ServiceConfig(batch_size=8, max_seconds=2, warmup=False,
+                                      top_db_mode="torch")) as svc:
         got = svc.infer_many(wavs)
     # direct: same bucket semantics (pad batch of 8 x 16000)
     batch = np.zeros((8, 16000), np.float32)
@@ -53,3 +54,114 @@ def test_service_rejects_too_long(model):
                         ServiceConfig(batch_size=2, max_seconds=1, warmup=False)) as svc:
         with pytest.raises(AssertionError, match="max_seconds"):
             svc.submit(np.zeros(32000, np.float32))
+
+
+def test_service_dispatch_does_not_block_on_results(model):
+    """A slow in-flight batch must not stall the batcher: the next request
+    is dispatched to the device while the first batch's result is still
+    unresolved (async dispatch + separate completion thread)."""
+    import threading
+    import time
+
+    cfg, params, state = model
+    svc = TaggingService(cfg, params, state,
+                         ServiceConfig(batch_size=2, max_seconds=10, warmup=False,
+                                       max_wait_ms=1.0))
+    gate = threading.Event()
+    calls = []
+
+    class LazyResult:
+        def __init__(self, n):
+            self.n = n
+
+        def __array__(self, dtype=None, copy=None):
+            gate.wait(timeout=20)
+            return np.zeros((self.n, 537), np.float32)
+
+    def fake_fwd(batch):
+        calls.append(batch.shape)
+        return LazyResult(batch.shape[0])
+
+    svc._fwd = fake_fwd
+    try:
+        f_big = svc.submit(np.zeros(10 * 16000, np.float32))   # 10s bucket
+        deadline = time.monotonic() + 5
+        while len(calls) < 1 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert len(calls) == 1, "first batch never dispatched"
+        assert not f_big.done()
+        # while batch 1 is stuck (gate closed), a 1s request must still be
+        # batched and dispatched
+        f_small = svc.submit(np.zeros(16000, np.float32))      # 1s bucket
+        deadline = time.monotonic() + 5
+        while len(calls) < 2 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert len(calls) == 2, (
+            f"second batch not dispatched while first pending: {calls}"
+        )
+        assert not f_big.done() and not f_small.done()
+        gate.set()
+        assert f_big.result(timeout=10).shape == (537,)
+        assert f_small.result(timeout=10).shape == (537,)
+    finally:
+        gate.set()
+        svc.close()
+
+
+def test_service_close_drains_requests_behind_sentinel(model):
+    """Requests queued behind the shutdown sentinel (submitted concurrently
+    with close()) are still dispatched — their Futures must resolve, not
+    hang."""
+    from concurrent.futures import Future
+
+    cfg, params, state = model
+    svc = TaggingService(cfg, params, state,
+                         ServiceConfig(batch_size=4, max_seconds=1, warmup=False),
+                         _start_worker=False)
+    wav = np.zeros(16000, np.float32)
+    f_before: Future = Future()
+    f_after: Future = Future()
+    svc._q.put((wav, f_before))
+    svc._q.put(None)                 # close() sentinel
+    svc._q.put((wav, f_after))       # raced in behind the sentinel
+    svc._start()
+    assert f_before.result(timeout=30).shape == (537,)
+    assert f_after.result(timeout=30).shape == (537,)
+    svc._worker.join(timeout=30)
+    svc._completer.join(timeout=30)
+
+
+def test_service_per_sample_top_db_isolates_requests(model):
+    """Default serving mode: a clip's probabilities must not depend on
+    concurrent traffic. In 'torch' mode the dB clamp references the batch
+    max, so a high-dynamic-range clip co-batched with a loud neighbor
+    changes output; 'per_sample' (the default) decouples them."""
+    cfg, params, state = model
+    t = np.arange(8000, dtype=np.float32) / 16000.0
+    quiet = np.concatenate(
+        [0.05 * np.sin(2 * np.pi * 440 * t), np.zeros(8000, np.float32)]
+    )  # silent half -> clamp binds
+    loud = (10.0 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000.0)).astype(
+        np.float32
+    )
+
+    def run(mode):
+        outs = {}
+        conf = ServiceConfig(batch_size=4, max_seconds=1, warmup=False,
+                             max_wait_ms=300.0, top_db_mode=mode)
+        with TaggingService(cfg, params, state, conf) as svc:
+            outs["alone"] = svc.submit(quiet).result(timeout=60)
+        with TaggingService(cfg, params, state, conf) as svc:
+            f_q = svc.submit(quiet)
+            f_l = svc.submit(loud)   # same batching window -> co-batched
+            outs["cobatched"] = f_q.result(timeout=60)
+            f_l.result(timeout=60)
+        return outs
+
+    iso = run("per_sample")
+    np.testing.assert_allclose(iso["alone"], iso["cobatched"], atol=1e-6,
+                               err_msg="per_sample serving output depends on traffic")
+    coupled = run("torch")
+    assert np.abs(coupled["alone"] - coupled["cobatched"]).max() > 1e-6, (
+        "expected torch-mode clamp coupling; the isolation test is vacuous"
+    )

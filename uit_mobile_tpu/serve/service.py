@@ -12,12 +12,20 @@ service:
   recompiles, ever, after warmup);
 - each bucket's forward uses the fused Pallas mel frontend and the
   model's window-folding long-clip path (models/uit.chunk_long_mel);
-- batches are dispatched asynchronously (device queue depth bounded), so
-  host batching overlaps TPU compute.
+- dispatch is genuinely asynchronous: the batcher thread only ENQUEUES
+  jitted calls (JAX dispatch returns before the device finishes) and a
+  separate completion thread blocks on results, so host batching overlaps
+  device compute; in-flight batches are bounded by ``max_inflight``
+  (backpressure: the batcher blocks when the device falls behind).
 
-Zero-padding a clip to its bucket boundary adds trailing silent frames;
-for strict parity with offline evaluation (which pads to the batch max,
-reference dataset.py:183-197) use bucket_seconds=1 inputs of exactly 1 s.
+Isolation: the service frontend defaults to ``top_db_mode='per_sample'``
+so each clip's dB clamp references its OWN max — co-batched unrelated
+requests must not couple through torchaudio's batch-global clamp
+('torch' mode exists for offline-eval parity and can be selected via
+``ServiceConfig.top_db_mode``). Zero-padding a clip to its bucket boundary
+still adds trailing silent frames; for strict parity with offline
+evaluation (which pads to the batch max, reference dataset.py:183-197)
+use bucket_seconds=1 inputs of exactly 1 s.
 """
 
 from __future__ import annotations
@@ -39,12 +47,18 @@ class ServiceConfig:
     sample_rate: int = 16000
     use_pallas: Optional[bool] = None
     warmup: bool = True            # compile all buckets at startup
+    max_inflight: int = 8          # bound on dispatched-but-unresolved batches
+    # 'per_sample' (default): each clip clamps against its own max — no
+    # cross-request coupling. 'torch': torchaudio's batch-global clamp, for
+    # bit-parity with offline evaluation.
+    top_db_mode: str = "per_sample"
 
 
 class TaggingService:
     """Batched async tagging: submit((T,) float32 wav) -> Future[(C,) probs]."""
 
-    def __init__(self, model_cfg, params, state, config: ServiceConfig = ServiceConfig()):
+    def __init__(self, model_cfg, params, state, config: ServiceConfig = ServiceConfig(),
+                 _start_worker: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -56,12 +70,16 @@ class TaggingService:
         use_pallas = config.use_pallas
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
-        frontend = make_frontend_fn(model_cfg.frontend, use_pallas=use_pallas,
+        fe_cfg = dataclasses.replace(model_cfg.frontend, top_db_mode=config.top_db_mode)
+        frontend = make_frontend_fn(fe_cfg, use_pallas=use_pallas,
                                     precision="fast" if use_pallas else "exact")
         self._fwd = jax.jit(
             lambda w: models.apply(model_cfg, params, state, w, frontend_fn=frontend)
         )
         self._q: queue.Queue = queue.Queue()
+        # (device_result, chunk) pairs awaiting materialization; bounded ->
+        # backpressure on the batcher when the device is saturated
+        self._done_q: queue.Queue = queue.Queue(maxsize=max(1, config.max_inflight))
         self._closed = False
         sr = config.sample_rate
         # bucket lengths: 1..max_seconds seconds; batch size shrinks with
@@ -74,7 +92,14 @@ class TaggingService:
             for length, bs in self._buckets:
                 self._fwd(jnp.zeros((bs, length), jnp.float32))
         self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._completer = threading.Thread(target=self._complete, daemon=True)
+        if _start_worker:
+            self._start()
+
+    def _start(self):
+        if not self._worker.is_alive():
+            self._worker.start()
+            self._completer.start()
 
     # ------------------------------------------------------------------- API
 
@@ -96,7 +121,20 @@ class TaggingService:
     def close(self):
         self._closed = True
         self._q.put(None)
-        self._worker.join(timeout=30)
+        self._worker.join(timeout=60)
+        self._completer.join(timeout=60)
+        # A submit() racing with close() can land behind the worker's final
+        # drain; never strand its Future — cancel it so result() raises
+        # instead of hanging.
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            _, fut = item
+            fut.cancel()
 
     def __enter__(self):
         return self
@@ -117,30 +155,46 @@ class TaggingService:
         import time
 
         jnp = self._jnp
-        while True:
+        shutdown = False
+        while not shutdown:
             item = self._q.get()
             if item is None:
-                return
+                break
             pending = [item]
             # batching window: a hard DEADLINE from the first request, not a
             # per-arrival idle timeout (a steady trickle must not postpone
             # dispatch indefinitely)
             deadline = time.monotonic() + self.cfg.max_wait_ms / 1e3
-            try:
-                while len(pending) < self.cfg.batch_size:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
+            while len(pending) < self.cfg.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
                     nxt = self._q.get(timeout=remaining)
-                    if nxt is None:
-                        self._dispatch(pending, jnp)
-                        return
-                    pending.append(nxt)
-            except queue.Empty:
-                pass
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    shutdown = True
+                    break
+                pending.append(nxt)
             self._dispatch(pending, jnp)
+        # sentinel received: drain requests that were already queued behind
+        # it (submitted concurrently with close()) so their Futures resolve
+        leftovers = []
+        while True:
+            try:
+                nxt = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is not None:
+                leftovers.append(nxt)
+        if leftovers:
+            self._dispatch(leftovers, jnp)
+        self._done_q.put(None)
 
     def _dispatch(self, pending, jnp):
+        """Group into buckets and ENQUEUE device work; never blocks on
+        results (only on the in-flight bound)."""
         groups: dict[int, list] = {}
         for wav, fut in pending:
             length, bs = self._bucket_of(wav.shape[0])
@@ -153,10 +207,27 @@ class TaggingService:
                 for j, (wav, _) in enumerate(chunk):
                     batch[j, : wav.shape[0]] = wav
                 try:
-                    probs = np.asarray(self._fwd(jnp.asarray(batch)))
-                    for j, (_, fut) in enumerate(chunk):
-                        fut.set_result(probs[j])
+                    dev = self._fwd(jnp.asarray(batch))  # async dispatch
                 except Exception as e:  # pragma: no cover
                     for _, fut in chunk:
                         if not fut.done():
                             fut.set_exception(e)
+                    continue
+                self._done_q.put((dev, chunk))
+
+    def _complete(self):
+        """Materialize device results in dispatch order and resolve Futures."""
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            dev, chunk = item
+            try:
+                probs = np.asarray(dev)
+                for j, (_, fut) in enumerate(chunk):
+                    if not fut.done():
+                        fut.set_result(probs[j])
+            except Exception as e:  # pragma: no cover
+                for _, fut in chunk:
+                    if not fut.done():
+                        fut.set_exception(e)

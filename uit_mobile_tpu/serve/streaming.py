@@ -29,6 +29,10 @@ class StreamingConfig:
     refractory_seconds: float = 1.0  # min gap between triggers per keyword
     n_audioset: int = 527
     use_pallas: Optional[bool] = None
+    # 'per_sample' (default): each stream's window clamps against its own
+    # max, so co-batched streams never couple through the dB clamp;
+    # 'torch' replicates torchaudio's batch-global clamp (offline parity).
+    top_db_mode: str = "per_sample"
 
 
 @dataclasses.dataclass
@@ -59,7 +63,8 @@ class MultiStreamTagger:
         use_pallas = config.use_pallas
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
-        frontend = make_frontend_fn(model_cfg.frontend, use_pallas=use_pallas,
+        fe_cfg = dataclasses.replace(model_cfg.frontend, top_db_mode=config.top_db_mode)
+        frontend = make_frontend_fn(fe_cfg, use_pallas=use_pallas,
                                     precision="fast" if use_pallas else "exact")
         self._fwd = jax.jit(
             lambda w: models.apply(model_cfg, params, state, w, frontend_fn=frontend)
