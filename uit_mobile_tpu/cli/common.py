@@ -74,6 +74,20 @@ def infer_uit_config_from_state_dict(sd: dict, **overrides):
         target_length=target_length,
         patch_size=sd["patch_embed.proj.weight"].shape[-1],
     )
+    # act / num_heads / pooling leave no trace in the weight shapes: a raw
+    # dump of a GELU audio_transformer_h128_* checkpoint would silently
+    # build a ReLU model with no shape mismatch to catch it. Warn whenever
+    # the caller did not pin them explicitly (the published uit_* dumps are
+    # all relu/2-heads/mean, so the defaults are right for those).
+    unverifiable = [k for k in ("act", "num_heads", "pooling") if k not in overrides]
+    if unverifiable:
+        log.warning(
+            "raw state_dict carries no architecture record; assuming "
+            + ", ".join(f"{k}={kwargs[k]!r}" for k in unverifiable)
+            + " (correct for the published uit_xs/xxs/xxxs dumps). For the "
+            "gelu audio_transformer_h128_* family pass act/num_heads/pooling "
+            "explicitly — shape checks cannot catch a wrong activation."
+        )
     kwargs.update(overrides)
     return models.UITConfig(**kwargs)
 
@@ -86,19 +100,57 @@ def _convert_torch_dump(path, **cfg_overrides):
 
     dump = load_torch_checkpoint(path)
     sd = dump["state_dict"]
+    extra = {}
     if dump["config"]:
         c = dump["config"]
         cfg = models.get_model_config(
             c["model"], outputdim=c.get("num_classes", 537), **c.get("model_args", {})
         )
+        extra["run_config"] = c  # the training config the dump embeds
     else:
         cfg = infer_uit_config_from_state_dict(sd, **cfg_overrides)
     params, state = uit_params_from_torch_state_dict(sd, cfg)
-    return cfg, params, state
+    return cfg, params, state, extra
 
 
-def resolve_model(spec: str, **cfg_overrides):
-    """Resolve a model spec -> (cfg, params, state).
+def _best_score_in_name(path: Path) -> float:
+    """Parse the trainer's ``best_model_<step>_mAP=<score>`` filename; fall
+    back to -inf for names without a score (then file order decides)."""
+    import re
+
+    m = re.search(r"mAP=([0-9.]+)", path.name)
+    if m:
+        try:
+            return float(m.group(1).rstrip("."))
+        except ValueError:
+            pass
+    return float("-inf")
+
+
+def _pick_checkpoint_in_dir(p: Path) -> Path:
+    """Pick the deliverable checkpoint from an experiment directory:
+    the averaged model first (the trainer's final artifact, reference
+    run.py:385-397), else the best_* file with the HIGHEST mAP score in
+    its name (not lexicographic order), else any checkpoint."""
+    if (p / "averaged.npz").exists():
+        return p / "averaged.npz"
+    best = sorted(p.glob("best_*.npz"), key=_best_score_in_name)
+    if best:
+        return best[-1]
+    if (p / "averaged.pt").exists():
+        return p / "averaged.pt"
+    best_pt = sorted(p.glob("best*.pt"), key=_best_score_in_name)
+    if best_pt:
+        return best_pt[-1]
+    for pattern in ("*.npz", "*.pt"):
+        hits = sorted(p.glob(pattern))
+        if hits:
+            return hits[0]
+    raise FileNotFoundError(f"no checkpoint found under {p}")
+
+
+def resolve_model(spec: str, return_extra: bool = False, **cfg_overrides):
+    """Resolve a model spec -> (cfg, params, state) [+ extra dict].
 
     Accepted specs (superset of reference inference.py:35-48):
     - a pretrained name (uit_xs/uit_xxs/uit_xxxs): looks for a converted
@@ -107,8 +159,20 @@ def resolve_model(spec: str, **cfg_overrides):
       URL (fails cleanly when offline);
     - a native ``.npz`` checkpoint path;
     - a torch ``.pt`` checkpoint path (raw state_dict or trainer dump);
-    - an experiment directory (globs best_*.npz / *.npz / *.pt).
+    - an experiment directory (averaged.npz first, then highest-score
+      best_* — see _pick_checkpoint_in_dir).
+
+    With ``return_extra=True`` a 4th element is returned: the checkpoint's
+    sidecar metadata (includes ``run_config`` — the training config — for
+    trainer-produced checkpoints and reference trainer dumps; empty for raw
+    state_dicts). Evaluation uses it for config-driven behavior like the
+    ``basename`` manifest flag (reference evaluate.py:200-201).
     """
+    out = _resolve_model(spec, **cfg_overrides)
+    return out if return_extra else out[:3]
+
+
+def _resolve_model(spec: str, **cfg_overrides):
     from ..ckpt.io import load_checkpoint
 
     if spec.startswith(("http://", "https://")):
@@ -121,7 +185,7 @@ def resolve_model(spec: str, **cfg_overrides):
             local = root / fname
             if local.exists():
                 log.info(f"using local copy {local} for {spec}")
-                return resolve_model(str(local), **cfg_overrides)
+                return _resolve_model(str(local), **cfg_overrides)
         dest = CACHE_DIR / fname
         try:
             import urllib.request
@@ -134,7 +198,7 @@ def resolve_model(spec: str, **cfg_overrides):
                 f"cannot fetch {spec} ({e}); on offline hosts place the file "
                 f"at checkpoints/{fname} or {CACHE_DIR / fname}"
             ) from e
-        return resolve_model(str(dest), **cfg_overrides)
+        return _resolve_model(str(dest), **cfg_overrides)
 
     p = Path(spec)
     if spec in models.PRETRAINED_CHECKPOINTS:
@@ -142,10 +206,10 @@ def resolve_model(spec: str, **cfg_overrides):
         for root in (REPO_ROOT / "checkpoints", CACHE_DIR):
             npz = root / f"{spec}.npz"
             if npz.exists():
-                params, state, cfg, _ = load_checkpoint(npz)
+                params, state, cfg, extra = load_checkpoint(npz)
                 if cfg is None:
                     cfg = entry["factory"](**entry["model_kwargs"])
-                return cfg, params, state
+                return cfg, params, state, extra
             hits = sorted(root.glob(f"{spec}*.pt")) if root.exists() else []
             if hits:
                 return _convert_torch_dump(hits[0], **cfg_overrides)
@@ -167,17 +231,11 @@ def resolve_model(spec: str, **cfg_overrides):
                 f"checkpoints/{spec}.pt or a converted checkpoints/{spec}.npz"
             ) from e
     if p.is_dir():
-        for pattern in ("best_*.npz", "*.npz", "averaged.pt", "best*.pt", "*.pt"):
-            hits = sorted(p.glob(pattern))
-            if hits:
-                p = hits[0]
-                break
-        else:
-            raise FileNotFoundError(f"no checkpoint found under {p}")
+        p = _pick_checkpoint_in_dir(p)
     if p.suffix == ".npz":
-        params, state, cfg, _ = load_checkpoint(p)
+        params, state, cfg, extra = load_checkpoint(p)
         assert cfg is not None, f"{p} has no embedded config"
-        return cfg, params, state
+        return cfg, params, state, extra
     if p.suffix == ".pt":
         return _convert_torch_dump(p, **cfg_overrides)
     raise ValueError(f"cannot resolve model spec {spec!r}")

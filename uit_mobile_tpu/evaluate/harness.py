@@ -49,6 +49,7 @@ class Evaluator:
         slightly; leave None (exact batch-max padding, the reference's
         collate semantics) when chasing bit parity."""
         self._resolved = None
+        self._run_config: dict = {}
         self._model_spec = model_spec
         self.batch_size = batch_size
         self.num_workers = num_workers
@@ -61,11 +62,15 @@ class Evaluator:
 
     def _setup(self, model_spec=None):
         spec = model_spec or self._model_spec
+        if spec is None and self._resolved is not None:
+            # already resolved via an explicit experiment_path argument
+            return self._resolved
         assert spec is not None, "no model specified"
         if self._resolved is None or spec != getattr(self, "_resolved_spec", None):
             from ..cli.common import resolve_model
 
-            cfg, params, state = resolve_model(spec)
+            cfg, params, state, extra = resolve_model(spec, return_extra=True)
+            self._run_config = (extra or {}).get("run_config") or {}
             if not self._user_report_dir:
                 p = Path(spec)
                 self.report_dir = str(p if p.is_dir() else (p.parent if p.exists() else "."))
@@ -145,7 +150,12 @@ class Evaluator:
              label_name: str = "GSC", pad: bool = False,
              detailed: bool = False):
         self._setup(experiment_path)
-        df = read_tsv_data(eval_data, basename=False)
+        # the checkpoint's training config decides whether manifests index
+        # by basename (reference evaluate.py:200-201: config.get('basename',
+        # False)); raw dumps carry no config -> False, like the reference
+        df = read_tsv_data(
+            eval_data, basename=self._run_config.get("basename", False)
+        )
         num_classes = getattr(self._resolved[0], "outputdim", 537)
         preds, targets = self._run_epoch(df, num_classes=num_classes,
                                          pad_to_target=pad)

@@ -66,6 +66,26 @@ def bce(y_pred, y_true, eps=1e-7) -> float:
     return float(-np.mean(y_true * np.log(p) + (1 - y_true) * np.log1p(-p)))
 
 
+def error_rate(y_pred, y_true) -> float:
+    """1 - accuracy, usable on real model outputs.
+
+    The reference registers raw ``accuracy_score(targets, probabilities)``
+    (utils.py:157-160), which sklearn rejects for any non-binary multilabel
+    input — the metric could never run. Working semantics: single-label
+    targets (one-hot rows or an index vector) score argmax accuracy;
+    multilabel targets score exact-match subset accuracy of predictions
+    binarized at 0.5."""
+    t = np.asarray(y_true)
+    p = np.asarray(y_pred)
+    if t.ndim == 1:
+        pred = p.argmax(-1) if p.ndim > 1 else p
+        return float(1.0 - np.nan_to_num(accuracy_score(t, pred)))
+    one_hot = np.isin(t, (0.0, 1.0)).all() and np.allclose(t.sum(-1), 1.0)
+    if one_hot:
+        return float(1.0 - np.nan_to_num(accuracy_score(t.argmax(-1), p.argmax(-1))))
+    return float(1.0 - np.nan_to_num(accuracy_score(t, (p >= 0.5).astype(t.dtype))))
+
+
 ALL_EVAL_METRICS: Dict[str, Callable[[np.ndarray, np.ndarray], float | np.ndarray]] = {
     "mAP": lambda p, t: float(np.nanmean(average_precision_score(t, p, average=None))),
     "AP": lambda p, t: average_precision_score(t, p, average=None),
@@ -95,7 +115,7 @@ ALL_EVAL_METRICS: Dict[str, Callable[[np.ndarray, np.ndarray], float | np.ndarra
     "Macro_F1": lambda p, t: float(f1_score(t, _binarize(p), average="macro", zero_division=0)),
     "Micro_F1": lambda p, t: float(f1_score(t, _binarize(p), average="micro", zero_division=0)),
     "BCELoss": bce,
-    "ErrorRate": lambda p, t: float(1.0 - np.nan_to_num(accuracy_score(t, p))),
+    "ErrorRate": error_rate,
 }
 
 

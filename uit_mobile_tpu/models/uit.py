@@ -82,12 +82,26 @@ class UITConfig:
     # 'float32' (parity) or 'bfloat16' (fast serving: encoder matmuls in
     # bf16, LayerNorm/softmax/head in f32)
     compute_dtype: str = "float32"
+    # mel orientation the frontend_fn delivers. 'bft' = (B, n_mels, T),
+    # the reference's layout. 'btf' = (B, T, n_mels) — the Pallas kernel's
+    # NATIVE row layout: skips the lane<->sublane transpose copy AND folds
+    # init_bn's inference affine into the patch-embed matmul
+    # (patch_embed_btf). Exact algebra (<=2e-5 in f32, tests/test_btf_layout);
+    # on TPU default matmul precision the different bf16 product grouping
+    # measures <=1.1e-4 output drift — inside the 1e-3 parity budget.
+    # EVAL/serving only (BN stat updates can't be folded) — pair with
+    # make_frontend_fn(..., layout='btf').
+    mel_layout: str = "bft"
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
 
     def __post_init__(self):
         assert self.pooling in ("mean", "token", "dm")
         assert self.attention_type in ("Attention", "BNeckAttention")
         assert self.embed_dim % self.num_heads == 0
+        # reference raises ValueError for unknown eval_avg (uit.py:483-488);
+        # without this check anything != 'mean' silently behaves as 'max'
+        assert self.eval_avg in ("mean", "max"), f"unknown eval_avg {self.eval_avg!r}"
+        assert self.mel_layout in ("bft", "btf")
 
     @property
     def grid_size(self):  # (freq, time) patch grid
@@ -209,9 +223,59 @@ def token_validity_mask(cfg: UITConfig, lengths, tg: int):
     return jnp.repeat(t_valid[:, None, :], fg, axis=1).reshape(lengths.shape[0], -1)
 
 
+def patch_embed_btf(cfg: UITConfig, params, state, x):
+    """(B, T, n_mels) CLAMPED log-mel dB -> (B, fg, tg, D) tokens, with the
+    init_bn inference affine FOLDED into the patch-embed matmul.
+
+    The fold is exact algebra: init_bn at eval is a per-mel-bin affine
+    y = a*m + b (a = scale/sqrt(var+eps), b = bias - mean*a), and the
+    patch-embed conv is linear, so
+        tokens = (a*m + b) @ K + c  ==  m @ (a . K) + (b @ K + c)
+    with the per-absolute-mel-bin scaling applied per frequency patch.
+    One HBM pass over the mel disappears (the BN elementwise op) and the
+    (B, T, F) -> (B, F, T) lane transpose never happens. Serving/eval
+    only — training BN stat updates cannot be folded.
+    """
+    B, T, F = x.shape
+    ps = cfg.patch_size
+    fg, tg = F // ps, T // ps
+    if tg < 1:
+        raise ValueError(
+            f"input has {T} mel frames but one {ps}x{ps} patch needs at least {ps}"
+        )
+    x = x[:, : tg * ps, : fg * ps]
+    if cfg.init_bn:
+        p, s = params["init_bn"], state["init_bn"]
+        inv = jax.lax.rsqrt(s["var"] + 1e-5)
+        a = p["scale"] * inv                      # (n_mels,)
+        b = p["bias"] - s["mean"] * a
+    else:  # GlobalNormer(-10, 20, fac=2): (m + 10) / 40
+        a = jnp.full((F,), 1.0 / 40.0, x.dtype)
+        b = jnp.full((F,), 0.25, x.dtype)
+    K = params["patch_embed"]["kernel"].reshape(ps, ps, -1)  # (mel_p, time_p, D)
+    D = K.shape[-1]
+    a4 = a.reshape(fg, ps)                         # per-f-patch mel scales
+    b4 = b.reshape(fg, ps)
+    Kf = a4[:, :, None, None] * K[None]            # (fg, mel_p, time_p, D)
+    bias_f = jnp.einsum("fu,uvd->fd", b4, K) + params["patch_embed"]["bias"]
+    # x5[b, t, v(time-in-patch), f, u(mel-in-patch)]
+    x5 = x.reshape(B, tg, ps, fg, ps)
+    tokens = jnp.einsum("btvfu,fuvd->btfd", x5, Kf) + bias_f[None, None]
+    return tokens.transpose(0, 2, 1, 3)            # (B, fg, tg, D)
+
+
 def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None,
                      token_mask=None):
     """(B, n_mels, T<=target_length) normalized mel -> (B, N, D) encoded tokens."""
+    x = patch_embed(cfg, params["patch_embed"], mel)  # (B, fg, tg', D)
+    return _finish_features(cfg, params, x, train=train, rng=rng,
+                            token_mask=token_mask)
+
+
+def _finish_features(cfg: UITConfig, params, x, *, train=False, rng=None,
+                     token_mask=None):
+    """(B, fg, tg, D) patch tokens -> (B, N, D) encoded tokens (pos embeds,
+    patch dropout, flatten f-major, cls token, transformer blocks, norm)."""
     if token_mask is not None and (
         cfg.time_patch_out is not None or cfg.freq_patch_out is not None
     ) and train:
@@ -220,7 +284,6 @@ def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None,
             "training: patch dropout changes the token count after the mask "
             "is built — disable one of the two"
         )
-    x = patch_embed(cfg, params["patch_embed"], mel)  # (B, fg, tg', D)
     tg = x.shape[2]
     if tg > params["time_pos_embed"].shape[0]:
         raise ValueError(
@@ -344,6 +407,22 @@ def chunk_long_mel(cfg: UITConfig, mel):
     return crops.reshape(B * n_crops, F, L), n_crops
 
 
+def chunk_long_mel_btf(cfg: UITConfig, mel):
+    """(B, T>target, F) -> (B*n_crops, target, F): same crop rule as
+    chunk_long_mel (tail replaced by the last full window) on the
+    time-major layout — slices ride the sublane axis, no transposes."""
+    B, T, F = mel.shape
+    L = cfg.target_length
+    n_crops = -(-T // L)
+    starts = [i * L for i in range(n_crops)]
+    if T % L != 0:
+        starts[-1] = T - L
+    crops = jnp.stack(
+        [jax.lax.slice_in_dim(mel, s, s + L, axis=1) for s in starts], axis=1
+    )
+    return crops.reshape(B * n_crops, L, F), n_crops
+
+
 def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
             mixup_lamb=None, wav_augment=None, spec_augment=None,
             lengths=None, frontend_fn: Optional[Callable] = None):
@@ -354,6 +433,34 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
     With cfg.use_length_mask and `lengths` (samples per clip), padded-region
     patches are excluded from attention and pooling (single-window path).
     """
+    if cfg.mel_layout == "btf":
+        # serving fast path: (B, T, F) mel straight from the Pallas kernel,
+        # init_bn folded into the patch-embed matmul (patch_embed_btf)
+        if train:
+            raise ValueError(
+                "mel_layout='btf' is an eval/serving optimization; train "
+                "with the default 'bft' layout (BN stat updates cannot be "
+                "folded into the patch embed)"
+            )
+        assert frontend_fn is not None, (
+            "mel_layout='btf' needs a frontend_fn built with "
+            "make_frontend_fn(..., layout='btf')"
+        )
+        mel = frontend_fn(wav)  # (B, T, F)
+        T = mel.shape[1]
+        if T > cfg.target_length:
+            crops, n_crops = chunk_long_mel_btf(cfg, mel)
+            feats = _finish_features(
+                cfg, params, patch_embed_btf(cfg, params, state, crops)
+            )
+            probs = forward_head(cfg, params, feats)
+            probs = probs.reshape(-1, n_crops, cfg.outputdim)
+            return probs.mean(axis=1) if cfg.eval_avg == "mean" else probs.max(axis=1)
+        feats = _finish_features(
+            cfg, params, patch_embed_btf(cfg, params, state, mel)
+        )
+        return forward_head(cfg, params, feats)
+
     if frontend_fn is None:
         frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
     if train and wav_augment is not None:

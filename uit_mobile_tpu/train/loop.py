@@ -86,9 +86,26 @@ def _load_psl(config):
     return cfg, params, state
 
 
+def _json_safe_config(c: dict) -> dict:
+    """Subset of the run config that survives the checkpoint's JSON sidecar
+    (evaluation reads e.g. `basename` back out of it, as the reference does
+    from its pickled config, evaluate.py:200-201)."""
+    import json
+
+    out = {}
+    for k, v in c.items():
+        try:
+            json.dumps(v)
+        except (TypeError, ValueError):
+            continue
+        out[k] = v
+    return out
+
+
 class Trainer:
     def __init__(self, config: dict):
         self.config = config
+        self.run_config = _json_safe_config(config)
         self.outputdir = _make_outputdir(config)
         self._file_handler = add_file_sink(
             log, self.outputdir / config.get("logfile", "train.log")
@@ -227,6 +244,7 @@ class Trainer:
         train_step = make_train_step(
             cfg, optimizer,
             loss_name=c.get("loss", "BCELoss"),
+            loss_args=c.get("loss_args") or {},
             mixup_alpha=c.get("mixup"),
             max_grad_norm=c.get("max_grad_norm"),
             psl_cfg=psl_cfg,
@@ -343,7 +361,8 @@ class Trainer:
                 saved.sort(key=lambda x: -x[0])
                 if (score, ckpt_path) in saved[:n_saved]:
                     save_checkpoint(ckpt_path, params, state, cfg,
-                                    extra={"step": step_count, "mAP": score})
+                                    extra={"step": step_count, "mAP": score,
+                                           "run_config": self.run_config})
                 for s, p in saved[n_saved:]:
                     p.unlink(missing_ok=True)
                 saved = saved[:n_saved]
@@ -362,7 +381,8 @@ class Trainer:
             avg_p, avg_s, avg_cfg, _ = average_checkpoints([p for _, p in saved])
             output_model = self.outputdir / "averaged.npz"
             save_checkpoint(output_model, avg_p, avg_s, avg_cfg,
-                            extra={"averaged_from": [str(p) for _, p in saved]})
+                            extra={"averaged_from": [str(p) for _, p in saved],
+                                   "run_config": self.run_config})
             final_score = self._validate(eval_step, avg_p, avg_s, test_loader, "avg")
             log.info(f"Averaged model mAP: {final_score:.4f}")
         elif saved:
@@ -370,7 +390,8 @@ class Trainer:
         else:
             output_model = self.outputdir / "final.npz"
             save_checkpoint(output_model, params, state, cfg,
-                            extra={"step": step_count})
+                            extra={"step": step_count,
+                                   "run_config": self.run_config})
         log.info(f"Results can be found at {self.outputdir}")
         log.info(f"Final model is at {output_model}")
         log.removeHandler(self._file_handler)
@@ -380,9 +401,22 @@ class Trainer:
                   metric: str = "mAP") -> float:
         import jax.numpy as jnp
 
+        # Length-bucketed padding (same rule as Evaluator(bucket_seconds=...)):
+        # each batch right-pads to the next multiple of `valid_bucket_seconds`
+        # so a mixed-length eval set compiles a bounded number of XLA
+        # programs instead of one per distinct batch-max length. Default 1 s
+        # (the training corpus unit); set to null/None for exact batch-max
+        # padding (bit parity with the reference collate).
+        bucket_seconds = self.config.get("valid_bucket_seconds", 1.0)
+        sr = self.config.get("sample_rate", 16000)
         preds, targets = [], []
         for batch in test_loader:
-            preds.append(np.asarray(eval_step(params, state, jnp.asarray(batch["wav"]))))
+            wav = batch["wav"]
+            if bucket_seconds:
+                step_len = int(bucket_seconds * sr)
+                target_len = -(-wav.shape[-1] // step_len) * step_len
+                wav = np.pad(wav, ((0, 0), (0, target_len - wav.shape[-1])))
+            preds.append(np.asarray(eval_step(params, state, jnp.asarray(wav))))
             targets.append(batch["target"])
         preds = np.concatenate(preds)
         targets = np.concatenate(targets)

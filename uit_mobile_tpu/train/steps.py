@@ -38,7 +38,97 @@ def bce_loss(probs: jax.Array, targets: jax.Array, eps: float = 1e-7) -> jax.Arr
     return -jnp.mean(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
 
 
-LOSSES = {"BCELoss": bce_loss}
+def _reduce(x: jax.Array, reduction: str) -> jax.Array:
+    if reduction == "mean":
+        return jnp.mean(x)
+    if reduction == "sum":
+        return jnp.sum(x)
+    raise ValueError(f"unknown reduction {reduction!r} (use 'mean' or 'sum')")
+
+
+def _make_bce(weight=None, reduction: str = "mean", eps: float = 1e-7):
+    """torch.nn.BCELoss semantics on probabilities: optional per-class
+    ``weight`` multiplies each element's loss before reduction."""
+    w = None if weight is None else jnp.asarray(weight, jnp.float32)
+
+    def loss(probs, targets):
+        p = jnp.clip(probs, eps, 1.0 - eps)
+        elt = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
+        if w is not None:
+            elt = elt * w
+        return _reduce(elt, reduction)
+
+    return loss
+
+
+def _make_ce(weight=None, reduction: str = "mean", label_smoothing: float = 0.0,
+             eps: float = 1e-7):
+    """Cross-entropy over the model's PROBABILITY outputs: log-probs are
+    renormalized with logsumexp (the models emit independent sigmoids, not
+    a softmax), targets may be soft/multi-hot (normalized to sum 1).
+    ``weight`` is torch's per-class weighting; ``label_smoothing`` mixes
+    the target with the uniform distribution."""
+    w = None if weight is None else jnp.asarray(weight, jnp.float32)
+
+    def loss(probs, targets):
+        C = probs.shape[-1]
+        logp = jnp.log(jnp.clip(probs, eps, 1.0))
+        logp = logp - jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
+        t = targets / jnp.maximum(targets.sum(-1, keepdims=True), eps)
+        if label_smoothing > 0.0:
+            t = (1.0 - label_smoothing) * t + label_smoothing / C
+        ww = w if w is not None else jnp.ones((C,), jnp.float32)
+        per_sample = -(t * ww * logp).sum(-1)
+        if reduction == "mean":
+            # torch CE normalizes by the summed weight of the targets
+            denom = jnp.maximum((t * ww).sum(), eps)
+            return per_sample.sum() / denom
+        return _reduce(per_sample, reduction)
+
+    return loss
+
+
+def _make_focal(gamma: float = 2.0, alpha: Optional[float] = None,
+                reduction: str = "mean", eps: float = 1e-7):
+    """Binary focal loss on probabilities (Lin et al. 2017): BCE modulated
+    by (1-p_t)^gamma, with optional class-balance factor alpha."""
+
+    def loss(probs, targets):
+        p = jnp.clip(probs, eps, 1.0 - eps)
+        pos = -targets * ((1.0 - p) ** gamma) * jnp.log(p)
+        neg = -(1.0 - targets) * (p ** gamma) * jnp.log1p(-p)
+        if alpha is not None:
+            pos = alpha * pos
+            neg = (1.0 - alpha) * neg
+        return _reduce(pos + neg, reduction)
+
+    return loss
+
+
+# name -> factory(**loss_args) -> fn(probs, targets). The reference resolves
+# any torch.nn loss by name and forwards `loss_args` (run.py:157-158); only
+# probability-input losses make sense here (the models output sigmoids,
+# uit.py:401) — BCEWithLogitsLoss intentionally has no entry.
+LOSS_FACTORIES = {
+    "BCELoss": _make_bce,
+    "CrossEntropyLoss": _make_ce,
+    "FocalLoss": _make_focal,
+}
+
+# plain name -> default-arg loss fn (back-compat)
+LOSSES = {name: factory() for name, factory in LOSS_FACTORIES.items()}
+
+
+def make_loss(name: str, **loss_args):
+    """Resolve config ``loss:`` + ``loss_args:`` into a (probs, targets)
+    scalar loss (reference run.py:157-158 semantics with an explicit
+    registry instead of torch.nn reflection)."""
+    if name not in LOSS_FACTORIES:
+        raise KeyError(
+            f"unknown loss {name!r}; known: {sorted(LOSS_FACTORIES)} "
+            "(losses operate on the models' probability outputs)"
+        )
+    return LOSS_FACTORIES[name](**loss_args)
 
 
 def make_train_step(
@@ -46,6 +136,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     *,
     loss_name: str = "BCELoss",
+    loss_args: Optional[dict] = None,
     mixup_alpha: Optional[float] = None,
     max_grad_norm: Optional[float] = None,
     psl_cfg=None,
@@ -61,7 +152,7 @@ def make_train_step(
     MobileNetV2 teacher scores the AudioSet half, its probabilities replace
     the first 527 target columns, and both halves train jointly.
     """
-    loss_fn_inner = LOSSES[loss_name]
+    loss_fn_inner = make_loss(loss_name, **(loss_args or {}))
 
     def train_step(params, state, opt_state, batch, rng,
                    psl_params=None, psl_state=None):
