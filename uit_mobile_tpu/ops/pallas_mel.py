@@ -129,16 +129,21 @@ def _mel_kernel_fast(frames_ref, ghi_ref, glo_ref, fbhi_ref, fblo_ref, out_ref):
 
 def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
                    interpret: bool | None = None,
-                   precision: str = "exact") -> jax.Array:
-    """(B, T) waveform -> (B, n_mels, n_frames) log-mel dB, fused on TPU.
+                   precision: str = "exact", layout: str = "bft") -> jax.Array:
+    """(B, T) waveform -> log-mel dB, fused on TPU.
 
     Drop-in replacement for frontend.mel.log_mel_spectrogram (same
     torchaudio semantics, including the configured top_db_mode).
     precision: 'exact' (bit-parity, HIGHEST) or 'fast' (3-pass bf16 DFT,
     ~1.15x end-to-end throughput, <=2.5e-4 prob drift — see
     _mel_kernel_fast).
+    layout: 'bft' -> (B, n_mels, n_frames), the reference's orientation;
+    'btf' -> (B, n_frames, n_mels), the kernel's NATIVE row layout — no
+    lane<->sublane transpose copy (serving fast path; consumed by
+    models.uit patch_embed_btf).
     """
     assert precision in ("exact", "fast")
+    assert layout in ("bft", "btf")
     config = config or FrontendConfig()
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -207,8 +212,10 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
             cost_estimate=cost, interpret=interpret,
         )(frames, jnp.asarray(G), jnp.asarray(fb))
 
-    mel_t = mel_t.reshape(B, frames_pad, config.n_mels)
-    x_db = jnp.swapaxes(mel_t[:, :n_frames, :], -1, -2)  # (B, n_mels, n_frames)
+    mel_t = mel_t.reshape(B, frames_pad, config.n_mels)[:, :n_frames, :]
+    # (B, T, F) is the kernel's native row layout; 'bft' pays one
+    # lane<->sublane transpose copy for reference orientation
+    x_db = mel_t if layout == "btf" else jnp.swapaxes(mel_t, -1, -2)
     if config.top_db is not None:
         if config.top_db_mode == "torch":
             ref = jnp.max(x_db)
@@ -219,11 +226,17 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
 
 
 def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = True,
-                     precision: str = "exact"):
-    """Frontend callable for models.*.forward(frontend_fn=...)."""
+                     precision: str = "exact", layout: str = "bft"):
+    """Frontend callable for models.*.forward(frontend_fn=...).
+
+    layout='btf' must pair with a model config whose mel_layout='btf'
+    (models.uit consumes (B, T, F) directly, skipping the transpose)."""
     config = config or FrontendConfig()
     if use_pallas:
-        return lambda wav: pallas_log_mel(wav, config, precision=precision)
+        return lambda wav: pallas_log_mel(wav, config, precision=precision,
+                                          layout=layout)
     from ..frontend.mel import log_mel_spectrogram
 
+    if layout == "btf":
+        return lambda wav: jnp.swapaxes(log_mel_spectrogram(wav, config), -1, -2)
     return lambda wav: log_mel_spectrogram(wav, config)
