@@ -1,0 +1,41 @@
+# Convenience targets. `make parity` is the checkpoint-drop runbook: the
+# moment the zenodo dumps (or converted .npz files) appear under
+# checkpoints/, it runs every BASELINE.json parity gate in one shot.
+
+PY ?= python
+
+.PHONY: test test-fast bench parity help
+
+help:
+	@echo "targets: test | test-fast | bench | parity"
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -m "not slow"
+
+bench:
+	$(PY) bench.py
+
+# BASELINE.json parity gates (requires checkpoints/uit_{xs,xxs,xxxs}.{pt|npz}
+# and, for the GSC/audioset gates, the prepared datasets under datasets/).
+# Config 1: uit_xxxs single clip on the GSC keyword sample (expect
+#   Speech ~1.0000 + "Keyword: on" ~0.99, reference README.md:124-140).
+# Config 2: uit_xxs top-5 over all samples/*.wav vs README.md:86-140.
+# Config 3: uit_xs GSC Accuracy@0.2 = 97.76 (README.md:176-178).
+# Config 5: audioset mAP sweep (34.09 / 32.21 / 30.97).
+parity:
+	@ls checkpoints/uit_xs.pt checkpoints/uit_xs.npz 2>/dev/null || \
+	  (echo "ERROR: no checkpoints/uit_xs.{pt,npz} — drop the zenodo dumps in checkpoints/ first (see NEXT_STEPS.md)"; exit 1)
+	$(PY) -m uit_mobile_tpu.cli.infer samples/85b877b5_nohash_0.wav -m uit_xxxs -k 5
+	$(PY) -m uit_mobile_tpu.cli.infer samples/*.wav -m uit_xxs -k 5
+	$(PY) -m uit_mobile_tpu.cli.infer samples/*.wav -m uit_xs -k 5
+	@if [ -f datasets/gsc/data/labels/test_gsc_aslabels.tsv ]; then \
+	  $(PY) -m uit_mobile_tpu.cli.evaluate gsc uit_xs; \
+	else echo "SKIP gsc parity: datasets/gsc not prepared"; fi
+	@if [ -f datasets/audioset/data/labels/eval.csv ]; then \
+	  for m in uit_xs uit_xxs uit_xxxs; do \
+	    $(PY) -m uit_mobile_tpu.cli.evaluate audioset $$m; \
+	  done; \
+	else echo "SKIP audioset mAP sweep: datasets/audioset not prepared"; fi
