@@ -171,7 +171,10 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     fb[valid] = mel_fb[col_bin[valid]]
 
     # hop-strided framing as one XLA gather (static indices, clamped so the
-    # sublane-alignment rows read in-bounds garbage that we slice away)
+    # sublane-alignment rows read in-bounds garbage that we slice away).
+    # Measured alternatives on v5e (B=2048, same process): flat-index
+    # gather +29%, chunk-slice+concat framing +17% — the 2-D-index gather
+    # (despite its relayout copy) is the fastest known formulation.
     idx = np.arange(frames_pad)[:, None] * hop + np.arange(n_fft)[None, :]
     idx = np.minimum(idx, Tp - 1)
     frames = wav[:, idx].reshape(B * frames_pad, n_fft)  # free reshape
