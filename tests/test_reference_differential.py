@@ -188,6 +188,37 @@ def test_pos_embed_resize_parity(target_length):
     )
 
 
+def test_train_mode_bn_differential():
+    """Training-mode parity: init_bn normalizes with BATCH stats and updates
+    running stats with momentum 0.01 (reference uit.py:311-313 + torch BN
+    semantics: biased variance for normalization, unbiased for the running
+    update). Outputs AND post-step running stats must match the reference
+    module run in .train() mode."""
+    model = _build_ref_uit("uit_xxxs", seed=31)
+    model.train()
+    cfg = juit.uit_xxxs(outputdim=537, target_length=102)
+    params, state = tc.uit_params_from_torch_state_dict(_np_sd(model), cfg)
+
+    mel = _mel((4, 64, 102), 32)
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(mel)).numpy()
+    ours, new_state = juit.forward(
+        cfg, params, state, jnp.asarray(mel), train=True,
+        rng=jax.random.key(0), frontend_fn=lambda w: w,
+    )
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=TOL, rtol=0)
+
+    bn = model.init_bn[1]
+    np.testing.assert_allclose(
+        np.asarray(new_state["init_bn"]["mean"]), bn.running_mean.numpy(),
+        atol=1e-4, rtol=1e-5, err_msg="running_mean update mismatch",
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state["init_bn"]["var"]), bn.running_var.numpy(),
+        atol=1e-4, rtol=1e-5, err_msg="running_var update mismatch",
+    )
+
+
 def _build_ref_mnv2(seed=0):
     ref = load_reference_module("mobilenetv2")
     torch.manual_seed(seed)

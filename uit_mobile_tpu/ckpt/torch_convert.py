@@ -30,7 +30,11 @@ import jax.numpy as jnp
 
 
 def _t(a):
-    return np.asarray(a, dtype=np.float32)
+    # np.array (copy), NOT np.asarray: state_dict() numpy arrays are VIEWS
+    # of the live torch storage, and jnp.asarray on CPU can alias them
+    # zero-copy — a later in-place torch op (e.g. a train-mode BN
+    # running-stat update) would silently mutate the converted pytree.
+    return np.array(a, dtype=np.float32, copy=True)
 
 
 def load_torch_checkpoint(path) -> dict:
