@@ -57,7 +57,9 @@ def main():
     def make_fwd(frontend):
         return jax.jit(lambda p, s, w: models.apply(cfg, p, s, w, frontend_fn=frontend))
 
-    B = 2048 if on_tpu else 64
+    # B=4096 measured +3% over 2048 (same process) — amortizes per-dispatch
+    # overhead further; VMEM/HBM comfortable (frames buffer ~870 MB)
+    B = 4096 if on_tpu else 64
     rng = np.random.default_rng(0)
     # two distinct buffers, alternated: guards against any same-args
     # dispatch dedup in remote-TPU relays

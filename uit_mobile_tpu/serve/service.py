@@ -71,8 +71,15 @@ class TaggingService:
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
         fe_cfg = dataclasses.replace(model_cfg.frontend, top_db_mode=config.top_db_mode)
+        # btf layout on TPU: the Pallas kernel's native (B, T, F) output
+        # feeds patch_embed_btf directly (no transpose, init_bn folded) —
+        # serving is eval-only, which is exactly where btf is valid
+        layout = "btf" if (use_pallas and hasattr(model_cfg, "mel_layout")) else "bft"
+        if layout == "btf":
+            model_cfg = dataclasses.replace(model_cfg, mel_layout="btf")
         frontend = make_frontend_fn(fe_cfg, use_pallas=use_pallas,
-                                    precision="fast" if use_pallas else "exact")
+                                    precision="fast" if use_pallas else "exact",
+                                    layout=layout)
         self._fwd = jax.jit(
             lambda w: models.apply(model_cfg, params, state, w, frontend_fn=frontend)
         )
