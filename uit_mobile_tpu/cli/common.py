@@ -127,6 +127,11 @@ def _best_score_in_name(path: Path) -> float:
     return float("-inf")
 
 
+def _is_orbax_dir(p: Path) -> bool:
+    """An orbax_io.save_orbax checkpoint directory (composite: tree+meta)."""
+    return (p / "tree").is_dir() and (p / "meta").is_dir()
+
+
 def _pick_checkpoint_in_dir(p: Path) -> Path:
     """Pick the deliverable checkpoint from an experiment directory:
     the averaged model first (the trainer's final artifact, reference
@@ -231,6 +236,12 @@ def _resolve_model(spec: str, **cfg_overrides):
                 f"checkpoints/{spec}.pt or a converted checkpoints/{spec}.npz"
             ) from e
     if p.is_dir():
+        if _is_orbax_dir(p):
+            from ..ckpt.orbax_io import load_orbax
+
+            params, state, cfg, extra = load_orbax(p)
+            assert cfg is not None, f"orbax checkpoint {p} has no embedded config"
+            return cfg, params, state, extra
         p = _pick_checkpoint_in_dir(p)
     if p.suffix == ".npz":
         params, state, cfg, extra = load_checkpoint(p)

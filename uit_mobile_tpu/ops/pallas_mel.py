@@ -74,7 +74,7 @@ def _dft_matrices(n_fft: int, win_length: int, n_freqs: int):
     return G, col_bin
 
 
-def _mel_kernel(frames_ref, g_ref, fb_ref, out_ref):
+def _mel_kernel(frames_ref, g_ref, fbhi_ref, fblo_ref, out_ref):
     """frames (M_BLK, n_fft) -> log-mel (M_BLK, n_mels), all in VMEM.
 
     Mosaic cannot prove hop-strided (160) lane offsets 128-aligned, so the
@@ -86,17 +86,18 @@ def _mel_kernel(frames_ref, g_ref, fb_ref, out_ref):
 
     Exact mode: the packed [Re|Im] DFT matmul runs at Precision.HIGHEST
     (6-pass f32 — spectral valleys suffer catastrophic cancellation, so
-    full f32 products matter for bit-parity).
+    full f32 products matter for bit-parity). The mel-filterbank matmul
+    has NO cancellation (all operands non-negative), so a 3-pass bf16
+    split is enough even here: its dropped lo*lo term bounds the relative
+    mel error at ~1.5e-5 => ~6.5e-5 dB, far below the ~1e-3 dB cross-
+    implementation floor of the DFT itself — half the MXU passes for free.
     """
     g = jax.lax.dot_general(  # packed [Re | Im] in one matmul
         frames_ref[:], g_ref[:], (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
     )
     power = g * g  # lane-aligned Re^2 and Im^2; fb row duplication sums them
-    mel = jax.lax.dot_general(
-        power, fb_ref[:], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
-    )  # (M_BLK, n_mels)
+    mel = _tri_dot(power, fbhi_ref[:], fblo_ref[:])  # (M_BLK, n_mels)
     # dB (floor at amin=1e-10; top_db clamp applied by the caller)
     out_ref[:] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
 
@@ -191,14 +192,14 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     fb_spec = pl.BlockSpec((lanes, config.n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((m_blk, config.n_mels), lambda b: (b, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows, config.n_mels), jnp.float32)
-    if precision == "fast":
-        def split(M):
-            hi = M.astype(jnp.bfloat16)
-            lo = (M - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
-            return jnp.asarray(hi), jnp.asarray(lo)
+    def split(M):
+        hi = M.astype(jnp.bfloat16)
+        lo = (M - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
+        return jnp.asarray(hi), jnp.asarray(lo)
 
+    fb_hi, fb_lo = split(fb)
+    if precision == "fast":
         G_hi, G_lo = split(G)
-        fb_hi, fb_lo = split(fb)
         mel_t = pl.pallas_call(
             _mel_kernel_fast,
             grid=(pl.cdiv(rows, m_blk),),
@@ -210,10 +211,10 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
         mel_t = pl.pallas_call(
             _mel_kernel,
             grid=(pl.cdiv(rows, m_blk),),
-            in_specs=[frames_spec, g_spec, fb_spec],
+            in_specs=[frames_spec, g_spec, fb_spec, fb_spec],
             out_specs=out_spec, out_shape=out_shape,
             cost_estimate=cost, interpret=interpret,
-        )(frames, jnp.asarray(G), jnp.asarray(fb))
+        )(frames, jnp.asarray(G), fb_hi, fb_lo)
 
     mel_t = mel_t.reshape(B, frames_pad, config.n_mels)[:, :n_frames, :]
     # (B, T, F) is the kernel's native row layout; 'bft' pays one
