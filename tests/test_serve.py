@@ -131,6 +131,25 @@ def test_service_close_drains_requests_behind_sentinel(model):
     svc._completer.join(timeout=30)
 
 
+def test_service_btf_path_matches_reference_layout(model):
+    """use_pallas=True engages the btf serving layout (interpret-mode
+    Pallas on CPU); results must match the plain path within the serving
+    drift budget."""
+    cfg, params, state = model
+    rng = np.random.default_rng(7)
+    wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1 for _ in range(3)]
+    conf_btf = ServiceConfig(batch_size=4, max_seconds=1, warmup=False,
+                             use_pallas=True)
+    conf_ref = ServiceConfig(batch_size=4, max_seconds=1, warmup=False,
+                             use_pallas=False)
+    with TaggingService(cfg, params, state, conf_btf) as svc:
+        got = svc.infer_many(wavs)
+    with TaggingService(cfg, params, state, conf_ref) as svc:
+        want = svc.infer_many(wavs)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-4)
+
+
 def test_service_per_sample_top_db_isolates_requests(model):
     """Default serving mode: a clip's probabilities must not depend on
     concurrent traffic. In 'torch' mode the dB clamp references the batch

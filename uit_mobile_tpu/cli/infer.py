@@ -59,6 +59,10 @@ def main(argv=None):
                         "padding may slightly alter per-clip frames)")
     parser.add_argument("--labels", type=Path, default=None,
                         help="label index CSV (default: bundled 537-class map)")
+    parser.add_argument("--timestamps", action="store_true",
+                        help="temporal tagging: print top-k per time segment "
+                        "(per crop window; per 0.16s patch for dm-pooling "
+                        "models) instead of one clip-level ranking")
     args = parser.parse_args(argv)
 
     label_maps = load_label_map(args.labels)
@@ -72,15 +76,31 @@ def main(argv=None):
         )
         wavs.append(wave[0])
 
+    def fmt(lab_idx):
+        name = label_maps[int(lab_idx)]
+        return f"Keyword: {name}" if lab_idx > 526 else name
+
+    if args.timestamps:
+        import jax.numpy as jnp
+
+        for wavpath, wave in zip(args.input_wav, wavs):
+            print(f"===== {str(wavpath):^20} =====")
+            probs, times = models.apply_framewise(
+                cfg, params, state, jnp.asarray(wave[None, :])
+            )
+            probs = np.asarray(probs)[0]
+            for (t0, t1), seg in zip(times, probs):
+                top = np.argsort(seg)[::-1][: args.topk]
+                ranked = "  ".join(f"{fmt(i)} {seg[i]:.3f}" for i in top)
+                print(f"[{t0:6.2f}-{t1:6.2f}s] {ranked}")
+        return 0
+
     outputs = run_inference(cfg, params, state, wavs, batched=args.batched)
     for wavpath, output in zip(args.input_wav, outputs):
         print(f"===== {str(wavpath):^20} =====")
         top = np.argsort(output)[::-1][: args.topk]
         for lab_idx in top:
-            label_name = label_maps[int(lab_idx)]
-            if lab_idx > 526:
-                label_name = f"Keyword: {label_name}"
-            print(f"{label_name:<30} {output[lab_idx]:.4f}")
+            print(f"{fmt(lab_idx):<30} {output[lab_idx]:.4f}")
     return 0
 
 

@@ -56,12 +56,22 @@ def apply(cfg, params, state, wav, **kwargs):
     raise TypeError(f"unknown config type {type(cfg)}")
 
 
+def apply_framewise(cfg, params, state, wav, **kwargs):
+    """Dispatch temporal tagging: -> (probs (B, S, C), times (S, 2) s)."""
+    if isinstance(cfg, UITConfig):
+        return uit.forward_framewise(cfg, params, state, wav, **kwargs)
+    if isinstance(cfg, MobileNetV2Config):
+        return mobilenetv2.forward_framewise(cfg, params, state, wav, **kwargs)
+    raise TypeError(f"unknown config type {type(cfg)}")
+
+
 __all__ = [
     "MODEL_REGISTRY",
     "PRETRAINED_CHECKPOINTS",
     "get_model_config",
     "build",
     "apply",
+    "apply_framewise",
     "UITConfig",
     "MobileNetV2Config",
 ]

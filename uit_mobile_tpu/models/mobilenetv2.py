@@ -207,6 +207,30 @@ def forward(cfg: MobileNetV2Config, params, state, wav, *, train=False, rng=None
     return probs
 
 
+def forward_framewise(cfg: MobileNetV2Config, params, state, wav, *,
+                      frontend_fn=None):
+    """Eval-only temporal tagging: (B, T_wav) -> (probs (B, S, C),
+    times (S, 2) seconds).
+
+    The network is fully convolutional in time, so the per-timestep
+    classifier probabilities (reference mobilenetv2.py:165-178 computes
+    them but only exposes their mean) ARE the framewise output: one
+    segment per feature timestep (total conv stride 16 mel frames =
+    16*hop/sr = 0.16 s at defaults)."""
+    import numpy as np
+
+    if frontend_fn is None:
+        frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
+    mel = frontend_fn(wav)
+    feats, _ = features_forward(cfg, params, state, mel, train=False)
+    probs = jax.nn.sigmoid(linear(params["classifier"], feats))  # (B, S, C)
+    stride_frames = 16  # 4 stride-2 stages in the feature stack
+    sec = stride_frames * cfg.frontend.hop_length / cfg.frontend.sample_rate
+    S = probs.shape[1]
+    times = np.array([[j * sec, (j + 1) * sec] for j in range(S)], dtype=np.float64)
+    return probs, times
+
+
 def MobileNetV2(**kwargs) -> MobileNetV2Config:
     """Factory mirroring the reference registry name."""
     return MobileNetV2Config(**kwargs)

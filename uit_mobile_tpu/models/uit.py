@@ -391,20 +391,24 @@ def apply_init_bn(cfg, params, state, mel):
     return batch_norm_inference(params["init_bn"], state["init_bn"], mel, axis=-2)
 
 
-def chunk_long_mel(cfg: UITConfig, mel):
-    """(B, F, T>target) -> (B*n_crops, F, target): the eval crop rule.
-
-    Full windows tile from t=0; a short tail is REPLACED by the last full
-    window of the clip (reference uit.py:474-480). Static shapes.
-    """
-    B, F, T = mel.shape
-    L = cfg.target_length
+def _window_starts(T: int, L: int) -> list[int]:
+    """Crop-window start frames: full windows tile from t=0; a short tail
+    is REPLACED by the last full window (reference uit.py:474-480)."""
     n_crops = -(-T // L)
     starts = [i * L for i in range(n_crops)]
     if T % L != 0:
-        starts[-1] = T - L  # tail -> last full window
+        starts[-1] = T - L
+    return starts
+
+
+def chunk_long_mel(cfg: UITConfig, mel):
+    """(B, F, T>target) -> (B*n_crops, F, target): the eval crop rule.
+    Static shapes."""
+    B, F, T = mel.shape
+    L = cfg.target_length
+    starts = _window_starts(T, L)
     crops = jnp.stack([jax.lax.slice_in_dim(mel, s, s + L, axis=-1) for s in starts], axis=1)
-    return crops.reshape(B * n_crops, F, L), n_crops
+    return crops.reshape(B * len(starts), F, L), len(starts)
 
 
 def chunk_long_mel_btf(cfg: UITConfig, mel):
@@ -508,6 +512,72 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
     if train:
         return probs, new_state
     return probs
+
+
+def forward_framewise(cfg: UITConfig, params, state, wav, *,
+                      frontend_fn: Optional[Callable] = None):
+    """Eval-only TEMPORAL tagging: (B, T_wav) wav -> (probs, times).
+
+    Returns per-segment probabilities with their time extents instead of
+    one clip-level score — the capability the reference leaves dormant
+    (its dm head computes per-timestep probabilities, uit.py:405-412, but
+    only ever exposes their mean; its chunked dataset reads 'from'/'to'
+    intervals that run.py never consumes).
+
+    Segmentation by pooling mode:
+    - 'dm': one segment per TIME PATCH (`patch_stride` mel frames =
+      patch_stride*hop/sr seconds, 0.16 s at defaults) — the dm head's
+      per-timestep sigmoid before the time mean;
+    - 'mean'/'token': one segment per crop WINDOW (`target_length`
+      frames, ~1.02 s) — the same windows long-clip eval scores.
+
+    Returns (probs (B, S, outputdim) jax, times (S, 2) numpy seconds
+    [start, end); the tail window overlaps the previous one exactly as
+    the crop rule dictates). Mean over S reproduces forward()'s
+    eval_avg='mean' output.
+    """
+    if frontend_fn is None:
+        frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
+    assert cfg.mel_layout == "bft", "framewise tagging uses the bft layout"
+    mel = frontend_fn(wav)
+    x = apply_init_bn(cfg, params, state, mel)
+    B, F, T = x.shape
+    L = min(cfg.target_length, T)
+    starts = _window_starts(T, L)
+    n = len(starts)
+    crops = jnp.stack(
+        [jax.lax.slice_in_dim(x, s, s + L, axis=-1) for s in starts], axis=1
+    ).reshape(B * n, F, L)
+    feats = forward_features(cfg, params, crops, train=False)  # (B*n, N, D)
+    sec_per_frame = cfg.frontend.hop_length / cfg.frontend.sample_rate
+
+    if cfg.pooling == "dm":
+        fg = cfg.grid_size[0]
+        Bn, N, D = feats.shape
+        tg = N // fg
+        h = feats.reshape(Bn, fg, tg, D).mean(axis=1)  # (B*n, tg, D)
+        probs = jax.nn.sigmoid(
+            linear(params["head"], layer_norm(params["head_norm"], h, eps=1e-5))
+        ).reshape(B, n * tg, cfg.outputdim)
+        times = np.array(
+            [
+                [
+                    (s + j * cfg.patch_stride) * sec_per_frame,
+                    (s + (j + 1) * cfg.patch_stride) * sec_per_frame,
+                ]
+                for s in starts
+                for j in range(tg)
+            ],
+            dtype=np.float64,
+        )
+        return probs, times
+
+    probs = forward_head(cfg, params, feats).reshape(B, n, cfg.outputdim)
+    times = np.array(
+        [[s * sec_per_frame, (s + L) * sec_per_frame] for s in starts],
+        dtype=np.float64,
+    )
+    return probs, times
 
 
 # ------------------------------------------------------------------ factories
