@@ -201,3 +201,50 @@ def gsc_accuracy(y_pred: np.ndarray, y_true_multihot: np.ndarray,
     )
 
     return float((y_pred.argmax(-1) == y).mean())
+
+
+# ----------------------------------------------------- strong-label segments
+
+def segment_events_to_targets(times: np.ndarray, events, num_classes: int,
+                              min_overlap: float = 0.5) -> np.ndarray:
+    """Rasterize strong labels onto framewise segments.
+
+    times: (S, 2) [start, end) seconds (models.apply_framewise output).
+    events: iterable of (class_index, onset_s, offset_s).
+    A segment is positive for a class when the event covers at least
+    `min_overlap` of the segment (or of the event, whichever is shorter —
+    so events shorter than one segment still register).
+    -> (S, num_classes) multi-hot.
+    """
+    times = np.asarray(times, dtype=np.float64)
+    out = np.zeros((times.shape[0], num_classes), dtype=np.float32)
+    seg_len = times[:, 1] - times[:, 0]
+    for cls, on, off in events:
+        ov = np.minimum(times[:, 1], off) - np.maximum(times[:, 0], on)
+        denom = np.minimum(seg_len, max(off - on, 1e-9))
+        out[ov / np.maximum(denom, 1e-9) >= min_overlap, int(cls)] = 1.0
+    return out
+
+
+def segment_f1(framewise_probs: np.ndarray, segment_targets: np.ndarray,
+               threshold: float = 0.5) -> dict:
+    """Segment-based strong-label scores (DCASE-style segment evaluation):
+    binarize per (segment, class) at `threshold`, report micro/macro F1,
+    precision and recall over all segments x classes.
+
+    framewise_probs: (S, C) (single clip) or (B*S, C) stacked segments.
+    segment_targets: same shape multi-hot (segment_events_to_targets).
+    """
+    p = (np.asarray(framewise_probs) >= threshold).astype(np.int32)
+    t = np.asarray(segment_targets).astype(np.int32)
+    assert p.shape == t.shape, (p.shape, t.shape)
+    return {
+        "Segment_Micro_F1": float(f1_score(t, p, average="micro", zero_division=0)),
+        "Segment_Macro_F1": float(f1_score(t, p, average="macro", zero_division=0)),
+        "Segment_Micro_Precision": float(
+            precision_score(t, p, average="micro", zero_division=0)
+        ),
+        "Segment_Micro_Recall": float(
+            recall_score(t, p, average="micro", zero_division=0)
+        ),
+    }
