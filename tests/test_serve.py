@@ -150,6 +150,24 @@ def test_service_btf_path_matches_reference_layout(model):
         np.testing.assert_allclose(g, w, atol=1e-4)
 
 
+def test_service_data_parallel_matches_single_device(model):
+    """data_parallel=True shards bucket batches over the 8-device CPU mesh;
+    results must equal the single-device path."""
+    cfg, params, state = model
+    rng = np.random.default_rng(11)
+    wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1 for _ in range(6)]
+    conf_dp = ServiceConfig(batch_size=8, max_seconds=2, warmup=False,
+                            data_parallel=True)
+    conf_1d = ServiceConfig(batch_size=8, max_seconds=2, warmup=False)
+    with TaggingService(cfg, params, state, conf_dp) as svc:
+        assert svc._dp and all(bs % 8 == 0 for _, bs in svc._buckets), svc._buckets
+        got = svc.infer_many(wavs)
+    with TaggingService(cfg, params, state, conf_1d) as svc:
+        want = svc.infer_many(wavs)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-6)
+
+
 def test_service_per_sample_top_db_isolates_requests(model):
     """Default serving mode: a clip's probabilities must not depend on
     concurrent traffic. In 'torch' mode the dB clamp references the batch

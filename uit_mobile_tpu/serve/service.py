@@ -52,6 +52,10 @@ class ServiceConfig:
     # cross-request coupling. 'torch': torchaudio's batch-global clamp, for
     # bit-parity with offline evaluation.
     top_db_mode: str = "per_sample"
+    # shard each bucket batch over ALL visible devices (pure DP over ICI:
+    # batch axis sharded, weights replicated — parallel/mesh.py); bucket
+    # batch sizes round up to device-count multiples
+    data_parallel: bool = False
 
 
 class TaggingService:
@@ -80,9 +84,18 @@ class TaggingService:
         frontend = make_frontend_fn(fe_cfg, use_pallas=use_pallas,
                                     precision="fast" if use_pallas else "exact",
                                     layout=layout)
-        self._fwd = jax.jit(
-            lambda w: models.apply(model_cfg, params, state, w, frontend_fn=frontend)
-        )
+        fwd_fn = lambda w: models.apply(model_cfg, params, state, w,
+                                        frontend_fn=frontend)
+        n_dev = len(jax.devices())
+        self._dp = config.data_parallel and n_dev > 1
+        if self._dp:
+            from ..parallel.mesh import data_parallel_forward
+
+            self._fwd = data_parallel_forward(fwd_fn)
+            self._batch_multiple = n_dev
+        else:
+            self._fwd = jax.jit(fwd_fn)
+            self._batch_multiple = 1
         self._q: queue.Queue = queue.Queue()
         # (device_result, chunk) pairs awaiting materialization; bounded ->
         # backpressure on the batcher when the device is saturated
@@ -92,8 +105,10 @@ class TaggingService:
         # bucket lengths: 1..max_seconds seconds; batch size shrinks with
         # length so every bucket does similar work per dispatch
         self._buckets = []
+        m = self._batch_multiple
         for s in range(1, config.max_seconds + 1):
             bs = max(1, config.batch_size // s)
+            bs = -(-bs // m) * m  # round up to a device-count multiple
             self._buckets.append((s * sr, bs))
         if config.warmup:
             for length, bs in self._buckets:
