@@ -1,0 +1,29 @@
+"""Persistent compilation cache helper."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from uit_mobile_tpu.utils import enable_compilation_cache
+
+
+def test_enable_compilation_cache_populates_dir(tmp_path, monkeypatch):
+    target = tmp_path / "xla"
+    assert enable_compilation_cache(target) is True
+    # force even trivial programs into the cache for the assertion
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        jax.jit(lambda x: (x @ x).sum() + 3.5)(jnp.ones((64, 64))).block_until_ready()
+        assert target.exists() and len(os.listdir(target)) > 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def test_opt_out_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("UIT_MOBILE_TPU_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache(tmp_path / "nope") is False
+    assert not (tmp_path / "nope").exists()

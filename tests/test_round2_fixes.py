@@ -206,6 +206,59 @@ def test_kws_eval_honors_checkpoint_basename_flag(tmp_path):
         ev2._kws(str(ckpt_without), str(tsv))
 
 
+# ------------------------------------------------- evaluator fast / DP modes
+
+def _eval_fixture(tmp_path):
+    import h5py
+
+    from uit_mobile_tpu.ckpt.io import save_checkpoint
+
+    rng = np.random.default_rng(0)
+    h5 = tmp_path / "e.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(5):  # 5 clips: not a multiple of the 8-device mesh
+            f[f"c{i}.wav"] = (rng.standard_normal(16000) * 3000).astype(np.int16)
+            rows.append((f"c{i}.wav", "530", str(h5)))
+    tsv = tmp_path / "e.tsv"
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+        tsv, sep="\t", index=False)
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102, depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, cfg)
+    return ckpt, tsv
+
+
+def test_evaluator_data_parallel_matches_single_device(tmp_path):
+    from uit_mobile_tpu.data import read_tsv_data
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    ckpt, tsv = _eval_fixture(tmp_path)
+    df = read_tsv_data(tsv, basename=False)
+    base = Evaluator(str(ckpt), batch_size=5, num_workers=0)
+    dp = Evaluator(str(ckpt), batch_size=5, num_workers=0, data_parallel=True)
+    pa, _ = base._run_epoch(df, num_classes=537)
+    pb, _ = dp._run_epoch(df, num_classes=537)  # 5 rows -> padded to 8, sliced
+    assert pa.shape == pb.shape == (5, 537)
+    np.testing.assert_allclose(pa, pb, atol=1e-6)
+
+
+def test_evaluator_fast_mode_stays_inside_budget(tmp_path):
+    from uit_mobile_tpu.data import read_tsv_data
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    ckpt, tsv = _eval_fixture(tmp_path)
+    df = read_tsv_data(tsv, basename=False)
+    exact = Evaluator(str(ckpt), batch_size=5, num_workers=0)
+    # fast on CPU still exercises the precision knob (btf needs pallas)
+    fast = Evaluator(str(ckpt), batch_size=5, num_workers=0, fast=True,
+                     use_pallas=True)
+    pa, _ = exact._run_epoch(df, num_classes=537)
+    pb, _ = fast._run_epoch(df, num_classes=537)
+    assert np.abs(pa - pb).max() < 1e-3
+
+
 # ---------------------------------------------- bucketed trainer validation
 
 def test_trainer_validate_buckets_shapes(tmp_path):

@@ -17,6 +17,9 @@ from ..evaluate import Evaluator
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse compiled executables across runs
     parser = argparse.ArgumentParser(prog="uit-evaluate")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -48,9 +51,23 @@ def main(argv=None):
                        default="datasets/audioset/data/labels/eval.csv")
     p_all.add_argument("--batch-size", type=int, default=32)
 
+    for sp in (p_as, p_gsc, p_all):
+        sp.add_argument("--fast", action="store_true",
+                        help="serving-grade speed: 3-pass bf16 DFT + btf "
+                        "layout on TPU (<=3e-4 prob drift); omit for "
+                        "bit-parity gates")
+        sp.add_argument("--data-parallel", action="store_true",
+                        help="shard eval batches over all visible devices")
+        sp.add_argument("--bucket-seconds", type=float, default=None,
+                        help="pad batches to second-multiples (bounded "
+                        "compile count on mixed-length eval sets)")
+
     args = parser.parse_args(argv)
     ev = Evaluator(args.experiment_path,
-                   batch_size=getattr(args, "batch_size", 32))
+                   batch_size=getattr(args, "batch_size", 32),
+                   fast=getattr(args, "fast", False),
+                   data_parallel=getattr(args, "data_parallel", False),
+                   bucket_seconds=getattr(args, "bucket_seconds", None))
     if args.command == "all":
         print(ev.gsc(eval_data=args.eval_data))
         results = ev.audioset(audioset_eval_data=args.audioset_eval_data)

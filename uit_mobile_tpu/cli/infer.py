@@ -44,6 +44,9 @@ def run_inference(cfg, params, state, wavs: list[np.ndarray], batched: bool = Fa
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse compiled executables across runs
     parser = argparse.ArgumentParser(
         prog="uit-infer", description="UiT audio tagging + keyword spotting"
     )

@@ -21,6 +21,9 @@ from .common import load_label_map, resolve_model
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse compiled executables across runs
     parser = argparse.ArgumentParser(prog="uit-serve")
     parser.add_argument("-m", "--model", default="uit_xs")
     parser.add_argument("-k", "--topk", type=int, default=5)

@@ -30,6 +30,9 @@ def _parse_overrides(pairs):
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse compiled executables across runs
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(prog="uit-train")
     parser.add_argument("command", choices=["train", "run", "pretrain"])

@@ -1,5 +1,6 @@
 from .config import DEFAULT_ARGS, parse_config_or_kwargs, parse_override
 from .logging import get_logger, add_file_sink
+from .compile_cache import enable_compilation_cache
 
 __all__ = [
     "DEFAULT_ARGS",
