@@ -29,6 +29,12 @@ def main(argv=None):
     parser.add_argument("--train", action="store_true",
                         help="benchmark the fused PSL training step instead "
                         "of inference")
+    parser.add_argument("--serve", action="store_true",
+                        help="benchmark request latency through the "
+                        "TaggingService under closed-loop load (p50/p95/p99 "
+                        "per request, end-to-end incl. batching)")
+    parser.add_argument("--serve-requests", type=int, default=512)
+    parser.add_argument("--serve-concurrency", type=int, default=64)
     parser.add_argument("--random-weights", action="store_true", default=True)
     parser.add_argument("--profile", metavar="LOGDIR", default=None,
                         help="capture a jax.profiler trace of 3 batches")
@@ -49,6 +55,54 @@ def main(argv=None):
     wav = jnp.asarray(
         np.random.default_rng(0).standard_normal((B, T)).astype(np.float32) * 0.1
     )
+
+    if args.serve:
+        import threading
+
+        from ..serve import ServiceConfig, TaggingService
+
+        cfg = models.get_model_config(args.model, outputdim=537, target_length=102)
+        params, state = models.build(cfg, jax.random.key(0))
+        svc = TaggingService(
+            cfg, params, state,
+            ServiceConfig(batch_size=min(B, 256), max_seconds=2,
+                          use_pallas=use_pallas),
+        )
+        rng = np.random.default_rng(0)
+        clips = [rng.standard_normal(T).astype(np.float32) * 0.1
+                 for _ in range(16)]
+        lat: list[float] = []
+        lock = threading.Lock()
+        n_req = args.serve_requests
+        conc = args.serve_concurrency
+
+        def client(i):
+            r = np.random.default_rng(i)
+            for _ in range(n_req // conc):
+                t0 = time.perf_counter()
+                svc.submit(clips[int(r.integers(len(clips)))]).result(timeout=120)
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append(dt)
+
+        # warm the 1s bucket before timing
+        svc.submit(clips[0]).result(timeout=600)
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(conc)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        svc.close()
+        ms = np.asarray(lat) * 1e3
+        print(
+            f"serve({args.model}): {len(lat)} requests, {conc} concurrent "
+            f"-> {len(lat) / wall:.0f} req/s; per-request latency "
+            f"p50={np.percentile(ms, 50):.1f} p95={np.percentile(ms, 95):.1f} "
+            f"p99={np.percentile(ms, 99):.1f} ms (incl. batching window)"
+        )
+        return 0
 
     if args.train:
         import optax
