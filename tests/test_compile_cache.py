@@ -9,6 +9,12 @@ from uit_mobile_tpu.utils import enable_compilation_cache
 
 
 def test_enable_compilation_cache_populates_dir(tmp_path, monkeypatch):
+    # an earlier test (e.g. a CLI main) may have initialized the cache at
+    # the default path; JAX binds the cache object once, so re-pointing
+    # the dir needs an explicit reset
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    cc.reset_cache()
     target = tmp_path / "xla"
     assert enable_compilation_cache(target) is True
     # force even trivial programs into the cache for the assertion
@@ -21,6 +27,7 @@ def test_enable_compilation_cache_populates_dir(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", None)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        cc.reset_cache()
 
 
 def test_opt_out_env(tmp_path, monkeypatch):
