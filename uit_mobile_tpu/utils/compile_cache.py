@@ -32,6 +32,16 @@ def enable_compilation_cache(path: str | os.PathLike | None = None) -> bool:
     target = Path(path or _DEFAULT)
     try:
         target.mkdir(parents=True, exist_ok=True)
+        # JAX binds the cache object on first use; re-pointing the dir
+        # afterwards needs an explicit reset or writes keep going to the
+        # previously configured directory
+        current = getattr(jax.config, "jax_compilation_cache_dir", None)
+        if current and current != str(target):
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc,
+            )
+
+            _cc.reset_cache()
         jax.config.update("jax_compilation_cache_dir", str(target))
         # cache anything that took meaningful compile time
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
