@@ -26,8 +26,9 @@ bench:
 # Config 3: uit_xs GSC Accuracy@0.2 = 97.76 (README.md:176-178).
 # Config 5: audioset mAP sweep (34.09 / 32.21 / 30.97).
 parity:
-	@ls checkpoints/uit_xs.pt checkpoints/uit_xs.npz 2>/dev/null || \
-	  (echo "ERROR: no checkpoints/uit_xs.{pt,npz} — drop the zenodo dumps in checkpoints/ first (see NEXT_STEPS.md)"; exit 1)
+	@if ! ls checkpoints/uit_xs.npz >/dev/null 2>&1 && \
+	    ! ls checkpoints/uit_xs*.pt >/dev/null 2>&1; then \
+	  echo "ERROR: no checkpoints/uit_xs{.npz,*.pt} — drop the zenodo dumps in checkpoints/ first (see NEXT_STEPS.md)"; exit 1; fi
 	$(PY) -m uit_mobile_tpu.cli.infer samples/85b877b5_nohash_0.wav -m uit_xxxs -k 5
 	$(PY) -m uit_mobile_tpu.cli.infer samples/*.wav -m uit_xxs -k 5
 	$(PY) -m uit_mobile_tpu.cli.infer samples/*.wav -m uit_xs -k 5

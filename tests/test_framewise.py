@@ -45,14 +45,22 @@ def test_dm_pooling_framewise_patches_match_forward():
 
 
 def test_mobilenetv2_framewise_matches_forward():
+    from uit_mobile_tpu.models.mobilenetv2 import total_time_stride
+
     cfg = models.get_model_config("MobileNetV2", outputdim=9)
+    assert total_time_stride(cfg) == 32  # stem + 4 stride-2 stages
     params, state = models.build(cfg, jax.random.key(2))
     wav = _wav(2, 16000, seed=2)
     probs, times = models.apply_framewise(cfg, params, state, wav)
     B, S, C = probs.shape
     assert (B, C) == (2, 9)
     assert times.shape == (S, 2)
-    np.testing.assert_allclose(times[:, 1] - times[:, 0], 0.16)
+    np.testing.assert_allclose(times[:, 1] - times[:, 0], 0.32)
+    # the time grid must actually COVER the clip (regression: a wrong
+    # stride constant compressed all timestamps 2x)
+    clip_seconds = 16000 / 16000
+    assert times[-1, 1] >= clip_seconds - 0.32
+    assert times[-1, 1] <= clip_seconds + 0.32 + 1e-9
     clip = np.asarray(models.apply(cfg, params, state, wav))
     np.testing.assert_allclose(np.asarray(probs).mean(axis=1), clip, atol=1e-6)
 

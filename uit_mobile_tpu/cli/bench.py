@@ -65,7 +65,8 @@ def main(argv=None):
         params, state = models.build(cfg, jax.random.key(0))
         svc = TaggingService(
             cfg, params, state,
-            ServiceConfig(batch_size=min(B, 256), max_seconds=2,
+            ServiceConfig(batch_size=min(B, 256),
+                          max_seconds=max(2, int(np.ceil(args.seconds))),
                           use_pallas=use_pallas),
         )
         rng = np.random.default_rng(0)
@@ -73,12 +74,12 @@ def main(argv=None):
                  for _ in range(16)]
         lat: list[float] = []
         lock = threading.Lock()
-        n_req = args.serve_requests
-        conc = args.serve_concurrency
+        conc = min(args.serve_concurrency, args.serve_requests)
+        per_client = max(1, args.serve_requests // conc)
 
         def client(i):
             r = np.random.default_rng(i)
-            for _ in range(n_req // conc):
+            for _ in range(per_client):
                 t0 = time.perf_counter()
                 svc.submit(clips[int(r.integers(len(clips)))]).result(timeout=120)
                 dt = time.perf_counter() - t0

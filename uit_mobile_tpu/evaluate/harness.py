@@ -90,27 +90,35 @@ class Evaluator:
         return self._resolved
 
     def _make_forward(self, cfg, params, state):
-        import dataclasses
-
         import jax
         import jax.numpy as jnp
-
-        from ..ops import make_frontend_fn
-        from .. import models
 
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
-        use_btf = self.fast and use_pallas and hasattr(cfg, "mel_layout")
-        run_cfg = dataclasses.replace(cfg, mel_layout="btf") if use_btf else cfg
-        frontend = make_frontend_fn(
-            cfg.frontend, use_pallas=use_pallas,
+        dp_active = self.data_parallel and jax.device_count() > 1
+        if dp_active and use_pallas:
+            # Mosaic kernels carry no SPMD partitioning rule: a pallas_call
+            # under jit with batch-sharded inputs cannot be partitioned on
+            # real multi-chip hosts (CPU tests run the kernel in interpret
+            # mode, which partitions as ordinary XLA and hides this). The
+            # XLA frontend also keeps the batch-GLOBAL top_db reference
+            # exact across shards (GSPMD inserts the collective for
+            # jnp.max), which per-shard pallas execution would not.
+            log.info("data_parallel eval: using the XLA frontend "
+                     "(pallas kernels cannot be auto-partitioned)")
+            use_pallas = False
+        # single policy source (ops/pipeline.make_forward_fn); btf engages
+        # only in fast mode — exact keeps the reference bft orientation
+        # for bit-parity gates
+        from ..ops.pipeline import make_forward_fn
+
+        fwd_fn = make_forward_fn(
+            cfg, params, state, use_pallas=use_pallas,
             precision="fast" if self.fast else "exact",
-            layout="btf" if use_btf else "bft",
+            btf=self.fast,
         )
-        fwd_fn = lambda w: models.apply(run_cfg, params, state, w,
-                                        frontend_fn=frontend)
-        if self.data_parallel and jax.device_count() > 1:
+        if dp_active:
             from ..parallel.mesh import data_parallel_forward
 
             jitted = data_parallel_forward(fwd_fn)

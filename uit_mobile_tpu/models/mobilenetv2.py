@@ -207,6 +207,17 @@ def forward(cfg: MobileNetV2Config, params, state, wav, *, train=False, rng=None
     return probs
 
 
+def total_time_stride(cfg: MobileNetV2Config) -> int:
+    """Cumulative time downsampling of the feature stack: the stem conv
+    (stride 2) times every stride-2 inverted-residual stage — 32 for the
+    standard table, computed from layer_specs so width variants stay
+    correct."""
+    stride = 1
+    for spec in layer_specs(cfg):
+        stride *= spec[4] if spec[0] == "convbnrelu" else spec[3]
+    return stride
+
+
 def forward_framewise(cfg: MobileNetV2Config, params, state, wav, *,
                       frontend_fn=None):
     """Eval-only temporal tagging: (B, T_wav) -> (probs (B, S, C),
@@ -224,7 +235,7 @@ def forward_framewise(cfg: MobileNetV2Config, params, state, wav, *,
     mel = frontend_fn(wav)
     feats, _ = features_forward(cfg, params, state, mel, train=False)
     probs = jax.nn.sigmoid(linear(params["classifier"], feats))  # (B, S, C)
-    stride_frames = 16  # 4 stride-2 stages in the feature stack
+    stride_frames = total_time_stride(cfg)  # 32 for the standard table
     sec = stride_frames * cfg.frontend.hop_length / cfg.frontend.sample_rate
     S = probs.shape[1]
     times = np.array([[j * sec, (j + 1) * sec] for j in range(S)], dtype=np.float64)

@@ -135,9 +135,13 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
 
     Drop-in replacement for frontend.mel.log_mel_spectrogram (same
     torchaudio semantics, including the configured top_db_mode).
-    precision: 'exact' (bit-parity, HIGHEST) or 'fast' (3-pass bf16 DFT,
-    ~1.15x end-to-end throughput, <=2.5e-4 prob drift — see
-    _mel_kernel_fast).
+    precision:
+    - 'exact': parity-grade — the cancellation-sensitive DFT matmul at
+      Precision.HIGHEST; the cancellation-free filterbank matmul as a
+      3-pass bf16 split (~6.5e-5 dB effect, far below the kernel's
+      ~1e-3 dB valley floor vs an rfft reference — see _mel_kernel).
+    - 'fast': both matmuls 3-pass bf16 (~1.15x end-to-end throughput,
+      <=2.5e-4 output-probability drift — see _mel_kernel_fast).
     layout: 'bft' -> (B, n_mels, n_frames), the reference's orientation;
     'btf' -> (B, n_frames, n_mels), the kernel's NATIVE row layout — no
     lane<->sublane transpose copy (serving fast path; consumed by

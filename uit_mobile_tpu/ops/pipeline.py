@@ -26,18 +26,33 @@ from .pallas_mel import make_frontend_fn
 
 
 def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
-                    precision: str = "exact"):
+                    precision: str = "exact",
+                    top_db_mode: Optional[str] = None,
+                    btf: Optional[bool] = None):
     """Best-available eval forward. Returns fn(wav)->probs (not yet jitted).
 
-    precision: 'exact' (bit-parity-grade) or 'fast' (3-pass bf16 DFT,
+    The ONE place that encodes the layout/precision policy — serving
+    (serve/service.py, serve/streaming.py) and evaluation
+    (evaluate/harness.py) build their forwards through here.
+
+    precision: 'exact' (parity-grade) or 'fast' (3-pass bf16 DFT,
     <=3e-4 prob drift — serving).
+    top_db_mode: override the frontend's dB-clamp reference
+    ('per_sample' for serving isolation); None keeps the config's mode.
+    btf: force (True) / disable (False) the transpose-free (B, T, F)
+    layout; None = auto — on whenever the Pallas kernel runs and the
+    model supports it. Only ever engages under pallas on a UiT config.
     """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    use_btf = use_pallas and isinstance(cfg, models.UITConfig)
+    eligible = use_pallas and isinstance(cfg, models.UITConfig)
+    use_btf = eligible if btf is None else (btf and eligible)
+    fe_cfg = getattr(cfg, "frontend", None)
+    if top_db_mode is not None and fe_cfg is not None:
+        fe_cfg = dataclasses.replace(fe_cfg, top_db_mode=top_db_mode)
     run_cfg = dataclasses.replace(cfg, mel_layout="btf") if use_btf else cfg
     frontend = make_frontend_fn(
-        getattr(cfg, "frontend", None), use_pallas=use_pallas,
+        fe_cfg, use_pallas=use_pallas,
         precision=precision, layout="btf" if use_btf else "bft",
     )
     return lambda wav: models.apply(run_cfg, params, state, wav,

@@ -66,28 +66,27 @@ class TaggingService:
         import jax
         import jax.numpy as jnp
 
-        from .. import models
-        from ..ops import make_frontend_fn
+        from ..ops.pipeline import make_forward_fn
 
         self.cfg = config
         self._jnp = jnp
         use_pallas = config.use_pallas
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
-        fe_cfg = dataclasses.replace(model_cfg.frontend, top_db_mode=config.top_db_mode)
-        # btf layout on TPU: the Pallas kernel's native (B, T, F) output
-        # feeds patch_embed_btf directly (no transpose, init_bn folded) —
-        # serving is eval-only, which is exactly where btf is valid
-        layout = "btf" if (use_pallas and hasattr(model_cfg, "mel_layout")) else "bft"
-        if layout == "btf":
-            model_cfg = dataclasses.replace(model_cfg, mel_layout="btf")
-        frontend = make_frontend_fn(fe_cfg, use_pallas=use_pallas,
-                                    precision="fast" if use_pallas else "exact",
-                                    layout=layout)
-        fwd_fn = lambda w: models.apply(model_cfg, params, state, w,
-                                        frontend_fn=frontend)
         n_dev = len(jax.devices())
         self._dp = config.data_parallel and n_dev > 1
+        if self._dp and use_pallas:
+            # Mosaic kernels have no SPMD partitioning rule — a pallas_call
+            # under jit with batch-sharded inputs cannot be partitioned on
+            # multi-chip hosts; fall back to the XLA frontend under DP
+            use_pallas = False
+        # single policy source (ops/pipeline.make_forward_fn): fast
+        # precision + btf layout on TPU, per-request dB-clamp isolation
+        fwd_fn = make_forward_fn(
+            model_cfg, params, state, use_pallas=use_pallas,
+            precision="fast" if use_pallas else "exact",
+            top_db_mode=config.top_db_mode,
+        )
         if self._dp:
             from ..parallel.mesh import data_parallel_forward
 

@@ -51,8 +51,7 @@ class MultiStreamTagger:
         import jax
         import jax.numpy as jnp
 
-        from .. import models
-        from ..ops import make_frontend_fn
+        from ..ops.pipeline import make_forward_fn
 
         self.cfg = config
         self.n_streams = n_streams
@@ -63,18 +62,13 @@ class MultiStreamTagger:
         use_pallas = config.use_pallas
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
-        fe_cfg = dataclasses.replace(model_cfg.frontend, top_db_mode=config.top_db_mode)
-        # btf serving layout on TPU (see serve/service.py): eval-only paths
-        # take the transpose-free kernel-native mel orientation
-        layout = "btf" if (use_pallas and hasattr(model_cfg, "mel_layout")) else "bft"
-        if layout == "btf":
-            model_cfg = dataclasses.replace(model_cfg, mel_layout="btf")
-        frontend = make_frontend_fn(fe_cfg, use_pallas=use_pallas,
-                                    precision="fast" if use_pallas else "exact",
-                                    layout=layout)
-        self._fwd = jax.jit(
-            lambda w: models.apply(model_cfg, params, state, w, frontend_fn=frontend)
-        )
+        # single policy source (ops/pipeline.make_forward_fn): fast + btf
+        # on TPU, per-stream dB-clamp isolation
+        self._fwd = jax.jit(make_forward_fn(
+            model_cfg, params, state, use_pallas=use_pallas,
+            precision="fast" if use_pallas else "exact",
+            top_db_mode=config.top_db_mode,
+        ))
         self._buf = np.zeros((n_streams, self._win), dtype=np.float32)
         self._filled = np.zeros(n_streams, dtype=np.int64)   # samples seen
         self._since_hop = np.zeros(n_streams, dtype=np.int64)
