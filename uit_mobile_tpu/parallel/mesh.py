@@ -53,20 +53,39 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def data_parallel_forward(forward_fn, mesh: Mesh | None = None, axis: str = "data"):
+def data_parallel_forward(forward_fn, mesh: Mesh | None = None, axis: str = "data",
+                          manual: bool = False):
     """Wrap an eval forward (wav -> probs) for batch-sharded execution.
 
     Weights captured in the closure replicate automatically; the batch axis
     shards over the mesh and results gather on the way out (fully
     addressable). Batch sizes must divide the mesh; callers pad to the
     service batch size (serve/) or a devices-multiple (evaluate/).
+
+    manual=False (default): GSPMD auto-partitioning — correct for pure-XLA
+    forwards, including cross-batch reductions like the torch-mode
+    batch-global top_db clamp (a collective is inserted). Mosaic/Pallas
+    custom calls CANNOT be auto-partitioned — use manual=True for those.
+
+    manual=True: shard_map — the function runs per-device on its batch
+    shard (the documented way to run Pallas kernels multi-device). Any
+    cross-batch reduction inside becomes per-shard; only use with
+    per-sample frontend semantics (serve/ defaults to per_sample).
     """
     mesh = mesh or make_mesh()
-    jitted = jax.jit(
-        forward_fn,
-        in_shardings=batch_sharded(mesh, axis),
-        out_shardings=batch_sharded(mesh, axis),
-    )
+    if manual:
+        jitted = jax.jit(
+            jax.shard_map(
+                forward_fn, mesh=mesh,
+                in_specs=P(axis), out_specs=P(axis), check_vma=False,
+            )
+        )
+    else:
+        jitted = jax.jit(
+            forward_fn,
+            in_shardings=batch_sharded(mesh, axis),
+            out_shardings=batch_sharded(mesh, axis),
+        )
 
     def fn(wav):
         assert wav.shape[0] % mesh.devices.size == 0, (

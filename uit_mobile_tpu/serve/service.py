@@ -75,10 +75,10 @@ class TaggingService:
             use_pallas = jax.devices()[0].platform == "tpu"
         n_dev = len(jax.devices())
         self._dp = config.data_parallel and n_dev > 1
-        if self._dp and use_pallas:
-            # Mosaic kernels have no SPMD partitioning rule — a pallas_call
-            # under jit with batch-sharded inputs cannot be partitioned on
-            # multi-chip hosts; fall back to the XLA frontend under DP
+        if self._dp and use_pallas and config.top_db_mode == "torch":
+            # the batch-GLOBAL clamp would become per-shard under
+            # shard_map; keep exact torch semantics via the XLA frontend
+            # (GSPMD inserts the cross-shard max collective)
             use_pallas = False
         # single policy source (ops/pipeline.make_forward_fn): fast
         # precision + btf layout on TPU, per-request dB-clamp isolation
@@ -90,7 +90,10 @@ class TaggingService:
         if self._dp:
             from ..parallel.mesh import data_parallel_forward
 
-            self._fwd = data_parallel_forward(fwd_fn)
+            # manual (shard_map) when the Pallas frontend is in play —
+            # Mosaic kernels cannot be GSPMD-auto-partitioned; safe here
+            # because per_sample clamp semantics have no cross-batch term
+            self._fwd = data_parallel_forward(fwd_fn, manual=use_pallas)
             self._batch_multiple = n_dev
         else:
             self._fwd = jax.jit(fwd_fn)
