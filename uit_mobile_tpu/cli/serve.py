@@ -30,6 +30,13 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--max-seconds", type=int, default=10)
     parser.add_argument("--no-warmup", action="store_true")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard each bucket batch over all visible devices")
+    parser.add_argument("--top-db-mode", default="per_sample",
+                        choices=["per_sample", "torch"],
+                        help="dB-clamp reference: per_sample isolates "
+                        "co-batched requests (default); torch = offline-eval "
+                        "bit parity")
     args = parser.parse_args(argv)
 
     from ..serve import ServiceConfig, TaggingService
@@ -39,7 +46,9 @@ def main(argv=None):
     service = TaggingService(
         cfg, params, state,
         ServiceConfig(batch_size=args.batch_size, max_seconds=args.max_seconds,
-                      warmup=not args.no_warmup),
+                      warmup=not args.no_warmup,
+                      data_parallel=args.data_parallel,
+                      top_db_mode=args.top_db_mode),
     )
     print("ready", file=sys.stderr, flush=True)
 
