@@ -206,6 +206,44 @@ def test_kws_eval_honors_checkpoint_basename_flag(tmp_path):
         ev2._kws(str(ckpt_without), str(tsv))
 
 
+# --------------------------------------------------------- threshold sweep
+
+def test_kws_threshold_sweep_monotonic_tradeoff():
+    from uit_mobile_tpu.evaluate.metrics import kws_threshold_sweep
+
+    rng = np.random.default_rng(0)
+    n, n_as = 200, 527
+    # half keyword clips with strong keyword scores, half filler
+    y = np.zeros((n, 537), np.float32)
+    probs = rng.uniform(0, 0.15, (n, 537)).astype(np.float32)
+    for i in range(n):
+        if i % 2 == 0:
+            k = 527 + (i % 10)
+            y[i, k] = 1.0
+            probs[i, k] = rng.uniform(0.3, 0.95)
+        else:
+            y[i, rng.integers(0, n_as)] = 1.0
+    curve = kws_threshold_sweep(probs, y)
+    ts = sorted(curve)
+    assert ts == sorted(set(ts)) and len(ts) >= 5
+    far = [curve[t]["filler_false_accept_rate"] for t in ts]
+    frr = [curve[t]["macro_false_reject_rate"] for t in ts]
+    # raising the threshold can only reduce false accepts and raise rejects
+    assert all(a >= b - 1e-9 for a, b in zip(far, far[1:]))
+    assert all(a <= b + 1e-9 for a, b in zip(frr, frr[1:]))
+    assert all(0.0 <= curve[t]["Accuracy"] <= 1.0 for t in ts)
+
+
+def test_evaluator_gsc_sweep_flag(tmp_path):
+    from uit_mobile_tpu.data import read_tsv_data  # noqa: F401
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    ckpt, tsv = _eval_fixture(tmp_path)
+    ev = Evaluator(batch_size=4, num_workers=0, report_dir=str(tmp_path))
+    res = ev._kws(str(ckpt), str(tsv), sweep=True)
+    assert "_sweep" in res and 0.2 in res["_sweep"]
+
+
 # ------------------------------------------------- evaluator fast / DP modes
 
 def _eval_fixture(tmp_path):

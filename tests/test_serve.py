@@ -172,6 +172,52 @@ def test_service_data_parallel_matches_single_device(model, use_pallas):
         np.testing.assert_allclose(g, w, atol=1e-5)
 
 
+def test_service_close_race_never_strands_futures(model):
+    """Stress the submit/close race: every Future must resolve or be
+    cancelled — none may hang. (Regression for the drain-on-close and
+    cancel-after-join paths.)"""
+    import threading
+    from concurrent.futures import CancelledError
+
+    cfg, params, state = model
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+    for trial in range(3):
+        svc = TaggingService(cfg, params, state,
+                             ServiceConfig(batch_size=4, max_seconds=1,
+                                           warmup=(trial == 0), max_wait_ms=1.0))
+        futures = []
+        flock = threading.Lock()
+        stop = threading.Event()
+
+        def submitter():
+            while not stop.is_set():
+                try:
+                    f = svc.submit(wav)
+                except AssertionError:  # service closed mid-loop
+                    return
+                with flock:
+                    futures.append(f)
+
+        threads = [threading.Thread(target=submitter) for _ in range(4)]
+        for t in threads:
+            t.start()
+        import time as _t
+
+        _t.sleep(0.05 * (trial + 1))
+        svc.close()
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        assert futures, "no requests made it in before close"
+        for f in futures:
+            try:
+                out = f.result(timeout=30)
+                assert out.shape == (537,)
+            except CancelledError:
+                pass  # acceptable: raced in behind the final drain
+
+
 def test_service_per_sample_top_db_isolates_requests(model):
     """Default serving mode: a clip's probabilities must not depend on
     concurrent traffic. In 'torch' mode the dB clamp references the batch

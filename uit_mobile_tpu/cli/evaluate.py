@@ -37,6 +37,9 @@ def main(argv=None):
     p_gsc.add_argument("--threshold", type=float, default=0.2)
     p_gsc.add_argument("--batch-size", type=int, default=32)
     p_gsc.add_argument("--pad", action="store_true")
+    p_gsc.add_argument("--sweep", action="store_true",
+                       help="print the accuracy/FAR/FRR operating curve "
+                       "across thresholds, not just the single 0.2 point")
 
     p_ts = sub.add_parser("test_sample")
     p_ts.add_argument("experiment_path")
@@ -78,8 +81,8 @@ def main(argv=None):
         print({k: v for k, v in results.items() if not hasattr(v, "shape")})
     elif args.command == "gsc":
         results = ev.gsc(eval_data=args.eval_data, threshold=args.threshold,
-                         pad=args.pad)
-        print(results)
+                         pad=args.pad, sweep=args.sweep)
+        print({k: v for k, v in results.items() if not k.startswith("_")})
     else:
         ev.test_sample(args.experiment_path, args.sample, topk=args.topk)
     return 0

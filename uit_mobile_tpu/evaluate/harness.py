@@ -183,13 +183,15 @@ class Evaluator:
 
     def gsc(self, experiment_path: Optional[str] = None,
             eval_data: str = "datasets/gsc/data/labels/test_gsc_aslabels.tsv",
-            threshold: float = 0.2, pad: bool = False, detailed: bool = False):
+            threshold: float = 0.2, pad: bool = False, detailed: bool = False,
+            sweep: bool = False):
         return self._kws(experiment_path, eval_data, threshold=threshold,
-                         label_name="GSC", pad=pad, detailed=detailed)
+                         label_name="GSC", pad=pad, detailed=detailed,
+                         sweep=sweep)
 
     def _kws(self, experiment_path, eval_data, threshold: float = 0.2,
              label_name: str = "GSC", pad: bool = False,
-             detailed: bool = False):
+             detailed: bool = False, sweep: bool = False):
         self._setup(experiment_path)
         # the checkpoint's training config decides whether manifests index
         # by basename (reference evaluate.py:200-201: config.get('basename',
@@ -202,6 +204,16 @@ class Evaluator:
                                          pad_to_target=pad)
         acc = gsc_accuracy(preds, targets, threshold=threshold)
         results = {f"Accuracy@{threshold}": acc}
+        if sweep:
+            from .metrics import kws_threshold_sweep
+
+            curve = kws_threshold_sweep(preds, targets)
+            for t, row in curve.items():
+                log.info(
+                    f"threshold {t:.2f}: "
+                    + "  ".join(f"{k} {v * 100:.2f}" for k, v in row.items())
+                )
+            results["_sweep"] = curve
         if detailed:
             from .metrics import kws_operating_metrics
 

@@ -248,3 +248,24 @@ def segment_f1(framewise_probs: np.ndarray, segment_targets: np.ndarray,
             recall_score(t, p, average="micro", zero_division=0)
         ),
     }
+
+
+def kws_threshold_sweep(y_pred: np.ndarray, y_true_multihot: np.ndarray,
+                        thresholds=None, n_audioset: int = 527) -> dict:
+    """Operating curve across decision thresholds: GSC accuracy, filler
+    false-accept rate and macro false-reject rate per threshold — the
+    deployment tuning view behind the reference's single Accuracy@0.2
+    number. -> {threshold: {metric: value}} (sorted by threshold)."""
+    if thresholds is None:
+        thresholds = (0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9)
+    out: dict = {}
+    for t in sorted(thresholds):
+        op = kws_operating_metrics(y_pred, y_true_multihot, threshold=t,
+                                   n_audioset=n_audioset)
+        row = {"Accuracy": gsc_accuracy(y_pred, y_true_multihot, threshold=t,
+                                        n_audioset=n_audioset)}
+        for k in ("filler_false_accept_rate", "macro_false_reject_rate"):
+            if k in op:
+                row[k] = op[k]
+        out[float(t)] = row
+    return out
