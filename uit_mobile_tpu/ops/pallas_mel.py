@@ -130,7 +130,8 @@ def _mel_kernel_fast(frames_ref, ghi_ref, glo_ref, fbhi_ref, fblo_ref, out_ref):
 
 def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
                    interpret: bool | None = None,
-                   precision: str = "exact", layout: str = "bft") -> jax.Array:
+                   precision: str = "exact", layout: str = "bft",
+                   block_rows: int | None = None) -> jax.Array:
     """(B, T) waveform -> log-mel dB, fused on TPU.
 
     Drop-in replacement for frontend.mel.log_mel_spectrogram (same
@@ -185,7 +186,9 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     frames = wav[:, idx].reshape(B * frames_pad, n_fft)  # free reshape
 
     rows = B * frames_pad
-    m_blk = min(1024, rows)
+    # 1024 measured best on v5e (512: more grid overhead; 2048: VMEM
+    # pressure); block_rows overrides for tuning
+    m_blk = min(block_rows or 1024, rows)
     cost = pl.CostEstimate(
         flops=2 * rows * n_fft * lanes + 2 * rows * lanes * config.n_mels,
         bytes_accessed=rows * (n_fft + config.n_mels) * 4,
