@@ -74,7 +74,7 @@ def main(argv=None):
                  for _ in range(16)]
         lat: list[float] = []
         lock = threading.Lock()
-        conc = min(args.serve_concurrency, args.serve_requests)
+        conc = max(1, min(args.serve_concurrency, args.serve_requests))
         per_client = max(1, args.serve_requests // conc)
 
         def client(i):

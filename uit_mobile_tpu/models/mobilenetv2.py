@@ -226,8 +226,9 @@ def forward_framewise(cfg: MobileNetV2Config, params, state, wav, *,
     The network is fully convolutional in time, so the per-timestep
     classifier probabilities (reference mobilenetv2.py:165-178 computes
     them but only exposes their mean) ARE the framewise output: one
-    segment per feature timestep (total conv stride 16 mel frames =
-    16*hop/sr = 0.16 s at defaults)."""
+    segment per feature timestep (total conv time stride = 32 mel frames
+    for the standard table -> 32*hop/sr = 0.32 s at defaults; computed
+    by total_time_stride)."""
     import numpy as np
 
     if frontend_fn is None:

@@ -188,7 +188,8 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     rows = B * frames_pad
     # 1024 measured best on v5e (512: more grid overhead; 2048: VMEM
     # pressure); block_rows overrides for tuning
-    m_blk = min(block_rows or 1024, rows)
+    assert block_rows is None or block_rows > 0, block_rows
+    m_blk = min(block_rows if block_rows is not None else 1024, rows)
     cost = pl.CostEstimate(
         flops=2 * rows * n_fft * lanes + 2 * rows * lanes * config.n_mels,
         bytes_accessed=rows * (n_fft + config.n_mels) * 4,
@@ -237,15 +238,17 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
 
 
 def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = True,
-                     precision: str = "exact", layout: str = "bft"):
+                     precision: str = "exact", layout: str = "bft",
+                     block_rows: int | None = None):
     """Frontend callable for models.*.forward(frontend_fn=...).
 
     layout='btf' must pair with a model config whose mel_layout='btf'
-    (models.uit consumes (B, T, F) directly, skipping the transpose)."""
+    (models.uit consumes (B, T, F) directly, skipping the transpose).
+    block_rows tunes the kernel's grid block (pallas path only)."""
     config = config or FrontendConfig()
     if use_pallas:
         return lambda wav: pallas_log_mel(wav, config, precision=precision,
-                                          layout=layout)
+                                          layout=layout, block_rows=block_rows)
     from ..frontend.mel import log_mel_spectrogram
 
     if layout == "btf":

@@ -55,5 +55,11 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
         fe_cfg, use_pallas=use_pallas,
         precision=precision, layout="btf" if use_btf else "bft",
     )
-    return lambda wav: models.apply(run_cfg, params, state, wav,
-                                    frontend_fn=frontend)
+
+    def fn(wav):
+        return models.apply(run_cfg, params, state, wav, frontend_fn=frontend)
+
+    # consumed by parallel/mesh.data_parallel_forward: Mosaic kernels need
+    # the shard_map (manual) route, which it selects from this flag
+    fn.uses_pallas = use_pallas
+    return fn

@@ -54,7 +54,7 @@ def replicate_tree(mesh: Mesh, tree):
 
 
 def data_parallel_forward(forward_fn, mesh: Mesh | None = None, axis: str = "data",
-                          manual: bool = False):
+                          manual: bool | None = None):
     """Wrap an eval forward (wav -> probs) for batch-sharded execution.
 
     Weights captured in the closure replicate automatically; the batch axis
@@ -62,17 +62,24 @@ def data_parallel_forward(forward_fn, mesh: Mesh | None = None, axis: str = "dat
     addressable). Batch sizes must divide the mesh; callers pad to the
     service batch size (serve/) or a devices-multiple (evaluate/).
 
-    manual=False (default): GSPMD auto-partitioning — correct for pure-XLA
+    manual=False: GSPMD auto-partitioning — correct for pure-XLA
     forwards, including cross-batch reductions like the torch-mode
     batch-global top_db clamp (a collective is inserted). Mosaic/Pallas
-    custom calls CANNOT be auto-partitioned — use manual=True for those.
+    custom calls CANNOT be auto-partitioned — they need manual=True.
 
     manual=True: shard_map — the function runs per-device on its batch
     shard (the documented way to run Pallas kernels multi-device). Any
     cross-batch reduction inside becomes per-shard; only use with
     per-sample frontend semantics (serve/ defaults to per_sample).
+
+    manual=None (default): decided from the forward's ``uses_pallas``
+    attribute (set by ops/pipeline.make_forward_fn) so composing a
+    Pallas forward with DP cannot silently produce the un-partitionable
+    configuration.
     """
     mesh = mesh or make_mesh()
+    if manual is None:
+        manual = bool(getattr(forward_fn, "uses_pallas", False))
     if manual:
         jitted = jax.jit(
             jax.shard_map(

@@ -90,10 +90,10 @@ class TaggingService:
         if self._dp:
             from ..parallel.mesh import data_parallel_forward
 
-            # manual (shard_map) when the Pallas frontend is in play —
-            # Mosaic kernels cannot be GSPMD-auto-partitioned; safe here
+            # manual (shard_map) route auto-selected from fwd_fn.uses_pallas
+            # — Mosaic kernels cannot be GSPMD-auto-partitioned; safe here
             # because per_sample clamp semantics have no cross-batch term
-            self._fwd = data_parallel_forward(fwd_fn, manual=use_pallas)
+            self._fwd = data_parallel_forward(fwd_fn)
             self._batch_multiple = n_dev
         else:
             self._fwd = jax.jit(fwd_fn)
@@ -103,6 +103,7 @@ class TaggingService:
         # backpressure on the batcher when the device is saturated
         self._done_q: queue.Queue = queue.Queue(maxsize=max(1, config.max_inflight))
         self._closed = False
+        self._close_lock = threading.Lock()
         sr = config.sample_rate
         # bucket lengths: 1..max_seconds seconds; batch size shrinks with
         # length so every bucket does similar work per dispatch
@@ -129,13 +130,18 @@ class TaggingService:
 
     def submit(self, wav: np.ndarray) -> Future:
         """Queue a single (T,) float32 waveform; resolves to (C,) probs."""
-        assert not self._closed, "service is closed"
         wav = np.asarray(wav, dtype=np.float32).reshape(-1)
         assert wav.shape[0] <= self.cfg.max_seconds * self.cfg.sample_rate, (
             f"clip longer than max_seconds={self.cfg.max_seconds}"
         )
         fut: Future = Future()
-        self._q.put((wav, fut))
+        # the closed-check and enqueue must be atomic against close()'s
+        # sentinel put: otherwise a submit preempted between them can land
+        # its request BEHIND the final drain and strand the Future forever
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._q.put((wav, fut))
         return fut
 
     def infer_many(self, wavs: Sequence[np.ndarray]) -> list[np.ndarray]:
@@ -143,8 +149,11 @@ class TaggingService:
         return [f.result() for f in futs]
 
     def close(self):
-        self._closed = True
-        self._q.put(None)
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # FIFO: everything submitted before is ahead
         self._worker.join(timeout=60)
         self._completer.join(timeout=60)
         # A submit() racing with close() can land behind the worker's final
