@@ -69,6 +69,32 @@ def test_trainer_resume(tmp_path):
     out1 = train_from_config(dict(base))
     last = out1.parent / "last.npz"
     assert last.exists()
+
+    # the snapshot carries the FULL trajectory: best-k history, patience,
+    # step counter — so a resumed run's averaged.npz covers the whole run
+    from uit_mobile_tpu.ckpt.io import load_checkpoint
+
+    with np.load(last) as z:
+        import json
+
+        meta = json.loads(bytes(z["__meta__"]).decode())
+    extra = meta["extra"]
+    assert extra["step"] == 2  # 1 epoch x epoch_length 2
+    assert "best_score" in extra and "bad_evals" in extra
+    assert extra["saved"], "best-k history missing from the resume snapshot"
+    for s, p in extra["saved"]:
+        assert (out1.parent / __import__("pathlib").Path(p).name).exists()
+
     # resume for one more epoch
     out2 = train_from_config(dict(base, resume=str(last), epochs=2))
     assert out2.exists()
+    # the resumed run restored the pre-crash best checkpoints: its averaged
+    # deliverable must aggregate entries from BOTH stints (n_saved=2 and
+    # 2 evals total -> averaged_from has 2 paths, at least one from run 1)
+    _, _, _, extra2 = load_checkpoint(out2)
+    averaged_from = extra2.get("averaged_from", [])
+    assert averaged_from, "averaged.npz missing provenance"
+    names1 = {p.name for p in out1.parent.glob("best_model_*.npz")}
+    assert any(
+        __import__("pathlib").Path(p).name in names1 for p in averaged_from
+    ), f"resumed averaging dropped the pre-resume checkpoints: {averaged_from}"

@@ -116,8 +116,12 @@ def average_checkpoints(paths):
         if acc_p is None:
             acc_p, acc_s = params, state
         else:
-            acc_p = jax.tree.map(lambda a, b: a + b, acc_p, params)
-            acc_s = jax.tree.map(lambda a, b: a + b, acc_s, state)
+            # accumulate ONLY float leaves; non-float leaves (counters,
+            # quantized tensors) keep the first checkpoint's value — a
+            # blanket sum would hand back k-times the stored value
+            add = lambda a, b: a + b if jnp.issubdtype(a.dtype, jnp.floating) else a
+            acc_p = jax.tree.map(add, acc_p, params)
+            acc_s = jax.tree.map(add, acc_s, state)
     n = float(len(paths))
     avg = lambda a: jax.tree.map(lambda x: (x / n).astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, a)
     return avg(acc_p), avg(acc_s), cfg, extra

@@ -50,7 +50,15 @@ def load_torch_checkpoint(path) -> dict:
     if isinstance(dump, dict) and "model" in dump and isinstance(dump["model"], dict):
         config = dump.get("config")
         if config is not None and not isinstance(config, dict):
+            # config wrappers expose either a `.dict` mapping attribute
+            # (the reference's DictWrapper, utils.py:173-181) or a
+            # pydantic-style `.dict()` METHOD — call it, don't return the
+            # bound method
             config = getattr(config, "dict", None)
+            if callable(config):
+                config = config()
+            if config is not None and not isinstance(config, dict):
+                config = None
         dump = dump["model"]
     sd = {k: v.detach().cpu().numpy() for k, v in dump.items() if hasattr(v, "numpy")}
     return {"state_dict": sd, "config": config}

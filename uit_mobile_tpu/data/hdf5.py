@@ -133,6 +133,9 @@ def pad_batch(waves: Sequence[np.ndarray], padding_value: float = 0.0):
     return out, lengths
 
 
+_NATIVE_COLLATE_WARNED = False
+
+
 def collate(samples):
     """[(wav, target, fname)] -> dict batch (the sequential_pad contract).
 
@@ -148,6 +151,18 @@ def collate(samples):
         else:
             data, lengths = pad_batch(waves)
     except Exception:
+        # a FAILING native assembler (not merely an unbuilt one — that is
+        # the clean native.available() branch) must not be silently
+        # masked forever: warn once, then keep serving via numpy
+        global _NATIVE_COLLATE_WARNED
+        if not _NATIVE_COLLATE_WARNED:
+            _NATIVE_COLLATE_WARNED = True
+            import logging
+
+            logging.getLogger("uit_mobile_tpu").warning(
+                "native pad_batch failed; falling back to numpy collate",
+                exc_info=True,
+            )
         data, lengths = pad_batch(waves)
     return {
         "wav": data,
@@ -294,12 +309,19 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     """Move batches to device ahead of consumption on a background thread.
 
     With a NamedSharding this doubles as the host->mesh distribution stage.
+
+    The producer thread TERMINATES when the consumer drops or closes the
+    generator (generator.close() / GC raises GeneratorExit here): without
+    that, wrapping an INFINITE training stream would leak the thread, up
+    to `size` device-resident batches, and the source loader's open HDF5
+    handles for the life of the process on every abandoned iteration.
     """
     import jax
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
     _ERR = object()
+    stop = threading.Event()
 
     def put(x):
         if isinstance(x, np.ndarray) and x.dtype != object:
@@ -311,7 +333,15 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                item = put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surface I/O errors to the consumer
             q.put((_ERR, e))
             return
@@ -319,10 +349,19 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-            raise RuntimeError("device_prefetch producer failed") from item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise RuntimeError("device_prefetch producer failed") from item[1]
+            yield item
+    finally:
+        stop.set()  # release the producer even mid-q.put
+        # drain so a producer blocked on a full queue exits promptly
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -156,10 +156,17 @@ class Trainer:
         chunk_length = c.get("chunk_length")
         use_crop = c.get("psl") is not None or chunk_length is not None
 
+        import random as _random
+
+        ds_counter = iter(range(1000))
+
         def make_ds(df):
             if use_crop:
+                # seed the crop/pad offsets (distinct stream per dataset) so
+                # a fixed config seed reproduces the training batches
                 return WeakRandomCropHDF5Dataset(
-                    df, chunk_length=chunk_length or 1.0, num_classes=num_classes
+                    df, chunk_length=chunk_length or 1.0, num_classes=num_classes,
+                    rng=_random.Random(c.get("seed", 42) * 1000 + next(ds_counter)),
                 )
             return WeakHDF5Dataset(df, num_classes=num_classes)
 
@@ -226,7 +233,9 @@ class Trainer:
         lr = c.get("optimizer_args", {}).get("lr", 1e-3)
         opt_args = {k: v for k, v in c.get("optimizer_args", {}).items() if k != "lr"}
         if c.get("use_scheduler", True):
-            schedule = cosine_with_warmup(lr, total_steps, c.get("warmup_iters"))
+            # default 1000 warmup iters like DEFAULT_ARGS/pretrain (reference
+            # utils.py:29); an absent key must not silently disable warmup
+            schedule = cosine_with_warmup(lr, total_steps, c.get("warmup_iters", 1000))
         else:
             schedule = lr
         optimizer = build_optimizer(c.get("optimizer", "Adam"), schedule, **opt_args)
@@ -234,9 +243,11 @@ class Trainer:
 
         start_epoch = 1
         resume = c.get("resume")
+        resume_extra: dict = {}
         if resume:
-            params, state, opt_state, _, extra = load_training_state(resume, opt_state)
-            start_epoch = int(extra.get("epoch", 0)) + 1
+            params, state, opt_state, _, resume_extra = load_training_state(
+                resume, opt_state)
+            start_epoch = int(resume_extra.get("epoch", 0)) + 1
             log.info(f"resumed from {resume} at epoch {start_epoch}")
 
         use_pallas = jax.devices()[0].platform == "tpu"
@@ -290,6 +301,19 @@ class Trainer:
         n_saved = c.get("n_saved", 4)
         saved: list[tuple[float, Path]] = []
         step_count = 0
+        if resume_extra:
+            # restore the full training trajectory, not just the weights:
+            # best-k history (so averaged.npz covers the WHOLE run), early
+            # stop patience, and the step counter for checkpoint naming
+            step_count = int(resume_extra.get("step", 0))
+            best_score = float(resume_extra.get("best_score", -np.inf))
+            bad_evals = int(resume_extra.get("bad_evals", 0))
+            for s, pth in resume_extra.get("saved", []):
+                if Path(pth).exists():
+                    saved.append((float(s), Path(pth)))
+            saved.sort(key=lambda x: -x[0])
+            if saved:
+                log.info(f"resume: restored {len(saved)} best-checkpoint entries")
 
         def to_step_batch(batch):
             """Assemble the step's numpy batch on the host (device placement
@@ -318,7 +342,15 @@ class Trainer:
                 ),
             }
 
-        score_name, score_sign = (c.get("score_function") or ["mAP", 1.0])
+        sf = c.get("score_function") or ["mAP", 1.0]
+        if isinstance(sf, str):
+            sf = [sf, 1.0]  # bare metric name => maximize
+        if not (isinstance(sf, (list, tuple)) and len(sf) == 2
+                and isinstance(sf[0], str)):
+            raise ValueError(
+                f"score_function must be a metric name or [name, sign], got {sf!r}"
+            )
+        score_name, score_sign = sf[0], float(sf[1])
 
         # overlap host-side batch assembly/transfer with device compute
         from ..data import device_prefetch
@@ -352,10 +384,6 @@ class Trainer:
                 score = score_sign * self._validate(
                     eval_step, params, state, test_loader, epoch, metric=score_name
                 )
-                save_training_state(  # lossless mid-training resume point
-                    self.outputdir / "last.npz", params, state, opt_state, cfg,
-                    extra={"epoch": epoch, "step": step_count, score_name: score},
-                )
                 ckpt_path = self.outputdir / f"best_model_{step_count}_mAP={score:.4f}.npz"
                 saved.append((score, ckpt_path))
                 saved.sort(key=lambda x: -x[0])
@@ -374,6 +402,16 @@ class Trainer:
                     if bad_evals >= patience:
                         log.info(f"Early stopping at epoch {epoch}")
                         stop = True
+                save_training_state(  # lossless mid-training resume point
+                    self.outputdir / "last.npz", params, state, opt_state, cfg,
+                    extra={
+                        "epoch": epoch, "step": step_count, score_name: score,
+                        "best_score": best_score, "bad_evals": bad_evals,
+                        "saved": [[s, str(p)] for s, p in saved],
+                    },
+                )
+
+        train_iter.close()  # stop the prefetch producer (infinite stream)
 
         # average the kept best checkpoints -> the deliverable
         if c.get("average", True) and saved:

@@ -187,13 +187,15 @@ def make_train_step(
             return loss_fn_inner(probs, target), new_state
 
         (loss, new_state), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        # report the PRE-clip norm (torch clip_grad_norm_ semantics):
+        # post-clip it saturates at max_grad_norm and hides spikes
+        gnorm = optax.global_norm(grads)
         if max_grad_norm is not None:
-            gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        metrics = {"total_loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics = {"total_loss": loss, "grad_norm": gnorm}
         return new_params, new_state, new_opt_state, metrics
 
     return train_step
@@ -215,9 +217,10 @@ OPTIMIZERS = {
     ),
     "SGD": lambda lr=1e-3, momentum=0.0, **kw: optax.sgd(lr, momentum=momentum, **kw),
     # The reference optionally uses bitsandbytes Adam8bit (run.py:148-152);
-    # on TPU the analogous memory saver is Adafactor.
-    "Adam8bit": lambda lr=1e-3, **kw: optax.adafactor(lr),
-    "Adafactor": lambda lr=1e-3, **kw: optax.adafactor(lr),
+    # on TPU the analogous memory saver is Adafactor. kwargs forward so an
+    # unknown option fails LOUDLY instead of silently training without it.
+    "Adam8bit": lambda lr=1e-3, **kw: optax.adafactor(lr, **kw),
+    "Adafactor": lambda lr=1e-3, **kw: optax.adafactor(lr, **kw),
 }
 
 
