@@ -62,11 +62,17 @@ def main():
     B = 4096 if on_tpu else 64
     rng = np.random.default_rng(0)
     # two distinct buffers, alternated: guards against any same-args
-    # dispatch dedup in remote-TPU relays
-    wavs = [
-        jnp.asarray(rng.standard_normal((B, 16000)).astype(np.float32) * 0.1)
+    # dispatch dedup in remote-TPU relays. Headline input is raw int16 PCM
+    # (the HDF5 datasets' storage format): the framing gather moves half
+    # the HBM bytes and the 1/32768 scale folds into the DFT matrices
+    # bitwise-exactly (ops/pallas_mel.py) — measured +23% over f32 wavs.
+    pcm = [
+        np.clip(rng.standard_normal((B, 16000)) * 0.1 * 32768, -32768, 32767)
+        .astype(np.int16)
         for _ in range(2)
     ]
+    wavs = [jnp.asarray(p) for p in pcm]
+    wavs_f32 = [jnp.asarray(p.astype(np.float32) / 32768.0) for p in pcm]
     rounds, depth = (4, 8) if on_tpu else (2, 2)
 
     # headline: fused Pallas mel frontend in the kernel-native (B, T, F)
@@ -84,8 +90,10 @@ def main():
                                              precision="fast", layout="btf"))
     clips_per_s = _measure(fwd_fast, params, state, wavs, B, rounds, depth)
 
-    bft_clips_per_s = exact_clips_per_s = None
+    bft_clips_per_s = exact_clips_per_s = f32_clips_per_s = None
     if on_tpu:
+        # same pipeline fed normalized f32 wavs (round-2 interim headline)
+        f32_clips_per_s = _measure(fwd_fast, params, state, wavs_f32, B, rounds, depth)
         # reference-orientation path (round-1 headline), for comparison
         fwd_bft = make_fwd(make_frontend_fn(cfg.frontend, use_pallas=True,
                                             precision="fast"))
@@ -123,7 +131,8 @@ def main():
     p50 = float(np.percentile(times, 50))
 
     print(
-        f"# batch={B} pipelined fast-btf={clips_per_s:.0f} "
+        f"# batch={B} pipelined fast-btf-int16={clips_per_s:.0f} "
+        f"fast-btf-f32={f32_clips_per_s and round(f32_clips_per_s)} "
         f"fast-bft={bft_clips_per_s and round(bft_clips_per_s)} "
         f"exact-btf={exact_clips_per_s and round(exact_clips_per_s)} "
         f"cpu={cpu_clips_per_s and round(cpu_clips_per_s, 1)} clips/s/chip; "
@@ -134,11 +143,13 @@ def main():
     # Reference ambition proxy: 3.4 ms/clip on Snapdragon 865 (README.md:15-24)
     baseline_clips_per_s = 1000.0 / 3.4
     record = {
-        "metric": "uit_xs 1s-clip inferences/sec/chip (batched, pallas mel frontend, btf layout)",
+        "metric": "uit_xs 1s-clip inferences/sec/chip (batched, pallas mel frontend, btf layout, int16 PCM in)",
         "value": round(clips_per_s, 1),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_s / baseline_clips_per_s, 2),
     }
+    if f32_clips_per_s is not None:
+        record["f32_clips_per_s"] = round(f32_clips_per_s, 1)
     if exact_clips_per_s is not None:
         record["exact_clips_per_s"] = round(exact_clips_per_s, 1)
     if bft_clips_per_s is not None:

@@ -37,6 +37,11 @@ def main(argv=None):
                         help="dB-clamp reference: per_sample isolates "
                         "co-batched requests (default); torch = offline-eval "
                         "bit parity")
+    parser.add_argument("--dtype", default="int16",
+                        choices=["int16", "float32"],
+                        help="device transfer dtype: int16 keeps PCM 2-byte "
+                        "across the host->device link and the framing gather "
+                        "(+23%% measured, bitwise-identical output)")
     args = parser.parse_args(argv)
 
     from ..serve import ServiceConfig, TaggingService
@@ -48,7 +53,7 @@ def main(argv=None):
         ServiceConfig(batch_size=args.batch_size, max_seconds=args.max_seconds,
                       warmup=not args.no_warmup,
                       data_parallel=args.data_parallel,
-                      top_db_mode=args.top_db_mode),
+                      top_db_mode=args.top_db_mode, dtype=args.dtype),
     )
     print("ready", file=sys.stderr, flush=True)
 

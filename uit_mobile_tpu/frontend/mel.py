@@ -165,7 +165,13 @@ def amplitude_to_db(power: jax.Array, config: FrontendConfig) -> jax.Array:
 
 
 def log_mel_spectrogram(wav: jax.Array, config: FrontendConfig) -> jax.Array:
-    """(..., T) waveform -> (..., n_mels, n_frames) log-mel in dB."""
+    """(..., T) waveform -> (..., n_mels, n_frames) log-mel in dB.
+
+    int16 PCM is accepted and normalized by 1/32768 (exact: a power-of-two
+    exponent shift), matching the HDF5 datasets' on-host convention and the
+    Pallas kernel's int16 fast path."""
+    if wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
     power = spectrogram(wav, config)                       # (..., F, TT)
     fb = jnp.asarray(mel_filterbank(config))               # (F, n_mels)
     mel = jnp.swapaxes(jnp.swapaxes(power, -1, -2) @ fb, -1, -2)

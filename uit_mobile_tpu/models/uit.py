@@ -465,6 +465,11 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
         )
         return forward_head(cfg, params, feats)
 
+    if train and wav.dtype == jnp.int16:
+        # int16 PCM is an eval/serving input convention (every frontend
+        # normalizes it by 1/32768, bitwise-exactly); training augments
+        # (wav_augment, mixup lambdas) assume normalized f32.
+        raise ValueError("training expects normalized float32 waveforms")
     if frontend_fn is None:
         frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
     if train and wav_augment is not None:

