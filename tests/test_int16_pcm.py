@@ -73,6 +73,79 @@ def test_train_rejects_int16(pcm):
                      rng=jax.random.key(1))
 
 
+def _eval_fixture(tmp_path):
+    import h5py
+    import pandas as pd
+    from uit_mobile_tpu.ckpt.io import save_checkpoint
+
+    rng = np.random.default_rng(3)
+    h5 = tmp_path / "e.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(5):
+            f[f"c{i}.wav"] = (rng.standard_normal(16000) * 3000).astype(np.int16)
+            rows.append((f"c{i}.wav", "530", str(h5)))
+    tsv = tmp_path / "e.tsv"
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+        tsv, sep="\t", index=False)
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, cfg)
+    return ckpt, tsv
+
+
+def test_dataset_and_collate_emit_int16(tmp_path):
+    from uit_mobile_tpu.data import WeakHDF5Dataset, collate, read_tsv_data
+
+    _, tsv = _eval_fixture(tmp_path)
+    df = read_tsv_data(tsv, basename=False)
+    ds_i = WeakHDF5Dataset(df, num_classes=537, dtype="int16")
+    ds_f = WeakHDF5Dataset(df, num_classes=537)
+    wav_i, _, _ = ds_i[0]
+    wav_f, _, _ = ds_f[0]
+    assert wav_i.dtype == np.int16
+    np.testing.assert_array_equal(wav_i.astype(np.float32) / 32768.0, wav_f)
+    batch = collate([ds_i[j] for j in range(3)])
+    assert batch["wav"].dtype == np.int16
+
+
+def test_evaluator_int16_bitwise_matches_float32(tmp_path):
+    from uit_mobile_tpu.data import read_tsv_data
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    ckpt, tsv = _eval_fixture(tmp_path)
+    df = read_tsv_data(tsv, basename=False)
+    pa, _ = Evaluator(str(ckpt), batch_size=5,
+                      num_workers=0)._run_epoch(df, num_classes=537)
+    pb, _ = Evaluator(str(ckpt), batch_size=5, num_workers=0,
+                      dtype="int16")._run_epoch(df, num_classes=537)
+    np.testing.assert_array_equal(pa, pb)
+
+
+def test_train_step_int16_batch_matches_float32(pcm):
+    import optax
+    from uit_mobile_tpu.train.steps import make_train_step
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt)
+    rng = np.random.default_rng(5)
+    target = (rng.random((3, 537)) < 0.01).astype(np.float32)
+    r = jax.random.key(2)
+    p_i, _, _, m_i = step(params, state, opt_state,
+                          {"wav": jnp.asarray(pcm), "target": jnp.asarray(target)}, r)
+    p_f, _, _, m_f = step(params, state, opt_state,
+                          {"wav": jnp.asarray(_f32(pcm)), "target": jnp.asarray(target)}, r)
+    assert float(m_i["total_loss"]) == float(m_f["total_loss"])
+    for a, b in zip(jax.tree.leaves(p_i), jax.tree.leaves(p_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_service_int16_matches_float32(pcm):
     cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
                                   depth=1)

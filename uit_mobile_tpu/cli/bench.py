@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--serve-requests", type=int, default=512)
     parser.add_argument("--serve-concurrency", type=int, default=64)
     parser.add_argument("--random-weights", action="store_true", default=True)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "int16"],
+                        help="feed raw int16 PCM (half the transfer/gather "
+                        "bytes, bitwise-identical results)")
     parser.add_argument("--profile", metavar="LOGDIR", default=None,
                         help="capture a jax.profiler trace of 3 batches")
     args = parser.parse_args(argv)
@@ -52,9 +56,14 @@ def main(argv=None):
     prec = "exact" if args.exact else "fast"
     B = args.batch_size
     T = int(16000 * args.seconds)
-    wav = jnp.asarray(
-        np.random.default_rng(0).standard_normal((B, T)).astype(np.float32) * 0.1
-    )
+
+    def mk_wav(rng, shape):
+        w = rng.standard_normal(shape).astype(np.float32) * 0.1
+        if args.dtype == "int16":
+            return np.clip(w * 32768, -32768, 32767).astype(np.int16)
+        return w
+
+    wav = jnp.asarray(mk_wav(np.random.default_rng(0), (B, T)))
 
     if args.serve:
         import threading
@@ -67,11 +76,10 @@ def main(argv=None):
             cfg, params, state,
             ServiceConfig(batch_size=min(B, 256),
                           max_seconds=max(2, int(np.ceil(args.seconds))),
-                          use_pallas=use_pallas),
+                          use_pallas=use_pallas, dtype=args.dtype),
         )
         rng = np.random.default_rng(0)
-        clips = [rng.standard_normal(T).astype(np.float32) * 0.1
-                 for _ in range(16)]
+        clips = [mk_wav(rng, T) for _ in range(16)]
         lat: list[float] = []
         lock = threading.Lock()
         conc = max(1, min(args.serve_concurrency, args.serve_requests))
@@ -129,11 +137,11 @@ def main(argv=None):
         def mk():
             return {
                 "audioset": {
-                    "wav": jnp.asarray(rng.standard_normal((half, T)).astype(np.float32) * 0.1),
+                    "wav": jnp.asarray(mk_wav(rng, (half, T))),
                     "target": jnp.asarray((rng.random((half, 537)) < 0.02).astype(np.float32)),
                 },
                 "kws": {
-                    "wav": jnp.asarray(rng.standard_normal((half, T)).astype(np.float32) * 0.1),
+                    "wav": jnp.asarray(mk_wav(rng, (half, T))),
                     "target": jnp.asarray((rng.random((half, 537)) < 0.02).astype(np.float32)),
                 },
             }

@@ -64,13 +64,18 @@ def main(argv=None):
         sp.add_argument("--bucket-seconds", type=float, default=None,
                         help="pad batches to second-multiples (bounded "
                         "compile count on mixed-length eval sets)")
+        sp.add_argument("--dtype", default="float32",
+                        choices=["float32", "int16"],
+                        help="int16 transfers batches as raw PCM (half the "
+                        "host->device bytes, bitwise-identical results)")
 
     args = parser.parse_args(argv)
     ev = Evaluator(args.experiment_path,
                    batch_size=getattr(args, "batch_size", 32),
                    fast=getattr(args, "fast", False),
                    data_parallel=getattr(args, "data_parallel", False),
-                   bucket_seconds=getattr(args, "bucket_seconds", None))
+                   bucket_seconds=getattr(args, "bucket_seconds", None),
+                   dtype=getattr(args, "dtype", "float32"))
     if args.command == "all":
         print(ev.gsc(eval_data=args.eval_data))
         results = ev.audioset(audioset_eval_data=args.audioset_eval_data)

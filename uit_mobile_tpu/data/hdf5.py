@@ -36,12 +36,33 @@ def _to_float32(data: np.ndarray) -> np.ndarray:
     return np.asarray(data, dtype=np.float32)
 
 
-class WeakHDF5Dataset:
-    """Full-clip dataset: index -> (waveform, multihot target, filename)."""
+def _convert(data: np.ndarray, dtype) -> np.ndarray:
+    """Stored int16 PCM -> requested emission dtype.
 
-    def __init__(self, data_frame: pd.DataFrame, num_classes: int):
+    'int16' keeps the PCM raw (every frontend folds the 1/32768 scale in
+    bitwise-exactly — see ops/pallas_mel.py — and the batch crosses the
+    host->device link at half the bytes); 'float32' is the reference's
+    on-host convention (dataset.py:44-45)."""
+    if dtype == np.int16:
+        if np.issubdtype(data.dtype, np.integer):
+            return np.asarray(data, dtype=np.int16)
+        return np.clip(np.asarray(data, np.float32) * 32768.0,
+                       -32768, 32767).astype(np.int16)
+    return _to_float32(data)
+
+
+class WeakHDF5Dataset:
+    """Full-clip dataset: index -> (waveform, multihot target, filename).
+
+    dtype: 'float32' (default, reference semantics) or 'int16' (raw PCM
+    emission for the eval/serving fast path)."""
+
+    def __init__(self, data_frame: pd.DataFrame, num_classes: int,
+                 dtype: str = "float32"):
+        assert dtype in ("float32", "int16"), dtype
         self._dataframe = data_frame.reset_index(drop=True)
         self._num_classes = num_classes
+        self._dtype = np.int16 if dtype == "int16" else np.float32
         self._local = threading.local()  # per-thread h5 handle cache
 
     def __len__(self) -> int:
@@ -56,7 +77,7 @@ class WeakHDF5Dataset:
         return cache[hdf5path]
 
     def _read(self, hdf5path: str, fname: str) -> np.ndarray:
-        return _to_float32(self._file(hdf5path)[fname][:])
+        return _convert(self._file(hdf5path)[fname][:], self._dtype)
 
     def __getitem__(self, index: int):
         row = self._dataframe.iloc[index]
@@ -70,8 +91,9 @@ class WeakRandomCropHDF5Dataset(WeakHDF5Dataset):
     (short clips) — reference dataset.py:75-93 semantics."""
 
     def __init__(self, data_frame, chunk_length: float, num_classes: int,
-                 sample_rate: int = 16000, rng: Optional[_random.Random] = None):
-        super().__init__(data_frame, num_classes)
+                 sample_rate: int = 16000, rng: Optional[_random.Random] = None,
+                 dtype: str = "float32"):
+        super().__init__(data_frame, num_classes, dtype=dtype)
         self.chunk_length = int(chunk_length * sample_rate)
         self._rng = rng or _random.Random()
 
@@ -87,7 +109,7 @@ class WeakRandomCropHDF5Dataset(WeakHDF5Dataset):
             data = np.zeros(L, dtype=loaded.dtype)
             start = self._rng.randint(0, L - n - 1) if L > n else 0
             data[start:start + n] = loaded
-        return _to_float32(data)
+        return _convert(data, self._dtype)
 
 
 class WeakChunkedHDF5Dataset(WeakHDF5Dataset):
@@ -103,7 +125,7 @@ class WeakChunkedHDF5Dataset(WeakHDF5Dataset):
         target = multihot(row["labels"], self._num_classes)
         node = self._file(row["hdf5path"])[row["filename"]]
         data = node[int(float(row["from"]) * self._sr): int(float(row["to"]) * self._sr)]
-        return _to_float32(data), target, row["filename"]
+        return _convert(data, self._dtype), target, row["filename"]
 
 
 class UnlabeledRandomChunkedHDF5Dataset(WeakRandomCropHDF5Dataset):
@@ -125,9 +147,11 @@ class UnlabeledRandomChunkedHDF5Dataset(WeakRandomCropHDF5Dataset):
 # -------------------------------------------------------------------- batching
 
 def pad_batch(waves: Sequence[np.ndarray], padding_value: float = 0.0):
-    """Right-pad to batch max -> ((B, T), lengths). reference dataset.py:183-197."""
+    """Right-pad to batch max -> ((B, T), lengths). reference dataset.py:183-197.
+    Batch dtype follows the waves' (int16 PCM stays int16)."""
     lengths = np.asarray([w.shape[-1] for w in waves], dtype=np.int32)
-    out = np.full((len(waves), int(lengths.max())), padding_value, dtype=np.float32)
+    dtype = waves[0].dtype if waves and waves[0].dtype == np.int16 else np.float32
+    out = np.full((len(waves), int(lengths.max())), padding_value, dtype=dtype)
     for i, w in enumerate(waves):
         out[i, : w.shape[-1]] = w
     return out, lengths
@@ -146,9 +170,9 @@ def collate(samples):
     try:
         from .. import native
 
-        if native.available():
+        if native.available() and waves[0].dtype != np.int16:
             data, lengths = native.pad_batch_native(waves)
-        else:
+        else:  # numpy path also carries the int16 PCM fast path
             data, lengths = pad_batch(waves)
     except Exception:
         # a FAILING native assembler (not merely an unbuilt one — that is

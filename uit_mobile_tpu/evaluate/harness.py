@@ -42,7 +42,8 @@ class Evaluator:
                  num_workers: int = 3, use_pallas: Optional[bool] = None,
                  report_dir: Optional[str] = None,
                  bucket_seconds: Optional[float] = None,
-                 fast: bool = False, data_parallel: bool = False):
+                 fast: bool = False, data_parallel: bool = False,
+                 dtype: str = "float32"):
         """bucket_seconds: when set, every batch right-pads up to the next
         multiple of this many seconds — the whole eval runs on a handful of
         compiled shapes instead of one per distinct batch-max length.
@@ -55,7 +56,10 @@ class Evaluator:
         data_parallel: shard eval batches over ALL visible devices (pure
         DP; batches zero-pad up to a device-count multiple — padded rows
         are dropped from the results and cannot raise the batch-global
-        top_db reference, so parity is unaffected for non-silent data)."""
+        top_db reference, so parity is unaffected for non-silent data).
+        dtype: 'int16' transfers batches as raw PCM (half the
+        host->device bytes; bitwise-identical outputs — every frontend
+        folds the 1/32768 scale in exactly, tests/test_int16_pcm.py)."""
         self._resolved = None
         self._run_config: dict = {}
         self._model_spec = model_spec
@@ -67,6 +71,8 @@ class Evaluator:
         self.bucket_seconds = bucket_seconds
         self.fast = fast
         self.data_parallel = data_parallel
+        assert dtype in ("float32", "int16"), dtype
+        self.dtype = dtype
 
     # ------------------------------------------------------------------ setup
 
@@ -133,7 +139,7 @@ class Evaluator:
             if rem:
                 wav_np = np.concatenate(
                     [wav_np,
-                     np.zeros((pad_multiple - rem, wav_np.shape[1]), np.float32)]
+                     np.zeros((pad_multiple - rem, wav_np.shape[1]), wav_np.dtype)]
                 )
             out = np.asarray(jitted(jnp.asarray(wav_np)))
             return out[:n]
@@ -144,7 +150,7 @@ class Evaluator:
 
     def _run_epoch(self, df, num_classes: int, pad_to_target: bool = False):
         cfg, params, state = self._setup()
-        ds = WeakHDF5Dataset(df, num_classes=num_classes)
+        ds = WeakHDF5Dataset(df, num_classes=num_classes, dtype=self.dtype)
         loader = DataLoader(ds, batch_size=self.batch_size, shuffle=False,
                             num_workers=self.num_workers)
         preds, targets = [], []

@@ -155,6 +155,9 @@ class Trainer:
         num_classes = c.get("num_classes", 527)
         chunk_length = c.get("chunk_length")
         use_crop = c.get("psl") is not None or chunk_length is not None
+        # 'int16' ships raw PCM to the device (half the transfer bytes);
+        # the train step normalizes on device, bitwise-equal to f32 loaders
+        data_dtype = c.get("data_dtype", "float32")
 
         import random as _random
 
@@ -167,8 +170,9 @@ class Trainer:
                 return WeakRandomCropHDF5Dataset(
                     df, chunk_length=chunk_length or 1.0, num_classes=num_classes,
                     rng=_random.Random(c.get("seed", 42) * 1000 + next(ds_counter)),
+                    dtype=data_dtype,
                 )
-            return WeakHDF5Dataset(df, num_classes=num_classes)
+            return WeakHDF5Dataset(df, num_classes=num_classes, dtype=data_dtype)
 
         basename = c.get("basename", True)
         as_train = read_tsv_data(c["audioset_train_data"], basename=True)

@@ -154,14 +154,20 @@ def make_train_step(
     """
     loss_fn_inner = make_loss(loss_name, **(loss_args or {}))
 
+    def _norm(w):
+        # loaders may ship raw int16 PCM (half the host->device bytes);
+        # normalize ON DEVICE — exact (1/32768 is a power of two), and the
+        # augments/teacher below then see the usual f32 convention
+        return w.astype(jnp.float32) * (1.0 / 32768.0) if w.dtype == jnp.int16 else w
+
     def train_step(params, state, opt_state, batch, rng,
                    psl_params=None, psl_state=None):
         rng_mix, rng_fwd = jax.random.split(rng)
 
         if psl_cfg is not None:
-            as_wav = batch["audioset"]["wav"]
+            as_wav = _norm(batch["audioset"]["wav"])
             as_y = batch["audioset"]["target"]
-            kws_wav = batch["kws"]["wav"]
+            kws_wav = _norm(batch["kws"]["wav"])
             kws_y = batch["kws"]["target"]
             y_teacher = models.apply(psl_cfg, psl_params, psl_state, as_wav,
                                      frontend_fn=frontend_fn)
@@ -170,7 +176,7 @@ def make_train_step(
             wav = jnp.concatenate([as_wav, kws_wav], axis=0)
             target = jnp.concatenate([as_y, kws_y], axis=0)
         else:
-            wav = batch["wav"]
+            wav = _norm(batch["wav"])
             target = batch["target"]
 
         mixup_lamb = None
