@@ -43,6 +43,18 @@ def test_pad_batch_matches_numpy():
     np.testing.assert_array_equal(lens, [100, 250, 17, 250])
 
 
+def test_pad_batch_int16_keeps_pcm_raw():
+    rng = np.random.default_rng(2)
+    waves = [rng.integers(-32768, 32767, n, dtype=np.int16)
+             for n in (64, 200, 31)]
+    got, lens = native.pad_batch_native(waves, threads=2)
+    assert got.dtype == np.int16 and got.shape == (3, 200)
+    for i, w in enumerate(waves):
+        np.testing.assert_array_equal(got[i, : len(w)], w)
+        assert (got[i, len(w):] == 0).all()
+    np.testing.assert_array_equal(lens, [64, 200, 31])
+
+
 def test_multihot_matches_numpy():
     labs = [[0, 5], [9], [], [3, 3, 900]]  # dup + out-of-range
     got = native.multihot_batch_native(labs, 10)

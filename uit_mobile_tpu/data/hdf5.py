@@ -170,9 +170,9 @@ def collate(samples):
     try:
         from .. import native
 
-        if native.available() and waves[0].dtype != np.int16:
+        if native.available():
             data, lengths = native.pad_batch_native(waves)
-        else:  # numpy path also carries the int16 PCM fast path
+        else:
             data, lengths = pad_batch(waves)
     except Exception:
         # a FAILING native assembler (not merely an unbuilt one — that is

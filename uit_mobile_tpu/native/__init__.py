@@ -46,6 +46,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.uit_crop_or_pad_pcm16.restype = None
     lib.uit_multihot.restype = None
     lib.uit_version.restype = ctypes.c_int32
+    if lib.uit_version() < 2:
+        try:  # stale .so from an older tree: rebuild for uit_pad_batch_i16
+            from .build import build
+
+            build(force=True)
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except Exception:
+            return None
+    lib.uit_pad_batch_i16.restype = None
     _lib = lib
     return _lib
 
@@ -85,25 +94,32 @@ def read_wav_native(path) -> tuple[np.ndarray, int]:
 
 
 def pad_batch_native(waves: Sequence[np.ndarray], threads: int = 4):
-    """Right-zero-padded (B, max_len) float32 batch via native threads."""
+    """Right-zero-padded (B, max_len) batch via native threads.
+
+    Batch dtype follows the waves': int16 clips assemble into an int16
+    batch (raw-PCM fast path, no conversion), anything else into f32."""
     lib = _load()
     lengths = np.asarray([w.shape[-1] for w in waves], dtype=np.int64)
     max_len = int(lengths.max())
     b = len(waves)
-    out = np.empty((b, max_len), dtype=np.float32)
+    pcm16 = waves and waves[0].dtype == np.int16
+    dtype = np.int16 if pcm16 else np.float32
+    out = np.empty((b, max_len), dtype=dtype)
     if lib is None:
-        out.fill(0.0)
+        out.fill(0)
         for i, w in enumerate(waves):
             out[i, : w.shape[-1]] = w
         return out, lengths.astype(np.int32)
-    waves32 = [np.ascontiguousarray(w, dtype=np.float32) for w in waves]
-    ptrs = (ctypes.POINTER(ctypes.c_float) * b)(
-        *[w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for w in waves32]
+    ctype = ctypes.c_int16 if pcm16 else ctypes.c_float
+    contig = [np.ascontiguousarray(w, dtype=dtype) for w in waves]
+    ptrs = (ctypes.POINTER(ctype) * b)(
+        *[w.ctypes.data_as(ctypes.POINTER(ctype)) for w in contig]
     )
-    lib.uit_pad_batch_f32(
+    fn = lib.uit_pad_batch_i16 if pcm16 else lib.uit_pad_batch_f32
+    fn(
         ptrs, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(b), ctypes.c_int64(max_len),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctype)),
         ctypes.c_int32(threads),
     )
     return out, lengths.astype(np.int32)

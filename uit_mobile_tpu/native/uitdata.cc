@@ -139,6 +139,34 @@ void uit_pad_batch_f32(const float** clips, const int64_t* lengths,
   for (auto& th : pool) th.join();
 }
 
+// int16-in, int16-out variant: no conversion at all — serving/eval ship
+// raw PCM to the device and the frontends fold the 1/32768 scale in.
+void uit_pad_batch_i16(const int16_t** clips, const int64_t* lengths,
+                       int64_t b, int64_t max_len, int16_t* out,
+                       int32_t threads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int16_t* row = out + i * max_len;
+      int64_t n = std::min(lengths[i], max_len);
+      std::memcpy(row, clips[i], sizeof(int16_t) * n);
+      std::memset(row + n, 0, sizeof(int16_t) * (max_len - n));
+    }
+  };
+  if (threads <= 1 || b <= 1) {
+    work(0, b);
+    return;
+  }
+  int32_t t = std::min<int64_t>(threads, b);
+  std::vector<std::thread> pool;
+  int64_t chunk = (b + t - 1) / t;
+  for (int32_t k = 0; k < t; ++k) {
+    int64_t lo = k * chunk, hi = std::min<int64_t>(b, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back(work, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
 // Random-crop (long clips) or offset-insert (short clips) into a fixed
 // chunk, int16 in -> float32 out. `start` is precomputed by the caller's
 // RNG (keeps randomness policy in Python, hot copy loop native).
@@ -168,6 +196,6 @@ void uit_multihot(const int32_t* labels, const int64_t* offsets, int64_t b,
   }
 }
 
-int32_t uit_version() { return 1; }
+int32_t uit_version() { return 2; }  // 2: + uit_pad_batch_i16
 
 }  // extern "C"
