@@ -66,9 +66,10 @@ def main():
     # (the HDF5 datasets' storage format): the framing gather moves half
     # the HBM bytes and the 1/32768 scale folds into the DFT matrices
     # bitwise-exactly (ops/pallas_mel.py) — measured +23% over f32 wavs.
+    from uit_mobile_tpu.frontend import quantize_pcm16
+
     pcm = [
-        np.clip(rng.standard_normal((B, 16000)) * 0.1 * 32768, -32768, 32767)
-        .astype(np.int16)
+        quantize_pcm16(rng.standard_normal((B, 16000)).astype(np.float32) * 0.1)
         for _ in range(2)
     ]
     wavs = [jnp.asarray(p) for p in pcm]

@@ -124,6 +124,56 @@ def test_evaluator_int16_bitwise_matches_float32(tmp_path):
     np.testing.assert_array_equal(pa, pb)
 
 
+def test_quantize_pcm16_rounds_and_roundtrips(pcm):
+    from uit_mobile_tpu.frontend import normalize_pcm16, quantize_pcm16
+
+    # int16-sourced floats roundtrip bit-for-bit
+    np.testing.assert_array_equal(quantize_pcm16(_f32(pcm)), pcm)
+    # arbitrary floats round to NEAREST (not truncate toward zero)
+    w = np.asarray([0.6 / 32768.0, -0.6 / 32768.0, 1.5, -1.5], np.float32)
+    np.testing.assert_array_equal(quantize_pcm16(w), [1, -1, 32767, -32768])
+    np.testing.assert_array_equal(normalize_pcm16(pcm[0]), _f32(pcm)[0])
+
+
+def test_pad_batch_rejects_mixed_dtypes():
+    from uit_mobile_tpu.data import pad_batch
+    from uit_mobile_tpu import native
+
+    waves = [np.zeros(8, np.int16), np.zeros(5, np.float32)]
+    with pytest.raises(AssertionError, match="mixed"):
+        pad_batch(waves)
+    with pytest.raises(AssertionError, match="mixed"):
+        native.pad_batch_native(waves)
+
+
+def test_dataset_int16_rejects_wide_integer_storage(tmp_path):
+    import h5py
+    import pandas as pd
+    from uit_mobile_tpu.data import WeakHDF5Dataset, read_tsv_data
+
+    h5 = tmp_path / "w.h5"
+    with h5py.File(h5, "w") as f:
+        f["c.wav"] = np.asarray([40000, -40000], np.int32)  # 24-bit-ish
+    tsv = tmp_path / "w.tsv"
+    pd.DataFrame([("c.wav", "0", str(h5))],
+                 columns=["filename", "labels", "hdf5path"]).to_csv(
+        tsv, sep="\t", index=False)
+    df = read_tsv_data(tsv, basename=False)
+    with pytest.raises(ValueError, match="int16"):
+        WeakHDF5Dataset(df, num_classes=537, dtype="int16")[0]
+    # the float32 path still accepts wide storage (reference semantics)
+    wav, _, _ = WeakHDF5Dataset(df, num_classes=537)[0]
+    assert wav.dtype == np.float32
+
+
+def test_mobilenetv2_train_rejects_int16(pcm):
+    cfg = models.get_model_config("MobileNetV2", outputdim=527)
+    params, state = models.build(cfg, jax.random.key(0))
+    with pytest.raises(ValueError, match="float32"):
+        models.apply(cfg, params, state, jnp.asarray(pcm), train=True,
+                     rng=jax.random.key(1))
+
+
 def test_train_step_int16_batch_matches_float32(pcm):
     import optax
     from uit_mobile_tpu.train.steps import make_train_step

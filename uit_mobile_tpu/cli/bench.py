@@ -60,7 +60,9 @@ def main(argv=None):
     def mk_wav(rng, shape):
         w = rng.standard_normal(shape).astype(np.float32) * 0.1
         if args.dtype == "int16":
-            return np.clip(w * 32768, -32768, 32767).astype(np.int16)
+            from ..frontend import quantize_pcm16
+
+            return quantize_pcm16(w)
         return w
 
     wav = jnp.asarray(mk_wav(np.random.default_rng(0), (B, T)))

@@ -44,10 +44,17 @@ def _convert(data: np.ndarray, dtype) -> np.ndarray:
     host->device link at half the bytes); 'float32' is the reference's
     on-host convention (dataset.py:44-45)."""
     if dtype == np.int16:
+        if data.dtype == np.int16:
+            return data
         if np.issubdtype(data.dtype, np.integer):
-            return np.asarray(data, dtype=np.int16)
-        return np.clip(np.asarray(data, np.float32) * 32768.0,
-                       -32768, 32767).astype(np.int16)
+            # wider integer storage can exceed the int16 range; a silent
+            # wrap would break the bitwise-parity contract with 'float32'
+            raise ValueError(
+                f"dtype='int16' requires int16 PCM storage, got {data.dtype}"
+            )
+        from ..frontend.mel import quantize_pcm16
+
+        return quantize_pcm16(data)
     return _to_float32(data)
 
 
@@ -150,8 +157,13 @@ def pad_batch(waves: Sequence[np.ndarray], padding_value: float = 0.0):
     """Right-pad to batch max -> ((B, T), lengths). reference dataset.py:183-197.
     Batch dtype follows the waves' (int16 PCM stays int16)."""
     lengths = np.asarray([w.shape[-1] for w in waves], dtype=np.int32)
-    dtype = waves[0].dtype if waves and waves[0].dtype == np.int16 else np.float32
-    out = np.full((len(waves), int(lengths.max())), padding_value, dtype=dtype)
+    pcm16 = bool(waves) and waves[0].dtype == np.int16
+    # a silent int16/float mix would truncate the floats to ~all-zeros
+    assert all((w.dtype == np.int16) == pcm16 for w in waves), (
+        "pad_batch: mixed int16/float waveforms in one batch"
+    )
+    out = np.full((len(waves), int(lengths.max())), padding_value,
+                  dtype=np.int16 if pcm16 else np.float32)
     for i, w in enumerate(waves):
         out[i, : w.shape[-1]] = w
     return out, lengths

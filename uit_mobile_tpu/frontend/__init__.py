@@ -6,6 +6,8 @@ from .mel import (
     spectrogram,
     log_mel_spectrogram,
     amplitude_to_db,
+    quantize_pcm16,
+    normalize_pcm16,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "spectrogram",
     "log_mel_spectrogram",
     "amplitude_to_db",
+    "quantize_pcm16",
+    "normalize_pcm16",
 ]

@@ -164,6 +164,28 @@ def amplitude_to_db(power: jax.Array, config: FrontendConfig) -> jax.Array:
     return x_db
 
 
+def quantize_pcm16(wav) -> np.ndarray:
+    """Host-side float -> raw int16 PCM, THE framework-wide quantizer.
+
+    Rounds to nearest (0.5 LSB worst case); exact — bit-for-bit invertible
+    by normalize_pcm16 — whenever the floats came from int16 PCM (any real
+    wav file), because x*32768 is then already integral. Every site that
+    quantizes must use this helper: the int16 path's bitwise-parity
+    guarantee holds only if all sites agree on one formula."""
+    if np.asarray(wav).dtype == np.int16:
+        return np.asarray(wav)
+    return np.clip(np.rint(np.asarray(wav, np.float32) * 32768.0),
+                   -32768, 32767).astype(np.int16)
+
+
+def normalize_pcm16(wav) -> np.ndarray:
+    """Host-side raw int16 PCM -> normalized float32 (exact: /2^15)."""
+    w = np.asarray(wav)
+    if w.dtype == np.int16:
+        return w.astype(np.float32) * (1.0 / 32768.0)
+    return np.asarray(w, np.float32)
+
+
 def log_mel_spectrogram(wav: jax.Array, config: FrontendConfig) -> jax.Array:
     """(..., T) waveform -> (..., n_mels, n_frames) log-mel in dB.
 

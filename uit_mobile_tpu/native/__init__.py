@@ -16,22 +16,40 @@ import numpy as np
 
 _LIB_PATH = Path(__file__).resolve().parent / "libuitdata.so"
 _lib: Optional[ctypes.CDLL] = None
+_load_failed = False  # permanent numpy fallback for this process
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     if not _LIB_PATH.exists():
         try:  # best-effort lazy build (g++ is in the image)
             from .build import build
 
             build()
         except Exception:
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
+        _load_failed = True
+        return None
+    if not hasattr(lib, "uit_pad_batch_i16"):
+        # Stale .so built from an older tree. Rebuild on disk for the NEXT
+        # process; this one keeps the numpy fallback — re-dlopen of the
+        # same path can return the already-mapped stale handle, and the
+        # symbol/prototype setup below would then be wrong.
+        try:
+            from .build import build
+
+            build(force=True)
+        except Exception:
+            pass
+        _load_failed = True
         return None
     lib.uit_parse_wav16.restype = ctypes.c_int
     lib.uit_parse_wav16.argtypes = [
@@ -43,18 +61,10 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.uit_pad_batch_pcm16.restype = None
     lib.uit_pad_batch_f32.restype = None
+    lib.uit_pad_batch_i16.restype = None
     lib.uit_crop_or_pad_pcm16.restype = None
     lib.uit_multihot.restype = None
     lib.uit_version.restype = ctypes.c_int32
-    if lib.uit_version() < 2:
-        try:  # stale .so from an older tree: rebuild for uit_pad_batch_i16
-            from .build import build
-
-            build(force=True)
-            lib = ctypes.CDLL(str(_LIB_PATH))
-        except Exception:
-            return None
-    lib.uit_pad_batch_i16.restype = None
     _lib = lib
     return _lib
 
@@ -102,7 +112,11 @@ def pad_batch_native(waves: Sequence[np.ndarray], threads: int = 4):
     lengths = np.asarray([w.shape[-1] for w in waves], dtype=np.int64)
     max_len = int(lengths.max())
     b = len(waves)
-    pcm16 = waves and waves[0].dtype == np.int16
+    pcm16 = bool(waves) and waves[0].dtype == np.int16
+    # a silent int16/float mix would truncate the floats to ~all-zeros
+    assert all((w.dtype == np.int16) == pcm16 for w in waves), (
+        "pad_batch_native: mixed int16/float waveforms in one batch"
+    )
     dtype = np.int16 if pcm16 else np.float32
     out = np.empty((b, max_len), dtype=dtype)
     if lib is None:

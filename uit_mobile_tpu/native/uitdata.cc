@@ -83,18 +83,20 @@ void uit_pcm16_to_f32(const int16_t* src, float* dst, int64_t n) {
 
 // ------------------------------------------------------------ batch assembly
 
-// Assemble a right-zero-padded float32 batch from `b` int16 clips of
-// lengths[i] samples each, writing into out (b x max_len, caller-zeroed or
-// not — we zero the tails ourselves). Runs on `threads` std::threads.
-void uit_pad_batch_pcm16(const int16_t** clips, const int64_t* lengths,
-                         int64_t b, int64_t max_len, float* out,
-                         int32_t threads) {
+}  // extern "C" (helper below is C++-only; wrappers re-enter the C ABI)
+
+// Shared scaffold: fan rows out over `threads` std::threads, each row
+// produced by copy_row(src, dst, n) then zero-tailed to max_len.
+template <typename In, typename Out, typename CopyRow>
+static void pad_batch_threaded(const In** clips, const int64_t* lengths,
+                               int64_t b, int64_t max_len, Out* out,
+                               int32_t threads, CopyRow copy_row) {
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
-      float* row = out + i * max_len;
+      Out* row = out + i * max_len;
       int64_t n = std::min(lengths[i], max_len);
-      uit_pcm16_to_f32(clips[i], row, n);
-      std::memset(row + n, 0, sizeof(float) * (max_len - n));
+      copy_row(clips[i], row, n);
+      std::memset(row + n, 0, sizeof(Out) * (max_len - n));
     }
   };
   if (threads <= 1 || b <= 1) {
@@ -112,31 +114,28 @@ void uit_pad_batch_pcm16(const int16_t** clips, const int64_t* lengths,
   for (auto& th : pool) th.join();
 }
 
+extern "C" {
+
+// Assemble a right-zero-padded float32 batch from `b` int16 clips of
+// lengths[i] samples each, writing into out (b x max_len). int16->f32
+// conversion fused into the copy.
+void uit_pad_batch_pcm16(const int16_t** clips, const int64_t* lengths,
+                         int64_t b, int64_t max_len, float* out,
+                         int32_t threads) {
+  pad_batch_threaded(clips, lengths, b, max_len, out, threads,
+                     [](const int16_t* src, float* dst, int64_t n) {
+                       uit_pcm16_to_f32(src, dst, n);
+                     });
+}
+
 // Float variant (already-decoded clips).
 void uit_pad_batch_f32(const float** clips, const int64_t* lengths,
                        int64_t b, int64_t max_len, float* out,
                        int32_t threads) {
-  auto work = [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      float* row = out + i * max_len;
-      int64_t n = std::min(lengths[i], max_len);
-      std::memcpy(row, clips[i], sizeof(float) * n);
-      std::memset(row + n, 0, sizeof(float) * (max_len - n));
-    }
-  };
-  if (threads <= 1 || b <= 1) {
-    work(0, b);
-    return;
-  }
-  int32_t t = std::min<int64_t>(threads, b);
-  std::vector<std::thread> pool;
-  int64_t chunk = (b + t - 1) / t;
-  for (int32_t k = 0; k < t; ++k) {
-    int64_t lo = k * chunk, hi = std::min<int64_t>(b, lo + chunk);
-    if (lo >= hi) break;
-    pool.emplace_back(work, lo, hi);
-  }
-  for (auto& th : pool) th.join();
+  pad_batch_threaded(clips, lengths, b, max_len, out, threads,
+                     [](const float* src, float* dst, int64_t n) {
+                       std::memcpy(dst, src, sizeof(float) * n);
+                     });
 }
 
 // int16-in, int16-out variant: no conversion at all — serving/eval ship
@@ -144,27 +143,10 @@ void uit_pad_batch_f32(const float** clips, const int64_t* lengths,
 void uit_pad_batch_i16(const int16_t** clips, const int64_t* lengths,
                        int64_t b, int64_t max_len, int16_t* out,
                        int32_t threads) {
-  auto work = [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      int16_t* row = out + i * max_len;
-      int64_t n = std::min(lengths[i], max_len);
-      std::memcpy(row, clips[i], sizeof(int16_t) * n);
-      std::memset(row + n, 0, sizeof(int16_t) * (max_len - n));
-    }
-  };
-  if (threads <= 1 || b <= 1) {
-    work(0, b);
-    return;
-  }
-  int32_t t = std::min<int64_t>(threads, b);
-  std::vector<std::thread> pool;
-  int64_t chunk = (b + t - 1) / t;
-  for (int32_t k = 0; k < t; ++k) {
-    int64_t lo = k * chunk, hi = std::min<int64_t>(b, lo + chunk);
-    if (lo >= hi) break;
-    pool.emplace_back(work, lo, hi);
-  }
-  for (auto& th : pool) th.join();
+  pad_batch_threaded(clips, lengths, b, max_len, out, threads,
+                     [](const int16_t* src, int16_t* dst, int64_t n) {
+                       std::memcpy(dst, src, sizeof(int16_t) * n);
+                     });
 }
 
 // Random-crop (long clips) or offset-insert (short clips) into a fixed

@@ -142,19 +142,14 @@ class TaggingService:
         """Queue a single (T,) waveform; resolves to (C,) probs.
 
         Accepts normalized float32 or raw int16 PCM; either is converted
-        to the service's configured ``dtype`` (exact in both directions
-        for int16-sourced audio)."""
+        to the service's configured ``dtype`` (round-to-nearest; exact in
+        both directions for int16-sourced audio)."""
+        from ..frontend import normalize_pcm16, quantize_pcm16
+
         wav = np.asarray(wav).reshape(-1)
-        if wav.dtype == self._np_dtype:
-            pass
-        elif self._np_dtype == np.int16:
-            wav = np.clip(np.asarray(wav, np.float32) * 32768.0,
-                          -32768, 32767).astype(np.int16)
-        else:
-            if wav.dtype == np.int16:
-                wav = wav.astype(np.float32) / 32768.0
-            else:
-                wav = wav.astype(np.float32)
+        if wav.dtype != self._np_dtype:
+            wav = (quantize_pcm16(wav) if self._np_dtype == np.int16
+                   else normalize_pcm16(wav))
         assert wav.shape[0] <= self.cfg.max_seconds * self.cfg.sample_rate, (
             f"clip longer than max_seconds={self.cfg.max_seconds}"
         )
