@@ -196,6 +196,22 @@ def test_train_step_int16_batch_matches_float32(pcm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_service_int16_data_parallel_matches_single_device(pcm):
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    base = dict(batch_size=8, max_seconds=1, warmup=False, dtype="int16",
+                use_pallas=True)
+    with TaggingService(cfg, params, state,
+                        ServiceConfig(**base, data_parallel=True)) as svc:
+        assert svc._dp
+        got = svc.infer_many(list(pcm))
+    with TaggingService(cfg, params, state, ServiceConfig(**base)) as svc:
+        want = svc.infer_many(list(pcm))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-5)
+
+
 def test_service_int16_matches_float32(pcm):
     cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
                                   depth=1)

@@ -121,17 +121,43 @@ class WeakRandomCropHDF5Dataset(WeakHDF5Dataset):
 
 class WeakChunkedHDF5Dataset(WeakHDF5Dataset):
     """Time-interval reads driven by 'from'/'to' manifest columns (seconds);
-    -1 labels are dropped (reference dataset.py:104-141)."""
+    -1 labels are dropped (reference dataset.py:104-141).
 
-    def __init__(self, data_frame, num_classes: int, sample_rate: int = 16000):
-        super().__init__(data_frame, num_classes)
+    The reference ships this class but never trains with it (dead code —
+    run.py only builds the weak/random-crop variants). Here it is live:
+    with ``fixed_length`` (seconds) each interval is random-cropped (long)
+    or random-offset zero-padded (short) to a static shape — the
+    WeakRandomCropHDF5Dataset semantics applied WITHIN the labeled event
+    interval — which is what lets the Trainer consume strong-label
+    manifests (see train/loop._build_data: manifests with from/to columns
+    route here automatically)."""
+
+    def __init__(self, data_frame, num_classes: int, sample_rate: int = 16000,
+                 fixed_length: Optional[float] = None,
+                 rng: Optional[_random.Random] = None, dtype: str = "float32"):
+        super().__init__(data_frame, num_classes, dtype=dtype)
         self._sr = sample_rate
+        self._fixed = int(fixed_length * sample_rate) if fixed_length else None
+        self._rng = rng or _random.Random()
 
     def __getitem__(self, index: int):
         row = self._dataframe.iloc[index]
         target = multihot(row["labels"], self._num_classes)
         node = self._file(row["hdf5path"])[row["filename"]]
-        data = node[int(float(row["from"]) * self._sr): int(float(row["to"]) * self._sr)]
+        lo = int(float(row["from"]) * self._sr)
+        hi = min(int(float(row["to"]) * self._sr), node.shape[-1])
+        L = self._fixed
+        if L is None:
+            data = node[lo:hi]
+        elif hi - lo > L:
+            start = lo + self._rng.randint(0, hi - lo - L - 1)
+            data = node[start:start + L]
+        else:
+            loaded = node[lo:hi]
+            n = loaded.shape[-1]
+            data = np.zeros(L, dtype=loaded.dtype)
+            start = self._rng.randint(0, L - n - 1) if L > n else 0
+            data[start:start + n] = loaded
         return _convert(data, self._dtype), target, row["filename"]
 
 

@@ -164,13 +164,24 @@ class Trainer:
         ds_counter = iter(range(1000))
 
         def make_ds(df):
+            rng = _random.Random(c.get("seed", 42) * 1000 + next(ds_counter))
+            if "from" in df.columns and "to" in df.columns:
+                # strong-label manifest (one labeled event interval per
+                # row): crop/pad WITHIN the interval — the reference ships
+                # this dataset class as dead code (dataset.py:104-141,
+                # unused by run.py); here it trains
+                from ..data import WeakChunkedHDF5Dataset
+
+                return WeakChunkedHDF5Dataset(
+                    df, num_classes=num_classes,
+                    fixed_length=chunk_length or 1.0, rng=rng, dtype=data_dtype,
+                )
             if use_crop:
                 # seed the crop/pad offsets (distinct stream per dataset) so
                 # a fixed config seed reproduces the training batches
                 return WeakRandomCropHDF5Dataset(
                     df, chunk_length=chunk_length or 1.0, num_classes=num_classes,
-                    rng=_random.Random(c.get("seed", 42) * 1000 + next(ds_counter)),
-                    dtype=data_dtype,
+                    rng=rng, dtype=data_dtype,
                 )
             return WeakHDF5Dataset(df, num_classes=num_classes, dtype=data_dtype)
 
