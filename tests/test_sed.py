@@ -1,0 +1,128 @@
+"""SED (strong-label framewise) training: targets, forward, learning.
+
+Beyond the reference: it never trains on strong labels (its chunked
+dataset is dead code and the dm head's per-timestep probabilities are
+always averaged away, reference uit.py:405-412)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import h5py
+import jax
+import jax.numpy as jnp
+
+from uit_mobile_tpu import models
+from uit_mobile_tpu.data import StrongFramewiseHDF5Dataset, read_tsv_data
+
+SR = 16000
+
+
+def _cfg(**kw):
+    return models.get_model_config("uit_xxxs", outputdim=10, target_length=102,
+                                   depth=1, pooling="dm", **kw)
+
+
+@pytest.fixture()
+def sed_env(tmp_path):
+    """Events = bursts of a class-specific tone in the first or second half
+    of each 1 s clip; silence elsewhere. Learnable localization."""
+    rng = np.random.default_rng(0)
+    h5 = tmp_path / "sed.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(24):
+            cls = i % 2            # class 0 or 1
+            half = (i // 2) % 2    # event in first or second half
+            clip = (rng.standard_normal(SR) * 120).astype(np.int16)  # noise floor
+            t = np.arange(SR // 2) / SR
+            tone = np.sin(2 * np.pi * (600 + 2400 * cls) * t) * 12000
+            lo = half * (SR // 2)
+            clip[lo:lo + SR // 2] += tone.astype(np.int16)
+            f[f"c_{i}.wav"] = clip
+            rows.append((f"c_{i}.wav", str(cls), str(h5),
+                         lo / SR, (lo + SR // 2) / SR))
+    tsv = tmp_path / "sed.tsv"
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path",
+                                "from", "to"]).to_csv(tsv, sep="\t", index=False)
+    return tsv
+
+
+def test_framewise_head_mean_matches_clip_head():
+    cfg = _cfg()
+    params, state = models.build(cfg, jax.random.key(0))
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, SR)).astype(np.float32) * 0.1)
+    clip = models.apply(cfg, params, state, wav)
+    fw, _ = models.uit.forward_framewise(cfg, params, state, wav)
+    np.testing.assert_allclose(np.asarray(fw.mean(axis=1)), np.asarray(clip),
+                               atol=1e-6)
+
+
+def test_strong_framewise_dataset_targets(sed_env):
+    import random
+
+    df = read_tsv_data(sed_env, basename=False)
+    ds = StrongFramewiseHDF5Dataset(df, num_classes=10, n_segments=6,
+                                    seg_seconds=0.16, chunk_length=1.0,
+                                    rng=random.Random(0))
+    assert len(ds) == 24  # one item per FILE
+    wav, target, fname = ds[0]  # c_0: class 0, event in [0, 0.5)s
+    assert wav.shape == (SR,) and target.shape == (6, 10)
+    # clip is exactly 1 s -> window at 0: first ~3 segments positive
+    assert target[:3, 0].all() and not target[4:, 0].any()
+    assert target[:, 1:].sum() == 0
+
+
+def test_framewise_train_step_runs_and_shapes(sed_env):
+    import optax
+    from uit_mobile_tpu.train.steps import make_framewise_train_step
+
+    cfg = _cfg()
+    params, state = models.build(cfg, jax.random.key(0))
+    opt = optax.adam(1e-3)
+    step = make_framewise_train_step(cfg, opt, max_grad_norm=1.0)
+    rng = np.random.default_rng(2)
+    batch = {
+        "wav": jnp.asarray(rng.integers(-20000, 20000, (4, SR), np.int16)),
+        "target": jnp.asarray((rng.random((4, 6, 10)) < 0.2).astype(np.float32)),
+    }
+    p, s, o, m = step(params, state, opt.init(params), batch, jax.random.key(1))
+    assert np.isfinite(float(m["total_loss"])) and float(m["grad_norm"]) > 0
+
+
+def test_sed_training_learns_localization(tmp_path, sed_env):
+    from uit_mobile_tpu.train.sed import train_sed_from_config
+    from uit_mobile_tpu.ckpt.io import load_checkpoint
+
+    out = train_sed_from_config(dict(
+        outputpath=str(tmp_path / "exp"), model="uit_xxxs", num_classes=10,
+        # init_bn=False (GlobalNormer): inference-BN running stats need
+        # hundreds of momentum-0.01 steps to converge — too slow for a smoke
+        model_args={"target_length": 102, "depth": 1, "init_bn": False},
+        strong_train_data=str(sed_env), basename=False,
+        batch_size=8, epochs=8, epoch_length=6, warmup_iters=3,
+        optimizer="AdamW", optimizer_args={"lr": 2e-3}, num_workers=0,
+        seed=0, config_stem="sed-smoke", threshold=0.3,
+    ))
+    assert out.exists()
+    params, state, cfg, extra = load_checkpoint(out)
+    assert extra["segment_f1_micro"] > 0.55, extra  # way above chance (~0.1)
+
+    # localization: event half scores higher than silent half for its class
+    df = read_tsv_data(sed_env, basename=False)
+    import random
+    ds = StrongFramewiseHDF5Dataset(df, num_classes=10, n_segments=6,
+                                    seg_seconds=0.16, chunk_length=1.0,
+                                    rng=random.Random(7))
+    hits = total = 0
+    for i in range(len(ds)):
+        wav, target, _ = ds[i]
+        fw, _ = models.uit.forward_framewise(
+            cfg, params, state, jnp.asarray(wav[None]))
+        fw = np.asarray(fw)[0]  # (6, 10)
+        for cls in range(10):
+            on = target[:, cls] > 0
+            if on.any() and (~on).any():
+                total += 1
+                hits += fw[on, cls].mean() > fw[~on, cls].mean()
+    assert total > 0 and hits / total > 0.7, (hits, total)

@@ -35,7 +35,7 @@ def main(argv=None):
     enable_compilation_cache()  # reuse compiled executables across runs
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(prog="uit-train")
-    parser.add_argument("command", choices=["train", "run", "pretrain"])
+    parser.add_argument("command", choices=["train", "run", "pretrain", "sed"])
     parser.add_argument("config")
     args, rest = parser.parse_known_args(argv)
 
@@ -46,6 +46,12 @@ def main(argv=None):
         from ..train.pretrain import pretrain_from_config
 
         print(pretrain_from_config(config))
+        return 0
+
+    if args.command == "sed":
+        from ..train.sed import train_sed_from_config
+
+        print(train_sed_from_config(config))
         return 0
 
     from ..train.loop import train_from_config

@@ -4,6 +4,7 @@ from .hdf5 import (
     WeakHDF5Dataset,
     WeakRandomCropHDF5Dataset,
     WeakChunkedHDF5Dataset,
+    StrongFramewiseHDF5Dataset,
     UnlabeledRandomChunkedHDF5Dataset,
     BalancedSampler,
     RandomSampler,
@@ -23,6 +24,7 @@ __all__ = [
     "WeakHDF5Dataset",
     "WeakRandomCropHDF5Dataset",
     "WeakChunkedHDF5Dataset",
+    "StrongFramewiseHDF5Dataset",
     "UnlabeledRandomChunkedHDF5Dataset",
     "BalancedSampler",
     "RandomSampler",

@@ -161,6 +161,71 @@ class WeakChunkedHDF5Dataset(WeakHDF5Dataset):
         return _convert(data, self._dtype), target, row["filename"]
 
 
+class StrongFramewiseHDF5Dataset(WeakHDF5Dataset):
+    """SED training dataset: random window + per-time-segment targets.
+
+    One item per FILE (manifest rows with the same filename are that
+    file's labeled event intervals). Each read picks a random
+    ``chunk_length`` window of the clip and rasterizes the overlapping
+    events onto ``n_segments`` segments of ``seg_seconds`` each
+    (evaluate.metrics.segment_events_to_targets semantics) — the targets
+    for models.uit.forward_train_framewise's (B, tg, C) output. Beyond
+    the reference: it has no strong-label training at all."""
+
+    def __init__(self, data_frame, num_classes: int, n_segments: int,
+                 seg_seconds: float, chunk_length: float = 1.0,
+                 sample_rate: int = 16000, min_overlap: float = 0.5,
+                 rng: Optional[_random.Random] = None, dtype: str = "float32"):
+        groups = []
+        for (h5, fname), g in data_frame.groupby(["hdf5path", "filename"],
+                                                 sort=False):
+            events = []
+            for _, row in g.iterrows():
+                for lab in row["labels"]:
+                    if int(lab) >= 0:
+                        events.append((int(lab), float(row["from"]),
+                                       float(row["to"])))
+            groups.append((fname, h5, events))
+        df = pd.DataFrame(
+            [(f, [e[0] for e in ev], h) for f, h, ev in groups],
+            columns=["filename", "labels", "hdf5path"],
+        )
+        super().__init__(df, num_classes, dtype=dtype)
+        self._events = [ev for _, _, ev in groups]
+        self._sr = sample_rate
+        self._chunk = int(chunk_length * sample_rate)
+        self._n_seg = n_segments
+        self._seg_s = seg_seconds
+        self._min_ov = min_overlap
+        self._rng = rng or _random.Random()
+
+    def __getitem__(self, index: int):
+        from ..evaluate.metrics import segment_events_to_targets
+
+        row = self._dataframe.iloc[index]
+        node = self._file(row["hdf5path"])[row["filename"]]
+        n, L = node.shape[-1], self._chunk
+        if n > L:
+            ws = self._rng.randint(0, n - L - 1)
+            data = node[ws:ws + L]
+            off = 0
+        else:
+            loaded = node[:]
+            data = np.zeros(L, dtype=loaded.dtype)
+            off = self._rng.randint(0, L - n - 1) if L > n else 0
+            data[off:off + n] = loaded
+            ws = 0
+        shift = (off - ws) / self._sr  # event time in window coordinates
+        events = [(c, on + shift, offs + shift)
+                  for c, on, offs in self._events[index]]
+        times = np.asarray(
+            [[k * self._seg_s, (k + 1) * self._seg_s]
+             for k in range(self._n_seg)], dtype=np.float64)
+        target = segment_events_to_targets(times, events, self._num_classes,
+                                           min_overlap=self._min_ov)
+        return _convert(data, self._dtype), target, row["filename"]
+
+
 class UnlabeledRandomChunkedHDF5Dataset(WeakRandomCropHDF5Dataset):
     """Self-supervised variant: random chunks, all-zero targets."""
 

@@ -585,6 +585,63 @@ def forward_framewise(cfg: UITConfig, params, state, wav, *,
     return probs, times
 
 
+def forward_head_framewise(cfg: UITConfig, params, x):
+    """(B, N, D) tokens -> (B, tg, outputdim) per-time-patch probabilities.
+
+    The dm head's per-timestep sigmoid BEFORE its time mean (reference
+    uit.py:405-412 computes exactly this and immediately averages it
+    away). Requires pooling='dm'; `probs.mean(axis=1)` reproduces
+    forward_head's output exactly."""
+    assert cfg.pooling == "dm", "framewise training needs the 'dm' head"
+    fg = cfg.grid_size[0]
+    B, N, D = x.shape
+    h = x.reshape(B, fg, N // fg, D).mean(axis=1)  # (B, tg, D)
+    return jax.nn.sigmoid(
+        linear(params["head"], layer_norm(params["head_norm"], h, eps=1e-5))
+    )
+
+
+def forward_train_framewise(cfg: UITConfig, params, state, wav, *, rng,
+                            wav_augment=None, spec_augment=None,
+                            frontend_fn: Optional[Callable] = None):
+    """TRAIN-mode framewise forward for SED: (B, T_wav) single-window
+    waveforms -> ((B, tg, outputdim) per-segment probs, new_state).
+
+    Mirrors forward()'s train path (wav augments -> mel -> spec augments
+    -> init_bn with batch-stat updates -> features with droppath/dropout)
+    but keeps the dm head's per-time-patch probabilities so a strong-label
+    loss can supervise localization directly — the training-side
+    counterpart of forward_framewise (eval). Segment extent is
+    patch_stride*hop/sr seconds (0.16 s at defaults); mixup is
+    unsupported (it has no per-segment target semantics)."""
+    assert cfg.mel_layout == "bft", "train uses the reference bft layout"
+    if wav.dtype == jnp.int16:
+        raise ValueError("training expects normalized float32 waveforms")
+    if frontend_fn is None:
+        frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
+    if wav_augment is not None:
+        rng, r = jax.random.split(rng)
+        wav = wav_augment(r, wav)
+    mel = frontend_fn(wav)  # (B, n_mels, T)
+    if spec_augment is not None:
+        rng, r = jax.random.split(rng)
+        mel = spec_augment(r, mel)
+    new_state = state
+    if cfg.init_bn:
+        x, bn_state = batch_norm_train(
+            params["init_bn"], state["init_bn"], mel, axis=-2, momentum=0.01
+        )
+        new_state = dict(state, init_bn=bn_state)
+    else:
+        x = (mel + 10.0) / 40.0
+    assert x.shape[-1] <= cfg.target_length, (
+        "framewise training takes pre-cropped single-window clips"
+    )
+    rng, r = jax.random.split(rng)
+    feats = forward_features(cfg, params, x, train=True, rng=r)
+    return forward_head_framewise(cfg, params, feats), new_state
+
+
 # ------------------------------------------------------------------ factories
 
 def _factory(name: str, **base):

@@ -1,6 +1,7 @@
 from .steps import (
     TrainState,
     make_train_step,
+    make_framewise_train_step,
     make_eval_step,
     make_loss,
     bce_loss,
@@ -11,6 +12,7 @@ from .schedule import cosine_with_warmup
 __all__ = [
     "TrainState",
     "make_train_step",
+    "make_framewise_train_step",
     "make_eval_step",
     "make_loss",
     "bce_loss",

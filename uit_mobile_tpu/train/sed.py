@@ -1,0 +1,177 @@
+"""SED (sound event detection) trainer: strong-label framewise training.
+
+BEYOND THE REFERENCE: the reference has no strong-label training of any
+kind — its chunked dataset is dead code (dataset.py:104-141) and its dm
+head's per-timestep probabilities (uit.py:405-412) are always averaged
+away. This trainer supervises them directly:
+
+    StrongFramewiseHDF5Dataset (random window + per-segment targets)
+        -> forward_train_framewise ((B, tg, C) probs, BN updates)
+        -> BCE over segments, fused backward + clip + AdamW (one program)
+        -> per-epoch DCASE-style segment-F1 validation, best-F1 checkpoint
+
+Config (YAML/CLI, same merge machinery as the weak trainer):
+    model: a 'dm'-pooling factory or model_args={'pooling': 'dm'}
+    strong_train_data / strong_eval_data: TSVs with
+        filename labels hdf5path from to   (one event interval per row)
+    chunk_length (s, default 1.0), min_overlap (default 0.5),
+    batch_size, epochs, epoch_length, optimizer(+args), warmup_iters,
+    max_grad_norm, wavtransforms, spectransforms, data_dtype, seed.
+
+Clip-level compatibility: mean over the segment axis reproduces the
+clip-level dm output exactly, so an SED-trained checkpoint drops into
+every weak-eval/serving path unchanged.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from pathlib import Path
+
+import numpy as np
+
+from .. import models
+from ..augment import parse_spectransforms, parse_wavtransforms
+from ..ckpt.io import save_checkpoint
+from ..data import DataLoader, StrongFramewiseHDF5Dataset, read_tsv_data
+from ..evaluate.metrics import segment_f1
+from ..utils import add_file_sink, get_logger
+from .loop import _json_safe_config, _make_outputdir
+from .schedule import cosine_with_warmup
+from .steps import build_optimizer, make_framewise_train_step
+
+log = get_logger()
+
+
+def _segment_geometry(cfg):
+    """(n_segments, seg_seconds) of the dm head for one training window."""
+    tg = cfg.grid_size[1]
+    seg_s = cfg.patch_stride * cfg.frontend.hop_length / cfg.frontend.sample_rate
+    return tg, seg_s
+
+
+def train_sed_from_config(config: dict) -> Path:
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import make_frontend_fn
+
+    c = config
+    outputdir = _make_outputdir(c)
+    handler = add_file_sink(log, outputdir / c.get("logfile", "train.log"))
+    log.info(f"SED training -> {outputdir}")
+    for k, v in sorted(c.items()):
+        log.info(f"{k} : {v}")
+
+    # ---- model (dm pooling is what makes the head framewise)
+    model_args = dict(c.get("model_args", {}))
+    model_args.setdefault("pooling", "dm")
+    num_classes = c.get("num_classes", 527)
+    cfg = models.get_model_config(c["model"], outputdim=num_classes, **model_args)
+    assert cfg.pooling == "dm", "SED training requires the 'dm' head"
+    params, state = models.build(cfg, jax.random.key(c.get("seed", 42)))
+    n_seg, seg_s = _segment_geometry(cfg)
+    chunk_length = c.get("chunk_length", 1.0)
+    log.info(f"segment geometry: {n_seg} x {seg_s:.3f}s per {chunk_length}s window")
+
+    # ---- data
+    def make_ds(tsv, seed_offset):
+        df = read_tsv_data(tsv, basename=c.get("basename", True))
+        assert "from" in df.columns and "to" in df.columns, (
+            f"{tsv}: SED manifests need from/to event-interval columns"
+        )
+        return StrongFramewiseHDF5Dataset(
+            df, num_classes=num_classes, n_segments=n_seg, seg_seconds=seg_s,
+            chunk_length=chunk_length, min_overlap=c.get("min_overlap", 0.5),
+            rng=_random.Random(c.get("seed", 42) * 1000 + seed_offset),
+            dtype=c.get("data_dtype", "float32"),
+        )
+
+    train_ds = make_ds(c["strong_train_data"], 0)
+    num_workers = c.get("num_workers", 2)
+    train_loader = DataLoader(
+        train_ds, batch_size=c["batch_size"], shuffle=True, drop_last=True,
+        num_workers=num_workers, seed=c.get("seed", 42),
+    )
+
+    # ---- fused step
+    epochs = c["epochs"]
+    epoch_length = c.get("epoch_length") or len(train_loader)
+    lr = c.get("optimizer_args", {}).get("lr", 1e-3)
+    opt_args = {k: v for k, v in c.get("optimizer_args", {}).items() if k != "lr"}
+    schedule = (
+        cosine_with_warmup(lr, epochs * epoch_length, c.get("warmup_iters", 1000))
+        if c.get("use_scheduler", True) else lr
+    )
+    optimizer = build_optimizer(c.get("optimizer", "AdamW"), schedule, **opt_args)
+    opt_state = optimizer.init(params)
+    wav_aug = parse_wavtransforms(c["wavtransforms"]) if c.get("wavtransforms") else None
+    spec_aug = parse_spectransforms(c["spectransforms"]) if c.get("spectransforms") else None
+    frontend = make_frontend_fn(
+        cfg.frontend, use_pallas=(jax.devices()[0].platform == "tpu")
+    )
+    step = jax.jit(
+        make_framewise_train_step(
+            cfg, optimizer, loss_name=c.get("loss", "BCELoss"),
+            loss_args=c.get("loss_args"),
+            max_grad_norm=c.get("max_grad_norm"),
+            wav_augment=wav_aug, spec_augment=spec_aug, frontend_fn=frontend,
+        ),
+        donate_argnums=(0, 1, 2),
+    )
+
+    # ---- eval: deterministic windows, segment-F1 over all (segment, class)
+    def validate(p, s):
+        ds = make_ds(c.get("strong_eval_data", c["strong_train_data"]), 999)
+        loader = DataLoader(ds, batch_size=c.get("eval_batch_size", c["batch_size"]),
+                            shuffle=False, num_workers=num_workers)
+        # eval-path framewise forward (inference BN stats, no augments);
+        # 1 s windows -> exactly the training segment grid
+        fwd = jax.jit(
+            lambda pp, ss, w: models.uit.forward_framewise(cfg, pp, ss, w)[0]
+        )
+        probs, targets = [], []
+        for batch in loader:
+            wav = batch["wav"]
+            if wav.dtype == np.int16:
+                wav = wav.astype(np.float32) / 32768.0
+            probs.append(np.asarray(fwd(p, s, jnp.asarray(wav))))
+            targets.append(batch["target"])
+        probs = np.concatenate(probs).reshape(-1, num_classes)
+        targets = np.concatenate(targets).reshape(-1, num_classes)
+        return segment_f1(probs, targets, threshold=c.get("threshold", 0.5))
+
+    # ---- loop
+    key = jax.random.key(c.get("seed", 42))
+    best = -1.0
+    best_path = outputdir / "best_sed.npz"
+    it = iter(train_loader)
+    for epoch in range(1, epochs + 1):
+        losses = []
+        for _ in range(epoch_length):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(train_loader)
+                batch = next(it)
+            key, k = jax.random.split(key)
+            params, state, opt_state, m = step(
+                params, state, opt_state,
+                {"wav": jnp.asarray(batch["wav"]),
+                 "target": jnp.asarray(batch["target"])}, k,
+            )
+            losses.append(float(m["total_loss"]))
+        scores = validate(params, state)
+        log.info(
+            f"Epoch {epoch}: loss {np.mean(losses):.4f} "
+            f"segF1 micro {scores['Segment_Micro_F1']:.4f} "
+            f"macro {scores['Segment_Macro_F1']:.4f}"
+        )
+        if scores["Segment_Micro_F1"] > best:
+            best = scores["Segment_Micro_F1"]
+            save_checkpoint(best_path, params, state, cfg=cfg,
+                            extra={"segment_f1_micro": best, "epoch": epoch,
+                                   "run_config": _json_safe_config(c)})
+    log.info(f"Best segment-F1 micro {best:.4f} -> {best_path}")
+    log.removeHandler(handler)
+    return best_path

@@ -38,6 +38,13 @@ def bce_loss(probs: jax.Array, targets: jax.Array, eps: float = 1e-7) -> jax.Arr
     return -jnp.mean(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
 
 
+def _norm(w: jax.Array) -> jax.Array:
+    """Device-side PCM normalization: loaders may ship raw int16 (half the
+    host->device bytes); 1/32768 is a power of two, so this is exact and
+    the downstream augments/teacher see the usual f32 convention."""
+    return w.astype(jnp.float32) * (1.0 / 32768.0) if w.dtype == jnp.int16 else w
+
+
 def _reduce(x: jax.Array, reduction: str) -> jax.Array:
     if reduction == "mean":
         return jnp.mean(x)
@@ -154,12 +161,6 @@ def make_train_step(
     """
     loss_fn_inner = make_loss(loss_name, **(loss_args or {}))
 
-    def _norm(w):
-        # loaders may ship raw int16 PCM (half the host->device bytes);
-        # normalize ON DEVICE — exact (1/32768 is a power of two), and the
-        # augments/teacher below then see the usual f32 convention
-        return w.astype(jnp.float32) * (1.0 / 32768.0) if w.dtype == jnp.int16 else w
-
     def train_step(params, state, opt_state, batch, rng,
                    psl_params=None, psl_state=None):
         rng_mix, rng_fwd = jax.random.split(rng)
@@ -203,6 +204,53 @@ def make_train_step(
         new_params = optax.apply_updates(params, updates)
         metrics = {"total_loss": loss, "grad_norm": gnorm}
         return new_params, new_state, new_opt_state, metrics
+
+    return train_step
+
+
+def make_framewise_train_step(
+    model_cfg,
+    optimizer: optax.GradientTransformation,
+    *,
+    loss_name: str = "BCELoss",
+    loss_args: Optional[dict] = None,
+    max_grad_norm: Optional[float] = None,
+    wav_augment: Optional[Callable] = None,
+    spec_augment: Optional[Callable] = None,
+    frontend_fn: Optional[Callable] = None,
+) -> Callable:
+    """SED train step: batch = {'wav': (B,T), 'target': (B, S, C)} with
+    per-time-segment strong-label targets (data.StrongFramewiseHDF5Dataset)
+    supervising models.uit.forward_train_framewise's (B, tg, C) output.
+    Same fused structure as make_train_step (forward, loss, backward, clip,
+    optimizer update in one XLA program); no PSL/mixup — neither has
+    per-segment target semantics."""
+    from ..models import uit as uit_mod
+
+    loss_fn_inner = make_loss(loss_name, **(loss_args or {}))
+
+    def train_step(params, state, opt_state, batch, rng):
+        wav, target = _norm(batch["wav"]), batch["target"]
+
+        def loss_of(p):
+            probs, new_state = uit_mod.forward_train_framewise(
+                model_cfg, p, state, wav, rng=rng,
+                wav_augment=wav_augment, spec_augment=spec_augment,
+                frontend_fn=frontend_fn,
+            )
+            assert probs.shape == target.shape, (probs.shape, target.shape)
+            return loss_fn_inner(probs, target), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        gnorm = optax.global_norm(grads)
+        if max_grad_norm is not None:
+            scale = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, {
+            "total_loss": loss, "grad_norm": gnorm,
+        }
 
     return train_step
 
