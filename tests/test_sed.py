@@ -126,3 +126,12 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
                 total += 1
                 hits += fw[on, cls].mean() > fw[~on, cls].mean()
     assert total > 0 and hits / total > 0.7, (hits, total)
+
+    # SED round trip: the strong evaluation target scores the checkpoint
+    # against the event manifest (full-clip framewise path)
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    res = Evaluator(str(out), num_workers=0,
+                    report_dir=str(tmp_path)).strong(
+        eval_data=str(sed_env), threshold=0.3)
+    assert res["Segment_Micro_F1"] > 0.5, res

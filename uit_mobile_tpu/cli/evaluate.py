@@ -46,6 +46,13 @@ def main(argv=None):
     p_ts.add_argument("sample")
     p_ts.add_argument("--topk", type=int, default=5)
 
+    p_strong = sub.add_parser(
+        "strong", help="SED segment-F1 vs event-interval manifests")
+    p_strong.add_argument("experiment_path")
+    p_strong.add_argument("--eval-data", default="datasets/strong/eval.tsv")
+    p_strong.add_argument("--threshold", type=float, default=0.5)
+    p_strong.add_argument("--min-overlap", type=float, default=0.5)
+
     p_all = sub.add_parser("all", help="gsc + audioset with one model load")
     p_all.add_argument("experiment_path")
     p_all.add_argument("--eval-data",
@@ -88,6 +95,9 @@ def main(argv=None):
         results = ev.gsc(eval_data=args.eval_data, threshold=args.threshold,
                          pad=args.pad, sweep=args.sweep)
         print({k: v for k, v in results.items() if not k.startswith("_")})
+    elif args.command == "strong":
+        print(ev.strong(eval_data=args.eval_data, threshold=args.threshold,
+                        min_overlap=args.min_overlap))
     else:
         ev.test_sample(args.experiment_path, args.sample, topk=args.topk)
     return 0

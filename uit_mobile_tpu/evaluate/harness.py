@@ -231,6 +231,67 @@ class Evaluator:
         )
         return results
 
+    def strong(self, experiment_path: Optional[str] = None,
+               eval_data: str = "datasets/strong/eval.tsv",
+               threshold: float = 0.5, min_overlap: float = 0.5):
+        """Strong-label (SED) evaluation: framewise probabilities over FULL
+        clips scored against event intervals — DCASE-style segment
+        F1/precision/recall (evaluate.metrics.segment_f1).
+
+        eval_data: TSV with filename/labels/hdf5path/from/to (one labeled
+        event interval per row; rows sharing a filename are that clip's
+        events). Clips are zero-padded to whole seconds so the compile
+        count is bounded by the longest clip; padded tail segments count
+        as negatives (deterministic, slightly conservative).
+
+        Completes the SED round trip with train/sed.py — the reference
+        has no strong-label evaluation (or training) at all."""
+        import jax
+        import jax.numpy as jnp
+
+        from .. import models
+        from .metrics import segment_events_to_targets, segment_f1
+
+        cfg, params, state = self._setup(experiment_path)
+        df = read_tsv_data(
+            eval_data, basename=self._run_config.get("basename", False)
+        )
+        assert "from" in df.columns and "to" in df.columns, (
+            f"{eval_data}: strong eval needs from/to event-interval columns"
+        )
+        num_classes = getattr(cfg, "outputdim", 537)
+        sr = cfg.frontend.sample_rate
+
+        groups = []
+        for (h5, fname), g in df.groupby(["hdf5path", "filename"], sort=False):
+            events = [(int(lab), float(r["from"]), float(r["to"]))
+                      for _, r in g.iterrows() for lab in r["labels"]
+                      if int(lab) >= 0]
+            groups.append((h5, fname, events))
+        reader = WeakHDF5Dataset(
+            df.drop_duplicates(subset=["hdf5path", "filename"]),
+            num_classes=num_classes, dtype=self.dtype,
+        )
+
+        # jit the (probs, times) pair: times is shape-static and constant-
+        # folds, so one compile per distinct padded length serves everything
+        fwd = jax.jit(lambda w: models.apply_framewise(cfg, params, state, w))
+        all_p, all_t = [], []
+        for h5, fname, events in groups:
+            wav = reader._read(h5, fname)[None, :]
+            pad_to = -(-wav.shape[-1] // sr) * sr
+            wav = np.pad(wav, ((0, 0), (0, pad_to - wav.shape[-1])))
+            probs, times = fwd(jnp.asarray(wav))
+            probs, times = np.asarray(probs)[0], np.asarray(times)
+            target = segment_events_to_targets(times, events, num_classes,
+                                               min_overlap=min_overlap)
+            all_p.append(probs)
+            all_t.append(target)
+        results = segment_f1(np.concatenate(all_p), np.concatenate(all_t),
+                             threshold=threshold)
+        self._write_report("Strong", results, None)
+        return results
+
     def test_sample(self, experiment_path: Optional[str], sample: str, topk: int = 5):
         from ..data import read_wav
 
