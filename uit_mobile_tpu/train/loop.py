@@ -81,7 +81,8 @@ def _load_psl(config):
             raise
         import jax
 
-        cfg = models.get_model_config(psl["model"], outputdim=527)
+        cfg = models.get_model_config(psl["model"],
+                                      outputdim=psl.get("outputdim", 527))
         params, state = models.build(cfg, jax.random.key(0))
     return cfg, params, state
 
@@ -274,6 +275,9 @@ class Trainer:
             mixup_alpha=c.get("mixup"),
             max_grad_norm=c.get("max_grad_norm"),
             psl_cfg=psl_cfg,
+            distill_mode=(c.get("psl") or {}).get("mode", "psl"),
+            distill_alpha=(c.get("psl") or {}).get("alpha", 1.0),
+            distill_classes=(c.get("psl") or {}).get("classes", 527),
             wav_augment=parse_wavtransforms(c.get("wavtransforms", {})),
             spec_augment=parse_spectransforms(c.get("spectransforms", {})),
             frontend_fn=frontend,

@@ -147,6 +147,9 @@ def make_train_step(
     mixup_alpha: Optional[float] = None,
     max_grad_norm: Optional[float] = None,
     psl_cfg=None,
+    distill_mode: str = "psl",
+    distill_alpha: float = 1.0,
+    distill_classes: int = 527,
     wav_augment: Optional[Callable] = None,
     spec_augment: Optional[Callable] = None,
     frontend_fn: Optional[Callable] = None,
@@ -158,7 +161,18 @@ def make_train_step(
     ``{'audioset': {'wav','target'}, 'kws': {'wav','target'}}``: the frozen
     MobileNetV2 teacher scores the AudioSet half, its probabilities replace
     the first 527 target columns, and both halves train jointly.
+
+    Distillation variants (beyond the reference, which has PSL only):
+    - distill_mode='psl' (default, reference semantics): the teacher
+      scores ONLY the AudioSet half and overwrites its first
+      ``distill_classes`` target columns (run.py:199-202).
+    - distill_mode='soft' (knowledge distillation / self-distillation):
+      the teacher — any registered model family with the student's
+      outputdim, e.g. a trained UiT for self-distillation — scores the
+      FULL concatenated batch, and the target becomes
+      ``alpha*teacher + (1-alpha)*ground_truth`` over all classes.
     """
+    assert distill_mode in ("psl", "soft"), distill_mode
     loss_fn_inner = make_loss(loss_name, **(loss_args or {}))
 
     def train_step(params, state, opt_state, batch, rng,
@@ -170,12 +184,20 @@ def make_train_step(
             as_y = batch["audioset"]["target"]
             kws_wav = _norm(batch["kws"]["wav"])
             kws_y = batch["kws"]["target"]
-            y_teacher = models.apply(psl_cfg, psl_params, psl_state, as_wav,
-                                     frontend_fn=frontend_fn)
-            y_teacher = jax.lax.stop_gradient(y_teacher)
-            as_y = as_y.at[:, :527].set(y_teacher[:, :527])
             wav = jnp.concatenate([as_wav, kws_wav], axis=0)
-            target = jnp.concatenate([as_y, kws_y], axis=0)
+            if distill_mode == "psl":
+                y_teacher = models.apply(psl_cfg, psl_params, psl_state, as_wav,
+                                         frontend_fn=frontend_fn)
+                y_teacher = jax.lax.stop_gradient(y_teacher)
+                k = distill_classes
+                as_y = as_y.at[:, :k].set(y_teacher[:, :k])
+                target = jnp.concatenate([as_y, kws_y], axis=0)
+            else:  # 'soft': teacher scores everything, convex target mix
+                y_teacher = models.apply(psl_cfg, psl_params, psl_state, wav,
+                                         frontend_fn=frontend_fn)
+                y_teacher = jax.lax.stop_gradient(y_teacher)
+                target = jnp.concatenate([as_y, kws_y], axis=0)
+                target = distill_alpha * y_teacher + (1.0 - distill_alpha) * target
         else:
             wav = _norm(batch["wav"])
             target = batch["target"]
