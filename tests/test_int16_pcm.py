@@ -212,6 +212,21 @@ def test_service_int16_data_parallel_matches_single_device(pcm):
         np.testing.assert_allclose(g, w, atol=1e-5)
 
 
+def test_streaming_feed_normalizes_int16(pcm):
+    from uit_mobile_tpu.serve.streaming import MultiStreamTagger, StreamingConfig
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    sc = StreamingConfig(window_seconds=1.0, hop_seconds=1.0)
+    tag_i = MultiStreamTagger(cfg, params, state, n_streams=1, config=sc)
+    tag_f = MultiStreamTagger(cfg, params, state, n_streams=1, config=sc)
+    ev_i = tag_i.feed(0, pcm[0])           # raw int16 PCM
+    ev_f = tag_f.feed(0, _f32(pcm)[0])     # normalized f32
+    assert len(ev_i) == len(ev_f) == 1
+    np.testing.assert_array_equal(ev_i[0].probs, ev_f[0].probs)
+
+
 def test_service_int16_matches_float32(pcm):
     cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
                                   depth=1)

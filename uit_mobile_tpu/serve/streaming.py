@@ -76,8 +76,12 @@ class MultiStreamTagger:
 
     def feed(self, stream: int, chunk: np.ndarray) -> list[Event]:
         """Append audio to one stream; returns events for every window that
-        became due (one per elapsed hop)."""
-        chunk = np.asarray(chunk, dtype=np.float32).reshape(-1)
+        became due (one per elapsed hop). Accepts normalized float32 or raw
+        int16 PCM (normalized by 1/32768 — a bare f32 cast would feed the
+        model 32768x-scaled audio)."""
+        from ..frontend import normalize_pcm16
+
+        chunk = normalize_pcm16(np.asarray(chunk).reshape(-1))
         events = []
         pos = 0
         while pos < chunk.shape[0]:
@@ -96,8 +100,12 @@ class MultiStreamTagger:
 
     def feed_all(self, chunks: np.ndarray) -> list[Event]:
         """chunks (S, hop) — advance every stream one hop and score the due
-        ones in ONE batched dispatch (the steady-state service loop)."""
+        ones in ONE batched dispatch (the steady-state service loop).
+        Accepts normalized float32 or raw int16 PCM rows."""
+        from ..frontend import normalize_pcm16
+
         assert chunks.shape == (self.n_streams, self._hop), chunks.shape
+        chunks = normalize_pcm16(chunks)
         due = []
         for s in range(self.n_streams):
             self._push(s, chunks[s])
