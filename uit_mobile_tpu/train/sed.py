@@ -135,7 +135,13 @@ def train_sed_from_config(config: dict) -> Path:
             wav = batch["wav"]
             if wav.dtype == np.int16:
                 wav = wav.astype(np.float32) / 32768.0
-            probs.append(np.asarray(fwd(p, s, jnp.asarray(wav))))
+            pr = np.asarray(fwd(p, s, jnp.asarray(wav)))
+            assert pr.shape == batch["target"].shape, (
+                f"segment grid mismatch: model {pr.shape} vs targets "
+                f"{batch['target'].shape} — chunk_length and target_length "
+                f"must describe the same window"
+            )
+            probs.append(pr)
             targets.append(batch["target"])
         probs = np.concatenate(probs).reshape(-1, num_classes)
         targets = np.concatenate(targets).reshape(-1, num_classes)
