@@ -73,6 +73,47 @@ def test_strong_framewise_dataset_targets(sed_env):
     assert target[:, 1:].sum() == 0
 
 
+def test_deterministic_windows_are_index_pure(tmp_path):
+    """deterministic=True: the window offset depends only on the index, not
+    on read order — validation epochs score identical windows."""
+    import random
+
+    h5 = tmp_path / "d.h5"
+    rng = np.random.default_rng(4)
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(4):
+            f[f"c_{i}.wav"] = rng.integers(-300, 300, 3 * SR, np.int16)
+            rows.append((f"c_{i}.wav", "1", str(h5), 0.5, 2.5))
+    tsv = tmp_path / "d.tsv"
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path",
+                                "from", "to"]).to_csv(tsv, sep="\t", index=False)
+    df = read_tsv_data(tsv, basename=False)
+    kw = dict(num_classes=10, n_segments=6, seg_seconds=0.16,
+              chunk_length=1.0, deterministic=True)
+    a = StrongFramewiseHDF5Dataset(df, rng=random.Random(1), **kw)
+    b = StrongFramewiseHDF5Dataset(df, rng=random.Random(2), **kw)
+    for order in ([0, 1, 2, 3], [3, 1, 0, 2]):
+        for i in order:
+            wa, ta, _ = a[i]
+            wb, tb, _ = b[i]
+            np.testing.assert_array_equal(wa, wb)
+            np.testing.assert_array_equal(ta, tb)
+
+
+def test_framewise_times_matches_forward_framewise():
+    cfg = _cfg()
+    params, state = models.build(cfg, jax.random.key(0))
+    rng = np.random.default_rng(1)
+    for seconds in (1, 3):
+        wav = jnp.asarray(rng.standard_normal((1, seconds * SR)).astype(np.float32))
+        probs, times = models.uit.forward_framewise(cfg, params, state, wav)
+        host = models.uit.framewise_times(cfg, seconds * SR // 160 + 1)
+        assert times.dtype == np.float64
+        np.testing.assert_array_equal(times, host)
+        assert probs.shape[1] == times.shape[0]
+
+
 def test_framewise_train_step_runs_and_shapes(sed_env):
     import optax
     from uit_mobile_tpu.train.steps import make_framewise_train_step

@@ -175,17 +175,11 @@ class StrongFramewiseHDF5Dataset(WeakHDF5Dataset):
     def __init__(self, data_frame, num_classes: int, n_segments: int,
                  seg_seconds: float, chunk_length: float = 1.0,
                  sample_rate: int = 16000, min_overlap: float = 0.5,
-                 rng: Optional[_random.Random] = None, dtype: str = "float32"):
-        groups = []
-        for (h5, fname), g in data_frame.groupby(["hdf5path", "filename"],
-                                                 sort=False):
-            events = []
-            for _, row in g.iterrows():
-                for lab in row["labels"]:
-                    if int(lab) >= 0:
-                        events.append((int(lab), float(row["from"]),
-                                       float(row["to"])))
-            groups.append((fname, h5, events))
+                 rng: Optional[_random.Random] = None, dtype: str = "float32",
+                 deterministic: bool = False):
+        from .manifest import events_by_file
+
+        groups = events_by_file(data_frame)
         df = pd.DataFrame(
             [(f, [e[0] for e in ev], h) for f, h, ev in groups],
             columns=["filename", "labels", "hdf5path"],
@@ -198,21 +192,27 @@ class StrongFramewiseHDF5Dataset(WeakHDF5Dataset):
         self._seg_s = seg_seconds
         self._min_ov = min_overlap
         self._rng = rng or _random.Random()
+        # deterministic=True (evaluation): window offsets are a pure
+        # function of the item index — with threaded loader workers a
+        # SHARED rng stream interleaves nondeterministically, which would
+        # score each validation epoch on different windows
+        self._det = deterministic
 
     def __getitem__(self, index: int):
         from ..evaluate.metrics import segment_events_to_targets
 
+        rng = _random.Random(0x5ED0 + index) if self._det else self._rng
         row = self._dataframe.iloc[index]
         node = self._file(row["hdf5path"])[row["filename"]]
         n, L = node.shape[-1], self._chunk
         if n > L:
-            ws = self._rng.randint(0, n - L - 1)
+            ws = rng.randint(0, n - L - 1)
             data = node[ws:ws + L]
             off = 0
         else:
             loaded = node[:]
             data = np.zeros(L, dtype=loaded.dtype)
-            off = self._rng.randint(0, L - n - 1) if L > n else 0
+            off = rng.randint(0, L - n - 1) if L > n else 0
             data[off:off + n] = loaded
             ws = 0
         shift = (off - ws) / self._sr  # event time in window coordinates

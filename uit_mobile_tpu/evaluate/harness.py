@@ -262,31 +262,66 @@ class Evaluator:
         num_classes = getattr(cfg, "outputdim", 537)
         sr = cfg.frontend.sample_rate
 
-        groups = []
-        for (h5, fname), g in df.groupby(["hdf5path", "filename"], sort=False):
-            events = [(int(lab), float(r["from"]), float(r["to"]))
-                      for _, r in g.iterrows() for lab in r["labels"]
-                      if int(lab) >= 0]
-            groups.append((h5, fname, events))
+        from ..data.manifest import events_by_file
+
+        groups = events_by_file(df)
         reader = WeakHDF5Dataset(
             df.drop_duplicates(subset=["hdf5path", "filename"]),
             num_classes=num_classes, dtype=self.dtype,
         )
 
-        # jit the (probs, times) pair: times is shape-static and constant-
-        # folds, so one compile per distinct padded length serves everything
-        fwd = jax.jit(lambda w: models.apply_framewise(cfg, params, state, w))
+        # probs on device (one compile per distinct padded length); segment
+        # times on the HOST in float64 — returning them through jit would
+        # downcast the boundaries to f32 and perturb min_overlap
+        # rasterization at exact-coverage edges. Frontend uses per-sample
+        # dB clamping so co-batched clips cannot couple through the
+        # batch-global torch clamp (scores stay independent of batch
+        # composition, matching the batch-1 result).
+        import dataclasses as _dc
+
+        from ..ops import make_frontend_fn
+
+        fe = make_frontend_fn(
+            _dc.replace(cfg.frontend, top_db_mode="per_sample"),
+            use_pallas=(jax.devices()[0].platform == "tpu"),
+        )
+        fwd = jax.jit(
+            lambda w: models.apply_framewise(cfg, params, state, w,
+                                             frontend_fn=fe)[0]
+        )
+        times_cache: dict = {}
+
+        def times_for(pad_to):
+            if pad_to not in times_cache:
+                _, t = models.apply_framewise(  # unjitted: f64 times intact
+                    cfg, params, state, jnp.zeros((1, pad_to), jnp.float32)
+                )
+                times_cache[pad_to] = np.asarray(t)
+            return times_cache[pad_to]
+
         all_p, all_t = [], []
-        for h5, fname, events in groups:
-            wav = reader._read(h5, fname)[None, :]
+
+        def flush(pad_to, items):
+            batch = np.stack([w for w, _ in items])
+            probs = np.asarray(fwd(jnp.asarray(batch)))
+            times = times_for(pad_to)
+            for p, (_, events) in zip(probs, items):
+                all_p.append(p)
+                all_t.append(segment_events_to_targets(
+                    times, events, num_classes, min_overlap=min_overlap))
+
+        # batch clips of the same padded length together (bounded memory:
+        # at most batch_size clips buffered per distinct length)
+        pending: dict = {}
+        for fname, h5, events in groups:
+            wav = reader._read(h5, fname)
             pad_to = -(-wav.shape[-1] // sr) * sr
-            wav = np.pad(wav, ((0, 0), (0, pad_to - wav.shape[-1])))
-            probs, times = fwd(jnp.asarray(wav))
-            probs, times = np.asarray(probs)[0], np.asarray(times)
-            target = segment_events_to_targets(times, events, num_classes,
-                                               min_overlap=min_overlap)
-            all_p.append(probs)
-            all_t.append(target)
+            wav = np.pad(wav, (0, pad_to - wav.shape[-1]))
+            pending.setdefault(pad_to, []).append((wav, events))
+            if len(pending[pad_to]) >= self.batch_size:
+                flush(pad_to, pending.pop(pad_to))
+        for pad_to, items in pending.items():
+            flush(pad_to, items)
         results = segment_f1(np.concatenate(all_p), np.concatenate(all_t),
                              threshold=threshold)
         self._write_report("Strong", results, None)

@@ -554,17 +554,28 @@ def forward_framewise(cfg: UITConfig, params, state, wav, *,
         [jax.lax.slice_in_dim(x, s, s + L, axis=-1) for s in starts], axis=1
     ).reshape(B * n, F, L)
     feats = forward_features(cfg, params, crops, train=False)  # (B*n, N, D)
-    sec_per_frame = cfg.frontend.hop_length / cfg.frontend.sample_rate
+    times = framewise_times(cfg, T)
 
     if cfg.pooling == "dm":
-        fg = cfg.grid_size[0]
-        Bn, N, D = feats.shape
-        tg = N // fg
-        h = feats.reshape(Bn, fg, tg, D).mean(axis=1)  # (B*n, tg, D)
-        probs = jax.nn.sigmoid(
-            linear(params["head"], layer_norm(params["head_norm"], h, eps=1e-5))
-        ).reshape(B, n * tg, cfg.outputdim)
-        times = np.array(
+        probs = forward_head_framewise(cfg, params, feats)
+        return probs.reshape(B, -1, cfg.outputdim), times
+
+    probs = forward_head(cfg, params, feats).reshape(B, n, cfg.outputdim)
+    return probs, times
+
+
+def framewise_times(cfg: UITConfig, n_frames: int) -> np.ndarray:
+    """Segment extents (S, 2) float64 seconds for a `n_frames`-frame mel —
+    the HOST-side companion of forward_framewise (whose probs output has
+    exactly these S rows). Kept out of jit on purpose: returning it
+    through a jitted call would downcast the float64 boundaries to f32
+    and perturb min_overlap rasterization at exact-coverage edges."""
+    sec_per_frame = cfg.frontend.hop_length / cfg.frontend.sample_rate
+    L = min(cfg.target_length, n_frames)
+    starts = _window_starts(n_frames, L)
+    if cfg.pooling == "dm":
+        tg = L // cfg.patch_stride  # time patches per crop window
+        return np.array(
             [
                 [
                     (s + j * cfg.patch_stride) * sec_per_frame,
@@ -575,14 +586,10 @@ def forward_framewise(cfg: UITConfig, params, state, wav, *,
             ],
             dtype=np.float64,
         )
-        return probs, times
-
-    probs = forward_head(cfg, params, feats).reshape(B, n, cfg.outputdim)
-    times = np.array(
+    return np.array(
         [[s * sec_per_frame, (s + L) * sec_per_frame] for s in starts],
         dtype=np.float64,
     )
-    return probs, times
 
 
 def forward_head_framewise(cfg: UITConfig, params, x):
@@ -613,7 +620,9 @@ def forward_train_framewise(cfg: UITConfig, params, state, wav, *, rng,
     loss can supervise localization directly — the training-side
     counterpart of forward_framewise (eval). Segment extent is
     patch_stride*hop/sr seconds (0.16 s at defaults); mixup is
-    unsupported (it has no per-segment target semantics)."""
+    unsupported (it has no per-segment target semantics), and wav_augment
+    must be TIME-PRESERVING (a Shift would move the audio away from the
+    fixed per-segment targets)."""
     assert cfg.mel_layout == "bft", "train uses the reference bft layout"
     if wav.dtype == jnp.int16:
         raise ValueError("training expects normalized float32 waveforms")

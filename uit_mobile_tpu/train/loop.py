@@ -187,8 +187,20 @@ class Trainer:
             return WeakHDF5Dataset(df, num_classes=num_classes, dtype=data_dtype)
 
         basename = c.get("basename", True)
-        as_train = read_tsv_data(c["audioset_train_data"], basename=True)
-        as_eval = read_tsv_data(c["audioset_eval_data"], basename=True)
+
+        def read_as(path):
+            # AudioSet manifests are basenamed unconditionally (reference
+            # read_tsv_data default, utils.py:320-332) — EXCEPT strong
+            # (from/to) manifests, a post-reference format whose filenames
+            # follow the config's basename flag like the KWS side
+            import pandas as pd
+
+            cols = pd.read_csv(path, sep=r"\s+", nrows=0).columns
+            strong = "from" in cols and "to" in cols
+            return read_tsv_data(path, basename=basename if strong else True)
+
+        as_train = read_as(c["audioset_train_data"])
+        as_eval = read_as(c["audioset_eval_data"])
         kws_train = read_tsv_data(c["kws_train_data"], basename=basename)
         kws_eval = read_tsv_data(c["kws_test_data"], basename=basename)
         log.info(

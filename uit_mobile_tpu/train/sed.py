@@ -75,7 +75,7 @@ def train_sed_from_config(config: dict) -> Path:
     log.info(f"segment geometry: {n_seg} x {seg_s:.3f}s per {chunk_length}s window")
 
     # ---- data
-    def make_ds(tsv, seed_offset):
+    def make_ds(tsv, deterministic=False):
         df = read_tsv_data(tsv, basename=c.get("basename", True))
         assert "from" in df.columns and "to" in df.columns, (
             f"{tsv}: SED manifests need from/to event-interval columns"
@@ -83,16 +83,21 @@ def train_sed_from_config(config: dict) -> Path:
         return StrongFramewiseHDF5Dataset(
             df, num_classes=num_classes, n_segments=n_seg, seg_seconds=seg_s,
             chunk_length=chunk_length, min_overlap=c.get("min_overlap", 0.5),
-            rng=_random.Random(c.get("seed", 42) * 1000 + seed_offset),
-            dtype=c.get("data_dtype", "float32"),
+            rng=_random.Random(c.get("seed", 42) * 1000),
+            dtype=c.get("data_dtype", "float32"), deterministic=deterministic,
         )
 
-    train_ds = make_ds(c["strong_train_data"], 0)
+    train_ds = make_ds(c["strong_train_data"])
     num_workers = c.get("num_workers", 2)
     train_loader = DataLoader(
         train_ds, batch_size=c["batch_size"], shuffle=True, drop_last=True,
         num_workers=num_workers, seed=c.get("seed", 42),
     )
+    if len(train_loader) == 0:
+        raise ValueError(
+            f"strong_train_data has only {len(train_ds)} clips — fewer than "
+            f"batch_size={c['batch_size']} (drop_last leaves no batches)"
+        )
 
     # ---- fused step
     epochs = c["epochs"]
@@ -120,16 +125,24 @@ def train_sed_from_config(config: dict) -> Path:
         donate_argnums=(0, 1, 2),
     )
 
-    # ---- eval: deterministic windows, segment-F1 over all (segment, class)
+    # ---- eval: deterministic windows (offset = f(index), stable under
+    # threaded loaders), segment-F1 over all (segment, class). Dataset,
+    # loader, and the jitted forward are built ONCE — a fresh jit per
+    # epoch would retrace and recompile every validation pass.
+    eval_ds = make_ds(c.get("strong_eval_data", c["strong_train_data"]),
+                      deterministic=True)
+    eval_loader = DataLoader(
+        eval_ds, batch_size=c.get("eval_batch_size", c["batch_size"]),
+        shuffle=False, num_workers=num_workers,
+    )
+    # eval-path framewise forward (inference BN stats, no augments);
+    # 1 s windows -> exactly the training segment grid
+    eval_fwd = jax.jit(
+        lambda pp, ss, w: models.uit.forward_framewise(cfg, pp, ss, w)[0]
+    )
+
     def validate(p, s):
-        ds = make_ds(c.get("strong_eval_data", c["strong_train_data"]), 999)
-        loader = DataLoader(ds, batch_size=c.get("eval_batch_size", c["batch_size"]),
-                            shuffle=False, num_workers=num_workers)
-        # eval-path framewise forward (inference BN stats, no augments);
-        # 1 s windows -> exactly the training segment grid
-        fwd = jax.jit(
-            lambda pp, ss, w: models.uit.forward_framewise(cfg, pp, ss, w)[0]
-        )
+        loader, fwd = eval_loader, eval_fwd
         probs, targets = [], []
         for batch in loader:
             wav = batch["wav"]
