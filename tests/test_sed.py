@@ -174,5 +174,11 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
 
     res = Evaluator(str(out), num_workers=0,
                     report_dir=str(tmp_path)).strong(
-        eval_data=str(sed_env), threshold=0.3)
+        eval_data=str(sed_env), threshold=0.3, median_kernel=3,
+        event_collar=0.25)
     assert res["Segment_Micro_F1"] > 0.5, res
+    # event-level scores ride along (validity, not quality: the smoke
+    # model's onsets need not survive the collar)
+    assert {"Event_Micro_F1", "Event_Macro_F1", "Event_Micro_Precision",
+            "Event_Micro_Recall"} <= set(res)
+    assert all(0.0 <= res[k] <= 1.0 for k in res if k.startswith("Event_"))

@@ -68,3 +68,113 @@ def test_multi_stream_batched_step(model):
     # streams become due after 4 hops -> 5 scoring rounds x 3 streams
     assert len(events) == 5 * 3
     assert {e.stream for e in events} == {0, 1, 2}
+
+
+# ------------------------------------------------------- online SED events
+
+def test_online_event_hysteresis_and_close():
+    from uit_mobile_tpu.serve.streaming import OnlineEventDetector
+
+    det = OnlineEventDetector(on_threshold=0.5, off_threshold=0.3,
+                              n_audioset=4, window_seconds=1.0)
+    p = np.zeros(4, np.float32)
+
+    # below on-threshold: nothing opens
+    p[2] = 0.4
+    assert det.update(0, 1.0, p) == []
+    # opens at 0.6; onset = window start = time - 1.0
+    p[2] = 0.6
+    assert det.update(0, 1.25, p) == []
+    # hysteresis: 0.4 is between off and on -> run stays open
+    p[2] = 0.4
+    assert det.update(0, 1.5, p) == []
+    # drops below off-threshold -> closes, covering through the last
+    # warm window
+    p[2] = 0.1
+    (ev,) = det.update(0, 1.75, p)
+    assert (ev.stream, ev.cls) == (0, 2)
+    assert ev.onset == pytest.approx(0.25)   # 1.25 - window 1.0
+    assert ev.offset == pytest.approx(1.5)
+    assert ev.peak_prob == pytest.approx(0.6)
+    # fully closed: nothing lingers
+    assert det.update(0, 2.0, p) == [] and det.flush() == []
+
+
+def test_online_event_hang_time_bridges_dips():
+    from uit_mobile_tpu.serve.streaming import OnlineEventDetector
+
+    det = OnlineEventDetector(on_threshold=0.5, off_threshold=0.5,
+                              hang_seconds=0.6, n_audioset=2)
+    hi, lo = np.array([0.9, 0.0]), np.array([0.0, 0.0])
+    assert det.update(0, 1.0, hi) == []
+    assert det.update(0, 1.25, lo) == []   # dip shorter than hang
+    assert det.update(0, 1.5, hi) == []    # re-activates, same run
+    assert det.update(0, 1.75, lo) == []
+    assert det.update(0, 2.0, lo) == []
+    (ev,) = det.update(0, 2.25, lo)        # 0.75 s below > hang 0.6
+    assert ev.cls == 0 and ev.offset == pytest.approx(1.5)
+
+
+def test_online_event_min_duration_and_flush():
+    from uit_mobile_tpu.serve.streaming import OnlineEventDetector
+
+    det = OnlineEventDetector(on_threshold=0.5, off_threshold=0.5,
+                              min_duration=1.2, n_audioset=2)
+    hi = np.array([0.9, 0.0])
+    lo = np.zeros(2)
+    # a single-window blip covers exactly window_seconds (1.0 < 1.2): pruned
+    det.update(0, 1.0, hi)
+    assert det.update(0, 1.25, lo) == []
+    # a long run survives and flush() closes it at end of stream
+    for k in range(4):
+        assert det.update(0, 2.0 + 0.25 * k, hi) == []
+    (ev,) = det.flush()
+    assert ev.onset == pytest.approx(1.0) and ev.offset == pytest.approx(2.75)
+
+
+def test_online_event_streams_are_independent():
+    from uit_mobile_tpu.serve.streaming import OnlineEventDetector
+
+    det = OnlineEventDetector(on_threshold=0.5, off_threshold=0.5,
+                              n_audioset=2)
+    hi, lo = np.array([0.9, 0.0]), np.zeros(2)
+    det.update(0, 1.0, hi)
+    det.update(1, 1.0, hi)
+    # closing stream 0 must not touch stream 1's run
+    (ev0,) = det.update(0, 1.5, lo)
+    assert ev0.stream == 0
+    (ev1,) = det.flush(stream=1)
+    assert ev1.stream == 1 and det.flush() == []
+
+
+def test_online_event_class_subset():
+    from uit_mobile_tpu.serve.streaming import OnlineEventDetector
+
+    det = OnlineEventDetector(on_threshold=0.5, off_threshold=0.5,
+                              classes=[3], n_audioset=8)
+    p = np.zeros(8)
+    p[1] = 0.9   # untracked class: ignored
+    p[3] = 0.9
+    det.update(0, 1.0, p)
+    evs = det.flush()
+    assert [e.cls for e in evs] == [3]
+
+
+def test_online_detector_on_tagger_output(model):
+    """Round trip: tagger window events drive the online detector."""
+    from uit_mobile_tpu.serve.streaming import OnlineEventDetector
+
+    cfg, params, state = model
+    sc = StreamingConfig(hop_seconds=0.5)
+    tagger = StreamingTagger(cfg, params, state, config=sc)
+    det = OnlineEventDetector(on_threshold=0.0, off_threshold=0.0,
+                              classes=[0])  # always-on: plumbing check
+    rng = np.random.default_rng(0)
+    closed = []
+    for _ in range(4):
+        for ev in tagger.feed_audio(rng.standard_normal(8000).astype(np.float32) * 0.1):
+            closed += det.update(ev.stream, ev.time, ev.probs)
+    closed += det.flush()
+    assert len(closed) == 1  # one continuous run over the whole stream
+    (ev,) = closed
+    assert ev.cls == 0 and ev.offset > ev.onset >= 0.0

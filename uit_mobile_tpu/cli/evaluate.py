@@ -47,11 +47,24 @@ def main(argv=None):
     p_ts.add_argument("--topk", type=int, default=5)
 
     p_strong = sub.add_parser(
-        "strong", help="SED segment-F1 vs event-interval manifests")
+        "strong", help="SED segment-F1 + collar event-F1 vs event-interval "
+        "manifests")
     p_strong.add_argument("experiment_path")
     p_strong.add_argument("--eval-data", default="datasets/strong/eval.tsv")
     p_strong.add_argument("--threshold", type=float, default=0.5)
     p_strong.add_argument("--min-overlap", type=float, default=0.5)
+    p_strong.add_argument("--median-kernel", type=int, default=1,
+                          help="odd median-filter width (segments) applied "
+                          "before event extraction")
+    p_strong.add_argument("--event-collar", type=float, default=0.2,
+                          help="onset collar in seconds for event matching")
+    p_strong.add_argument("--offset-collar-rate", type=float, default=0.2,
+                          help="offset collar = max(collar, rate * event "
+                          "duration)")
+    p_strong.add_argument("--min-duration", type=float, default=0.0,
+                          help="drop extracted events shorter than this (s)")
+    p_strong.add_argument("--merge-gap", type=float, default=0.0,
+                          help="fuse events separated by gaps <= this (s)")
 
     p_all = sub.add_parser("all", help="gsc + audioset with one model load")
     p_all.add_argument("experiment_path")
@@ -96,8 +109,14 @@ def main(argv=None):
                          pad=args.pad, sweep=args.sweep)
         print({k: v for k, v in results.items() if not k.startswith("_")})
     elif args.command == "strong":
-        print(ev.strong(eval_data=args.eval_data, threshold=args.threshold,
-                        min_overlap=args.min_overlap))
+        results = ev.strong(eval_data=args.eval_data, threshold=args.threshold,
+                            min_overlap=args.min_overlap,
+                            median_kernel=args.median_kernel,
+                            event_collar=args.event_collar,
+                            offset_collar_rate=args.offset_collar_rate,
+                            min_duration=args.min_duration,
+                            merge_gap=args.merge_gap)
+        print({k: v for k, v in results.items() if not k.startswith("_")})
     else:
         ev.test_sample(args.experiment_path, args.sample, topk=args.topk)
     return 0

@@ -66,6 +66,16 @@ def main(argv=None):
                         help="temporal tagging: print top-k per time segment "
                         "(per crop window; per 0.16s patch for dm-pooling "
                         "models) instead of one clip-level ranking")
+    parser.add_argument("--events", action="store_true",
+                        help="sound-event detection: extract discrete "
+                        "(label, onset, offset) events from the framewise "
+                        "probabilities (median filter + threshold + run "
+                        "merging) instead of per-segment rankings")
+    parser.add_argument("--event-threshold", type=float, default=0.5)
+    parser.add_argument("--median-kernel", type=int, default=3,
+                        help="odd median-filter width in segments (--events)")
+    parser.add_argument("--min-duration", type=float, default=0.0)
+    parser.add_argument("--merge-gap", type=float, default=0.0)
     args = parser.parse_args(argv)
 
     label_maps = load_label_map(args.labels)
@@ -83,7 +93,7 @@ def main(argv=None):
         name = label_maps[int(lab_idx)]
         return f"Keyword: {name}" if lab_idx > 526 else name
 
-    if args.timestamps:
+    if args.timestamps or args.events:
         import jax.numpy as jnp
 
         for wavpath, wave in zip(args.input_wav, wavs):
@@ -92,6 +102,20 @@ def main(argv=None):
                 cfg, params, state, jnp.asarray(wave[None, :])
             )
             probs = np.asarray(probs)[0]
+            if args.events:
+                from ..evaluate import extract_events
+
+                events = extract_events(
+                    times, probs, threshold=args.event_threshold,
+                    median_kernel=args.median_kernel,
+                    min_duration=args.min_duration, merge_gap=args.merge_gap,
+                )
+                if not events:
+                    print("(no events above threshold "
+                          f"{args.event_threshold})")
+                for cls, on, off in events:
+                    print(f"[{on:6.2f}-{off:6.2f}s] {fmt(cls)}")
+                continue
             for (t0, t1), seg in zip(times, probs):
                 top = np.argsort(seg)[::-1][: args.topk]
                 ranked = "  ".join(f"{fmt(i)} {seg[i]:.3f}" for i in top)

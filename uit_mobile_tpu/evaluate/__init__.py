@@ -1,4 +1,8 @@
 from .metrics import ALL_EVAL_METRICS, compute_metrics, gsc_accuracy
+from .events import EventScorer, event_based_scores, extract_events, median_filter_probs
 from .harness import Evaluator
 
-__all__ = ["ALL_EVAL_METRICS", "compute_metrics", "gsc_accuracy", "Evaluator"]
+__all__ = [
+    "ALL_EVAL_METRICS", "compute_metrics", "gsc_accuracy", "Evaluator",
+    "EventScorer", "event_based_scores", "extract_events", "median_filter_probs",
+]

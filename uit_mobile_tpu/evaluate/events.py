@@ -1,0 +1,190 @@
+"""Event-level SED: post-processing + collar-based event scoring.
+
+Turns framewise per-segment probabilities (``models.apply_framewise``)
+into discrete ``(class, onset, offset)`` events — median-filter
+smoothing, thresholding, gap merging, minimum-duration pruning — and
+scores them against reference event intervals with onset/offset collar
+matching (the DCASE-style event-based F1 popularized by sed_eval,
+re-derived here from the published definition; no sed_eval dependency).
+
+The reference (RicherMans/UIT_Mobile) has no SED capability at all — its
+dm head computes per-timestep probabilities (models/uit.py:405-412) and
+immediately averages them away. This module completes the strong-label
+round trip (train/sed.py -> evaluate/harness.strong) at the EVENT level,
+one step beyond the segment-F1 scoring in evaluate/metrics.py.
+
+All inputs/outputs are host-side numpy: event extraction is control-flow
+heavy (variable-length runs) and runs once per clip on tiny arrays, so it
+stays off the device by design. Segment times arrive as float64 and are
+never downcast (see models.uit.framewise_times for why).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+Event = Tuple[int, float, float]  # (class_index, onset_s, offset_s)
+
+
+def median_filter_probs(probs: np.ndarray, kernel_size: int) -> np.ndarray:
+    """Per-class median filter along the segment axis (odd kernel,
+    edge-replicated padding — the standard SED smoothing that suppresses
+    single-segment flickers before thresholding).
+
+    probs: (..., S, C); filtering runs over S independently per class.
+    kernel_size=1 is the identity.
+    """
+    p = np.asarray(probs)
+    if kernel_size <= 1:
+        return p
+    assert kernel_size % 2 == 1, "median kernel must be odd"
+    pad = kernel_size // 2
+    padded = np.concatenate(
+        [np.repeat(p[..., :1, :], pad, axis=-2), p,
+         np.repeat(p[..., -1:, :], pad, axis=-2)],
+        axis=-2,
+    )
+    win = np.lib.stride_tricks.sliding_window_view(padded, kernel_size, axis=-2)
+    return np.median(win, axis=-1)
+
+
+def extract_events(times: np.ndarray, probs: np.ndarray, *,
+                   threshold: float = 0.5, median_kernel: int = 1,
+                   min_duration: float = 0.0, merge_gap: float = 0.0,
+                   classes: Iterable[int] | None = None) -> List[Event]:
+    """Framewise probabilities -> discrete events for one clip.
+
+    times: (S, 2) [start, end) seconds per segment (may be unsorted and
+    overlapping — the long-clip tail window overlaps the previous one by
+    the crop rule, see models.uit.framewise_times).
+    probs: (S, C).
+
+    Pipeline per class: median filter -> threshold -> contiguous/overlap
+    run merging (runs separated by <= merge_gap seconds fuse) -> drop
+    runs shorter than min_duration. Returns events sorted by onset.
+    """
+    times = np.asarray(times, dtype=np.float64)
+    probs = np.asarray(probs)
+    assert times.shape == (probs.shape[0], 2), (times.shape, probs.shape)
+    active = median_filter_probs(probs, median_kernel) >= threshold
+    order = np.argsort(times[:, 0], kind="stable")
+    t = times[order]
+    eps = 1e-9
+    events: List[Event] = []
+    for c in (range(active.shape[1]) if classes is None else classes):
+        runs: List[List[float]] = []
+        for i in np.flatnonzero(active[order, int(c)]):
+            s, e = t[i]
+            if runs and s <= runs[-1][1] + merge_gap + eps:
+                runs[-1][1] = max(runs[-1][1], e)
+            else:
+                runs.append([s, e])
+        events.extend(
+            (int(c), float(on), float(off))
+            for on, off in runs
+            if off - on >= min_duration - eps
+        )
+    events.sort(key=lambda ev: (ev[1], ev[2], ev[0]))
+    return events
+
+
+class EventScorer:
+    """Accumulates collar-matched event counts across clips.
+
+    Matching per clip per class (DCASE event-based semantics): a predicted
+    event matches a reference event when |onset difference| <= t_collar
+    and — unless offset_condition=False — |offset difference| <=
+    max(t_collar, offset_collar_rate * reference duration). Each
+    reference event consumes at most one prediction; assignment is
+    greedy nearest-onset over onset-sorted references (deterministic).
+
+    Use: one ``add_clip(pred, ref)`` call per clip (events never match
+    across clip boundaries), then ``scores()``.
+    """
+
+    def __init__(self, t_collar: float = 0.2, offset_collar_rate: float = 0.2,
+                 offset_condition: bool = True):
+        self.t_collar = float(t_collar)
+        self.rate = float(offset_collar_rate)
+        self.offset_condition = offset_condition
+        self.tp: Counter = Counter()
+        self.fp: Counter = Counter()
+        self.fn: Counter = Counter()
+
+    def _matches(self, pred: Event, ref: Event) -> bool:
+        _, on_p, off_p = pred
+        _, on_r, off_r = ref
+        if abs(on_p - on_r) > self.t_collar:
+            return False
+        if not self.offset_condition:
+            return True
+        return abs(off_p - off_r) <= max(self.t_collar, self.rate * (off_r - on_r))
+
+    def add_clip(self, pred_events: Sequence[Event], ref_events: Sequence[Event]):
+        by_cls_p: Dict[int, list] = defaultdict(list)
+        by_cls_r: Dict[int, list] = defaultdict(list)
+        for ev in pred_events:
+            by_cls_p[int(ev[0])].append((int(ev[0]), float(ev[1]), float(ev[2])))
+        for ev in ref_events:
+            by_cls_r[int(ev[0])].append((int(ev[0]), float(ev[1]), float(ev[2])))
+        for c in set(by_cls_p) | set(by_cls_r):
+            preds = sorted(by_cls_p.get(c, ()), key=lambda e: e[1])
+            refs = sorted(by_cls_r.get(c, ()), key=lambda e: e[1])
+            used = [False] * len(preds)
+            for ref in refs:
+                best, best_d = None, np.inf
+                for j, pred in enumerate(preds):
+                    if used[j] or not self._matches(pred, ref):
+                        continue
+                    d = abs(pred[1] - ref[1])
+                    if d < best_d:
+                        best, best_d = j, d
+                if best is None:
+                    self.fn[c] += 1
+                else:
+                    used[best] = True
+                    self.tp[c] += 1
+            self.fp[c] += used.count(False)
+
+    @staticmethod
+    def _prf(tp: int, fp: int, fn: int) -> Tuple[float, float, float]:
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        return p, r, f
+
+    def scores(self) -> dict:
+        """Micro scores over summed counts; macro F1 over every class that
+        appears in references or predictions. Per-class F1 rides along
+        under an underscore key (report writers skip ``_``-prefixed)."""
+        classes = sorted(set(self.tp) | set(self.fp) | set(self.fn))
+        per_class = {
+            c: self._prf(self.tp[c], self.fp[c], self.fn[c])[2] for c in classes
+        }
+        micro_p, micro_r, micro_f = self._prf(
+            sum(self.tp.values()), sum(self.fp.values()), sum(self.fn.values())
+        )
+        return {
+            "Event_Micro_F1": micro_f,
+            "Event_Micro_Precision": micro_p,
+            "Event_Micro_Recall": micro_r,
+            "Event_Macro_F1": (
+                float(np.mean(list(per_class.values()))) if per_class else 0.0
+            ),
+            "_event_per_class_f1": per_class,
+        }
+
+
+def event_based_scores(clip_pairs, *, t_collar: float = 0.2,
+                       offset_collar_rate: float = 0.2,
+                       offset_condition: bool = True) -> dict:
+    """One-shot convenience over ``EventScorer``: ``clip_pairs`` is an
+    iterable of (predicted_events, reference_events) per clip."""
+    scorer = EventScorer(t_collar=t_collar, offset_collar_rate=offset_collar_rate,
+                         offset_condition=offset_condition)
+    for pred, ref in clip_pairs:
+        scorer.add_clip(pred, ref)
+    return scorer.scores()

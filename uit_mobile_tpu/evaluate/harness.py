@@ -233,10 +233,18 @@ class Evaluator:
 
     def strong(self, experiment_path: Optional[str] = None,
                eval_data: str = "datasets/strong/eval.tsv",
-               threshold: float = 0.5, min_overlap: float = 0.5):
+               threshold: float = 0.5, min_overlap: float = 0.5,
+               median_kernel: int = 1, event_collar: float = 0.2,
+               offset_collar_rate: float = 0.2, min_duration: float = 0.0,
+               merge_gap: float = 0.0):
         """Strong-label (SED) evaluation: framewise probabilities over FULL
         clips scored against event intervals — DCASE-style segment
-        F1/precision/recall (evaluate.metrics.segment_f1).
+        F1/precision/recall (evaluate.metrics.segment_f1) PLUS collar-based
+        event F1 (evaluate.events): per clip, probabilities are median-
+        filtered (`median_kernel` segments), thresholded, merged into
+        events (`merge_gap`, `min_duration`) and matched to the reference
+        intervals with an onset collar of `event_collar` seconds (offset
+        collar = max(collar, offset_collar_rate * event duration)).
 
         eval_data: TSV with filename/labels/hdf5path/from/to (one labeled
         event interval per row; rows sharing a filename are that clip's
@@ -250,6 +258,7 @@ class Evaluator:
         import jax.numpy as jnp
 
         from .. import models
+        from .events import EventScorer, extract_events
         from .metrics import segment_events_to_targets, segment_f1
 
         cfg, params, state = self._setup(experiment_path)
@@ -300,6 +309,8 @@ class Evaluator:
             return times_cache[pad_to]
 
         all_p, all_t = [], []
+        scorer = EventScorer(t_collar=event_collar,
+                             offset_collar_rate=offset_collar_rate)
 
         def flush(pad_to, items):
             batch = np.stack([w for w, _ in items])
@@ -309,6 +320,13 @@ class Evaluator:
                 all_p.append(p)
                 all_t.append(segment_events_to_targets(
                     times, events, num_classes, min_overlap=min_overlap))
+                scorer.add_clip(
+                    extract_events(times, p, threshold=threshold,
+                                   median_kernel=median_kernel,
+                                   min_duration=min_duration,
+                                   merge_gap=merge_gap),
+                    events,
+                )
 
         # batch clips of the same padded length together (bounded memory:
         # at most batch_size clips buffered per distinct length)
@@ -324,7 +342,11 @@ class Evaluator:
             flush(pad_to, items)
         results = segment_f1(np.concatenate(all_p), np.concatenate(all_t),
                              threshold=threshold)
-        self._write_report("Strong", results, None)
+        results.update(scorer.scores())
+        self._write_report(
+            "Strong",
+            {k: v for k, v in results.items() if not k.startswith("_")}, None,
+        )
         return results
 
     def test_sample(self, experiment_path: Optional[str], sample: str, topk: int = 5):

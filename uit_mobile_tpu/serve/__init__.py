@@ -1,5 +1,12 @@
 from .service import TaggingService, ServiceConfig
-from .streaming import MultiStreamTagger, StreamingTagger, StreamingConfig, Event
+from .streaming import (
+    Event,
+    MultiStreamTagger,
+    OnlineEventDetector,
+    SoundEvent,
+    StreamingConfig,
+    StreamingTagger,
+)
 
 __all__ = [
     "TaggingService",
@@ -8,4 +15,6 @@ __all__ = [
     "StreamingTagger",
     "StreamingConfig",
     "Event",
+    "OnlineEventDetector",
+    "SoundEvent",
 ]

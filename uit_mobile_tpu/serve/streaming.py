@@ -155,3 +155,97 @@ class StreamingTagger(MultiStreamTagger):
 
     def feed_audio(self, chunk: np.ndarray) -> list[Event]:
         return self.feed(0, chunk)
+
+
+@dataclasses.dataclass
+class SoundEvent:
+    """A closed (finished) sound event detected online."""
+    stream: int
+    cls: int
+    onset: float           # seconds, stream time
+    offset: float          # seconds, stream time
+    peak_prob: float
+
+
+class OnlineEventDetector:
+    """Online SED over the window-probability stream: hysteresis
+    thresholding with hang time, the streaming counterpart of
+    evaluate.events.extract_events (which needs the whole clip).
+
+    Feed it every scored window (MultiStreamTagger events): a class's run
+    OPENS when its prob >= on_threshold, stays open while probs remain
+    >= off_threshold (hysteresis suppresses boundary flicker without the
+    latency a median filter would add), and CLOSES once the class has
+    been below off_threshold for `hang_seconds` of stream time — at which
+    point a SoundEvent is emitted if the run lasted >= min_duration.
+
+    Tracked classes default to the AudioSet range [0, n_audioset); pass
+    `classes` to watch a subset (cheaper, and keyword triggers are
+    already handled by MultiStreamTagger's refractory logic).
+    """
+
+    def __init__(self, on_threshold: float = 0.5, off_threshold: float = 0.3,
+                 hang_seconds: float = 0.0, min_duration: float = 0.0,
+                 classes: Optional[list] = None, n_audioset: int = 527,
+                 window_seconds: float = 1.0):
+        assert off_threshold <= on_threshold, "hysteresis needs off <= on"
+        self.on_threshold = on_threshold
+        self.off_threshold = off_threshold
+        self.hang_seconds = hang_seconds
+        self.min_duration = min_duration
+        self.window_seconds = window_seconds
+        self._classes = (np.arange(n_audioset) if classes is None
+                         else np.asarray(sorted(classes), dtype=np.int64))
+        # (stream, cls) -> [onset, last_active_time, peak]
+        self._open: dict[tuple[int, int], list] = {}
+
+    def update(self, stream: int, time: float, probs: np.ndarray) -> list[SoundEvent]:
+        """One scored window (stream time `time` = window END, seconds);
+        returns events that closed. The window covers
+        [time - window_seconds, time]."""
+        p = np.asarray(probs)[self._classes]
+        onset_t = max(0.0, time - self.window_seconds)
+        closed = []
+        hot = set(np.flatnonzero(p >= self.on_threshold))
+        warm = set(np.flatnonzero(p >= self.off_threshold))
+        for i in hot:
+            cls = int(self._classes[i])
+            run = self._open.get((stream, cls))
+            if run is None:
+                self._open[(stream, cls)] = [onset_t, time, float(p[i])]
+            else:
+                run[1] = time
+                run[2] = max(run[2], float(p[i]))
+        for (s, cls), run in list(self._open.items()):
+            if s != stream:
+                continue
+            i = np.searchsorted(self._classes, cls)
+            still_warm = i < len(self._classes) and self._classes[i] == cls \
+                and i in warm
+            if still_warm:
+                run[1] = time
+            elif time - run[1] >= self.hang_seconds:
+                ev = self._close(s, cls, run)
+                if ev is not None:
+                    closed.append(ev)
+                del self._open[(s, cls)]
+        return closed
+
+    def flush(self, stream: Optional[int] = None) -> list[SoundEvent]:
+        """Close every open run (end of stream); returns the final events."""
+        closed = []
+        for (s, cls), run in list(self._open.items()):
+            if stream is not None and s != stream:
+                continue
+            ev = self._close(s, cls, run)
+            if ev is not None:
+                closed.append(ev)
+            del self._open[(s, cls)]
+        return closed
+
+    def _close(self, stream: int, cls: int, run) -> Optional[SoundEvent]:
+        onset, last, peak = run
+        if last - onset < self.min_duration:
+            return None
+        return SoundEvent(stream=stream, cls=cls, onset=float(onset),
+                          offset=float(last), peak_prob=peak)
