@@ -40,6 +40,66 @@ def test_console_scripts_registered():
     """pyproject console entry points resolve to importable callables."""
     import importlib
 
-    for mod in ("infer", "train", "evaluate", "bench", "serve", "average", "export"):
+    for mod in ("infer", "train", "evaluate", "bench", "serve", "average",
+                "export", "stream"):
         m = importlib.import_module(f"uit_mobile_tpu.cli.{mod}")
         assert callable(m.main)
+
+
+def test_stream_cli_wav_and_events(tmp_path, capsys):
+    """uit-stream over a wav file: JSON lines, window cadence, event flush."""
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102, depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, cfg)
+
+    from uit_mobile_tpu.cli.stream import main
+
+    rc = main(["samples/85b877b5_nohash_0.wav", "-m", str(ckpt),
+               "--hop", "0.25", "--windows", "--events",
+               "--on-threshold", "0.0", "--off-threshold", "0.0"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip()]
+    kinds = {l["kind"] for l in lines}
+    # 1 s clip at hop 0.25 -> the window at t=1.0 fires (buffer full)
+    windows = [l for l in lines if l["kind"] == "window"]
+    assert windows and all(len(w["top"]) == 3 for w in windows)
+    assert all(isinstance(lab, str) for w in windows for lab, _ in w["top"])
+    # always-on detector: flush emits events for the tracked classes
+    events = [l for l in lines if l["kind"] == "event"]
+    assert events
+    for e in events:
+        assert e["offset"] >= e["onset"] >= 0.0
+        assert isinstance(e["label"], str)
+    assert kinds <= {"window", "trigger", "event"}
+
+
+def test_stream_cli_raw_stdin(tmp_path, monkeypatch, capsys):
+    """--raw consumes s16le PCM from stdin."""
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102, depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, cfg)
+
+    from uit_mobile_tpu.cli.stream import main
+
+    pcm = (np.random.default_rng(0).standard_normal(24000) * 3000).astype("<i2")
+
+    class FakeStdin:
+        def __init__(self, data):
+            self.buffer = io.BytesIO(data)
+
+    monkeypatch.setattr("sys.stdin", FakeStdin(pcm.tobytes()))
+    rc = main(["--raw", "-m", str(ckpt), "--hop", "0.5", "--windows"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip()]
+    assert [l for l in lines if l["kind"] == "window"]
+
+
+def test_stream_cli_rejects_ambiguous_input(tmp_path):
+    from uit_mobile_tpu.cli.stream import main
+
+    with pytest.raises(SystemExit):
+        main([])  # neither wavs nor --raw

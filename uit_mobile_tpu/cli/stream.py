@@ -1,0 +1,130 @@
+"""Streaming CLI: real-time sliding-window tagging + online sound events.
+
+    # simulate a live stream from wav files (chunked at the hop size)
+    python -m uit_mobile_tpu.cli.stream long_clip.wav -m CKPT --events
+
+    # a true live stream: raw mono s16le 16 kHz PCM on stdin
+    arecord -f S16_LE -r 16000 -c 1 | python -m uit_mobile_tpu.cli.stream --raw
+
+Emits one JSON line per emission:
+    {"kind": "window",  "t": 1.25, "top": [["Water", 0.91], ...]}
+    {"kind": "trigger", "t": 1.25, "keyword": "on", "prob": 0.97}
+    {"kind": "event",   "label": "Water", "onset": 0.5, "offset": 2.25,
+     "peak": 0.93}
+
+Windows re-score every `--hop` seconds over the model's 1 s receptive
+window (serve.MultiStreamTagger); keyword triggers use the GSC operating
+threshold with a refractory period; `--events` adds the online
+hysteresis event detector (serve.OnlineEventDetector) over the AudioSet
+classes, emitting events as they CLOSE (end-of-stream flushes the rest).
+The reference has no streaming surface at all — its demo scores whole
+files (inference.py:51-62).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .common import load_label_map, resolve_model
+
+
+def main(argv=None):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser(prog="uit-stream")
+    parser.add_argument("input_wav", type=Path, nargs="*",
+                        help="wav files to stream sequentially (omit with "
+                        "--raw)")
+    parser.add_argument("-m", "--model", default="uit_xs")
+    parser.add_argument("-k", "--topk", type=int, default=3)
+    parser.add_argument("--raw", action="store_true",
+                        help="read raw mono s16le 16 kHz PCM from stdin")
+    parser.add_argument("--hop", type=float, default=0.25,
+                        help="re-score cadence in seconds")
+    parser.add_argument("--threshold", type=float, default=0.2,
+                        help="keyword trigger threshold (GSC operating point)")
+    parser.add_argument("--refractory", type=float, default=1.0)
+    parser.add_argument("--windows", action="store_true",
+                        help="also emit every window's top-k (chatty)")
+    parser.add_argument("--events", action="store_true",
+                        help="online sound-event detection over the AudioSet "
+                        "classes (hysteresis on/off thresholds + hang time)")
+    parser.add_argument("--on-threshold", type=float, default=0.5)
+    parser.add_argument("--off-threshold", type=float, default=0.3)
+    parser.add_argument("--hang", type=float, default=0.5,
+                        help="seconds below off-threshold before an event "
+                        "closes")
+    parser.add_argument("--min-duration", type=float, default=0.0)
+    args = parser.parse_args(argv)
+    if bool(args.input_wav) == bool(args.raw):
+        parser.error("pass wav files OR --raw (stdin PCM), not both/neither")
+
+    labels = load_label_map()
+    cfg, params, state = resolve_model(args.model)
+
+    from ..serve import OnlineEventDetector, StreamingConfig, StreamingTagger
+
+    sc = StreamingConfig(hop_seconds=args.hop, threshold=args.threshold,
+                         refractory_seconds=args.refractory)
+    tagger = StreamingTagger(cfg, params, state, config=sc)
+    detector = (OnlineEventDetector(
+        on_threshold=args.on_threshold, off_threshold=args.off_threshold,
+        hang_seconds=args.hang, min_duration=args.min_duration,
+        n_audioset=sc.n_audioset, window_seconds=sc.window_seconds)
+        if args.events else None)
+
+    def emit(obj):
+        print(json.dumps(obj), flush=True)
+
+    def emit_sound_event(ev):
+        emit({"kind": "event", "label": labels[ev.cls],
+              "onset": round(ev.onset, 3), "offset": round(ev.offset, 3),
+              "peak": round(ev.peak_prob, 4)})
+
+    def handle(window_events):
+        for ev in window_events:
+            if args.windows:
+                top = np.argsort(ev.probs)[::-1][: args.topk]
+                emit({"kind": "window", "t": round(ev.time, 3),
+                      "top": [[labels[int(i)], round(float(ev.probs[i]), 4)]
+                              for i in top]})
+            for cls, prob in ev.triggers:
+                emit({"kind": "trigger", "t": round(ev.time, 3),
+                      "keyword": labels[cls], "prob": round(prob, 4)})
+            if detector is not None:
+                for sev in detector.update(ev.stream, ev.time, ev.probs):
+                    emit_sound_event(sev)
+
+    hop_samples = int(sc.hop_seconds * sc.sample_rate)
+    if args.raw:
+        while True:
+            buf = sys.stdin.buffer.read(hop_samples * 2)
+            if not buf:
+                break
+            chunk = np.frombuffer(buf, dtype="<i2")
+            handle(tagger.feed_audio(chunk))
+    else:
+        from ..data import read_wav
+
+        for wavpath in args.input_wav:
+            wave, sr = read_wav(wavpath)
+            assert sr == sc.sample_rate, (
+                f"{wavpath}: expected {sc.sample_rate} Hz, got {sr}"
+            )
+            samples = wave[0]
+            for lo in range(0, samples.shape[0], hop_samples):
+                handle(tagger.feed_audio(samples[lo: lo + hop_samples]))
+    if detector is not None:
+        for sev in detector.flush():
+            emit_sound_event(sev)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
