@@ -76,32 +76,34 @@ def main():
     wavs_f32 = [jnp.asarray(p.astype(np.float32) / 32768.0) for p in pcm]
     rounds, depth = (4, 8) if on_tpu else (2, 2)
 
-    # headline: fused Pallas mel frontend in the kernel-native (B, T, F)
-    # layout (no lane transpose; init_bn folded into the patch embed —
-    # models/uit.patch_embed_btf), fast (3-pass bf16 DFT) precision
-    cfg_btf = models.get_model_config("uit_xs", outputdim=537, target_length=102,
-                                      mel_layout="btf")
+    # headline: fused Pallas mel frontend in the TRANSPOSED (T, F, B)
+    # layout — the framing gather's native orientation, so neither the
+    # frames nor the mel are ever re-laid-out (models/uit.patch_embed_tfb
+    # folds init_bn into the patch embed), fast (3-pass bf16 DFT) precision
+    def make_fwd_layout(layout, frontend):
+        c = models.get_model_config("uit_xs", outputdim=537, target_length=102,
+                                    mel_layout=layout)
+        return jax.jit(lambda p, s, w: models.apply(c, p, s, w, frontend_fn=frontend))
 
-    def make_fwd_btf(frontend):
-        return jax.jit(
-            lambda p, s, w: models.apply(cfg_btf, p, s, w, frontend_fn=frontend)
-        )
-
-    fwd_fast = make_fwd_btf(make_frontend_fn(cfg.frontend, use_pallas=on_tpu,
-                                             precision="fast", layout="btf"))
+    fwd_fast = make_fwd_layout("tfb", make_frontend_fn(
+        cfg.frontend, use_pallas=on_tpu, precision="fast", layout="tfb"))
     clips_per_s = _measure(fwd_fast, params, state, wavs, B, rounds, depth)
 
-    bft_clips_per_s = exact_clips_per_s = f32_clips_per_s = None
+    btf_clips_per_s = bft_clips_per_s = exact_clips_per_s = f32_clips_per_s = None
     if on_tpu:
-        # same pipeline fed normalized f32 wavs (round-2 interim headline)
+        # same pipeline fed normalized f32 wavs
         f32_clips_per_s = _measure(fwd_fast, params, state, wavs_f32, B, rounds, depth)
+        # round-2 (B, T, F) layout, for comparison
+        fwd_btf = make_fwd_layout("btf", make_frontend_fn(
+            cfg.frontend, use_pallas=True, precision="fast", layout="btf"))
+        btf_clips_per_s = _measure(fwd_btf, params, state, wavs, B, rounds, depth)
         # reference-orientation path (round-1 headline), for comparison
         fwd_bft = make_fwd(make_frontend_fn(cfg.frontend, use_pallas=True,
                                             precision="fast"))
         bft_clips_per_s = _measure(fwd_bft, params, state, wavs, B, rounds, depth)
-        # exact-precision Pallas DFT (the parity-grade serving mode), btf
-        fwd_exact = make_fwd_btf(make_frontend_fn(cfg.frontend, use_pallas=True,
-                                                  precision="exact", layout="btf"))
+        # exact-precision Pallas DFT (the parity-grade serving mode), tfb
+        fwd_exact = make_fwd_layout("tfb", make_frontend_fn(
+            cfg.frontend, use_pallas=True, precision="exact", layout="tfb"))
         exact_clips_per_s = _measure(fwd_exact, params, state, wavs, B, rounds, depth)
 
     # measured CPU baseline: the SAME model with the XLA-op frontend on this
@@ -132,10 +134,11 @@ def main():
     p50 = float(np.percentile(times, 50))
 
     print(
-        f"# batch={B} pipelined fast-btf-int16={clips_per_s:.0f} "
-        f"fast-btf-f32={f32_clips_per_s and round(f32_clips_per_s)} "
+        f"# batch={B} pipelined fast-tfb-int16={clips_per_s:.0f} "
+        f"fast-tfb-f32={f32_clips_per_s and round(f32_clips_per_s)} "
+        f"fast-btf={btf_clips_per_s and round(btf_clips_per_s)} "
         f"fast-bft={bft_clips_per_s and round(bft_clips_per_s)} "
-        f"exact-btf={exact_clips_per_s and round(exact_clips_per_s)} "
+        f"exact-tfb={exact_clips_per_s and round(exact_clips_per_s)} "
         f"cpu={cpu_clips_per_s and round(cpu_clips_per_s, 1)} clips/s/chip; "
         f"blocking p50={p50 * 1e3:.2f} ms/batch",
         file=sys.stderr,
@@ -144,7 +147,7 @@ def main():
     # Reference ambition proxy: 3.4 ms/clip on Snapdragon 865 (README.md:15-24)
     baseline_clips_per_s = 1000.0 / 3.4
     record = {
-        "metric": "uit_xs 1s-clip inferences/sec/chip (batched, pallas mel frontend, btf layout, int16 PCM in)",
+        "metric": "uit_xs 1s-clip inferences/sec/chip (batched, pallas mel frontend, tfb layout, int16 PCM in)",
         "value": round(clips_per_s, 1),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_s / baseline_clips_per_s, 2),
@@ -153,6 +156,8 @@ def main():
         record["f32_clips_per_s"] = round(f32_clips_per_s, 1)
     if exact_clips_per_s is not None:
         record["exact_clips_per_s"] = round(exact_clips_per_s, 1)
+    if btf_clips_per_s is not None:
+        record["btf_clips_per_s"] = round(btf_clips_per_s, 1)
     if bft_clips_per_s is not None:
         record["bft_clips_per_s"] = round(bft_clips_per_s, 1)
     if cpu_clips_per_s is not None:

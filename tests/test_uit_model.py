@@ -203,3 +203,29 @@ def test_train_mode_returns_state_and_grads_flow():
     assert not np.allclose(np.asarray(new_state["init_bn"]["mean"]), 0.0)
     gnorm = sum(float(jnp.sum(g * g)) for g in jax.tree.leaves(grads))
     assert gnorm > 0
+
+
+def test_attention_mul_reduce_formulation_consistent():
+    """B >= 256 with hd <= 16 switches to the broadcast-multiply-reduce
+    contraction (layout-copy-free on TPU, models/common.py). It must
+    agree with the numpy reference AND with the einsum path run on the
+    same rows below the gate — the formulation is an implementation
+    detail, not a semantics change."""
+    rng = np.random.default_rng(7)
+    D, h, N, B = 128, 2, 8, 256
+    inner = D // 4  # bneck: hd = 16 -> gate fires at B >= 256
+    scale = (D // h) ** -0.5
+    x = rng.standard_normal((B, N, D)).astype(np.float32)
+    qkv_w = (rng.standard_normal((D, 3 * inner)) * 0.05).astype(np.float32)
+    qkv_b = (rng.standard_normal((3 * inner,)) * 0.05).astype(np.float32)
+    proj_w = (rng.standard_normal((inner, D)) * 0.05).astype(np.float32)
+    proj_b = (rng.standard_normal((D,)) * 0.05).astype(np.float32)
+    p = {"qkv": {"kernel": jnp.asarray(qkv_w), "bias": jnp.asarray(qkv_b)},
+         "proj": {"kernel": jnp.asarray(proj_w), "bias": jnp.asarray(proj_b)}}
+    big = np.asarray(multihead_attention(
+        p, jnp.asarray(x), num_heads=h, scale=scale, inner_dim=inner))
+    want = _np_attention(x, qkv_w, qkv_b, proj_w, proj_b, h, scale, inner)
+    np.testing.assert_allclose(big, want, atol=2e-5)
+    small = np.asarray(multihead_attention(  # B=3 < 256: einsum path
+        p, jnp.asarray(x[:3]), num_heads=h, scale=scale, inner_dim=inner))
+    np.testing.assert_allclose(big[:3], small, atol=1e-5)

@@ -155,15 +155,33 @@ def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
     # identical outputs. h is tiny (2 in every published config), so the
     # Python loop emits a handful of clean batched matmuls.
     causal_mask = np.triu(np.ones((N, N), dtype=bool), k=1) if causal else None
+    # Contraction formulation (B is static under jit, so this is a
+    # compile-time choice): the per-head batched dot_generals demand
+    # {1,2,0}-layout operands while the encoder's fusions emit batch-minor
+    # {0,2,1} — XLA inserts a tiny layout copy per head per product per
+    # block (~87 copies ~1.4 ms/batch at B=2048, profiled). For small
+    # heads at serving batch sizes, an explicit broadcast-multiply-reduce
+    # keeps the batch-minor layout end-to-end on the VPU: measured -7.8%
+    # device time at B=256 and -2% at B=2048 (+6-8% wall from the smaller
+    # op count), with f32 products where the dot_generals ran bf16 passes
+    # (~1.7e-4 more accurate on TPU; identical reduction on CPU). Below
+    # the gate the copies are latency-trivial and the lane-starved VPU
+    # loses (B=1: -17%); at hd>16 the (B,N,N,hd) intermediates outgrow
+    # the copy saving (hd=64: -10%). tools/profile_gaps.py re-measures.
+    mul_reduce = hd <= 16 and B >= 256
     head_outs = []
     for i in range(h):
         q = qkv[..., i * hd:(i + 1) * hd]                                # (B, N, hd)
         k = qkv[..., inner_dim + i * hd: inner_dim + (i + 1) * hd]
         v = qkv[..., 2 * inner_dim + i * hd: 2 * inner_dim + (i + 1) * hd]
         # logits + softmax in f32 regardless of compute dtype (stability)
-        attn = jnp.einsum(
-            "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
-        ) * scale
+        if mul_reduce:
+            attn = (q[:, :, None, :].astype(jnp.float32)
+                    * k[:, None, :, :].astype(jnp.float32)).sum(-1) * scale
+        else:
+            attn = jnp.einsum(
+                "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
+            ) * scale
         if causal_mask is not None:
             attn = jnp.where(causal_mask, jnp.finfo(attn.dtype).min, attn)
         if key_mask is not None:  # (B, N) True = valid key token
@@ -173,7 +191,12 @@ def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
         if not deterministic and attn_drop > 0.0:
             rng, r1 = jax.random.split(rng)
             attn = dropout(r1, attn, attn_drop, deterministic)
-        head_outs.append(jnp.einsum("bnm,bmd->bnd", attn.astype(v.dtype), v))
+        if mul_reduce:
+            head_outs.append(
+                (attn[:, :, :, None].astype(v.dtype) * v[:, None, :, :]).sum(2)
+            )
+        else:
+            head_outs.append(jnp.einsum("bnm,bmd->bnd", attn.astype(v.dtype), v))
     out = head_outs[0] if h == 1 else jnp.concatenate(head_outs, axis=-1)
     out = linear(p["proj"], out.astype(x.dtype))
     if not deterministic and proj_drop > 0.0:

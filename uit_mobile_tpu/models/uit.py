@@ -101,7 +101,7 @@ class UITConfig:
         # reference raises ValueError for unknown eval_avg (uit.py:483-488);
         # without this check anything != 'mean' silently behaves as 'max'
         assert self.eval_avg in ("mean", "max"), f"unknown eval_avg {self.eval_avg!r}"
-        assert self.mel_layout in ("bft", "btf")
+        assert self.mel_layout in ("bft", "btf", "tfb")
 
     @property
     def grid_size(self):  # (freq, time) patch grid
@@ -262,6 +262,57 @@ def patch_embed_btf(cfg: UITConfig, params, state, x):
     x5 = x.reshape(B, tg, ps, fg, ps)
     tokens = jnp.einsum("btvfu,fuvd->btfd", x5, Kf) + bias_f[None, None]
     return tokens.transpose(0, 2, 1, 3)            # (B, fg, tg, D)
+
+
+def patch_embed_tfb(cfg: UITConfig, params, state, x):
+    """(T, n_mels, B) CLAMPED log-mel dB -> (B, fg, tg, D) tokens.
+
+    Same init_bn-into-matmul fold as patch_embed_btf, consuming the
+    TRANSPOSED Pallas kernel's (frames, mels, batch) output directly —
+    between the framing gather and the encoder nothing is ever
+    re-laid-out (the gather's natural output feeds the kernel, the
+    kernel's output feeds this einsum; measured -0.97 ms/batch frontend
+    device time vs btf at B=2048). Serving/eval only.
+    """
+    T, F, B = x.shape
+    ps = cfg.patch_size
+    fg, tg = F // ps, T // ps
+    if tg < 1:
+        raise ValueError(
+            f"input has {T} mel frames but one {ps}x{ps} patch needs at least {ps}"
+        )
+    x = x[: tg * ps, : fg * ps, :]
+    if cfg.init_bn:
+        p, s = params["init_bn"], state["init_bn"]
+        inv = jax.lax.rsqrt(s["var"] + 1e-5)
+        a = p["scale"] * inv                      # (n_mels,)
+        b = p["bias"] - s["mean"] * a
+    else:  # GlobalNormer(-10, 20, fac=2): (m + 10) / 40
+        a = jnp.full((F,), 1.0 / 40.0, x.dtype)
+        b = jnp.full((F,), 0.25, x.dtype)
+    K = params["patch_embed"]["kernel"].reshape(ps, ps, -1)  # (mel_p, time_p, D)
+    a4 = a.reshape(fg, ps)
+    b4 = b.reshape(fg, ps)
+    Kf = a4[:, :, None, None] * K[None]            # (fg, mel_p, time_p, D)
+    bias_f = jnp.einsum("fu,uvd->fd", b4, K) + params["patch_embed"]["bias"]
+    # x5[t, v(time-in-patch), f, u(mel-in-patch), b]
+    x5 = x.reshape(tg, ps, fg, ps, B)
+    tokens = jnp.einsum("tvfub,fuvd->bftd", x5, Kf)
+    return tokens + bias_f[None, :, None]          # (B, fg, tg, D)
+
+
+def chunk_long_mel_tfb(cfg: UITConfig, mel):
+    """(T>target, F, B) -> (target, F, n_crops*B): the eval crop rule on
+    the transposed layout — windows slice the MAJOR (frame) axis and
+    stack along batch (crop-major: column c*B+b is crop c of sample b),
+    so the reduce is a reshape(n_crops, B, ...) over axis 0."""
+    T, F, B = mel.shape
+    L = cfg.target_length
+    starts = _window_starts(T, L)
+    crops = jnp.concatenate(
+        [jax.lax.slice_in_dim(mel, s, s + L, axis=0) for s in starts], axis=-1
+    )
+    return crops, len(starts)
 
 
 def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None,
@@ -437,6 +488,35 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
     With cfg.use_length_mask and `lengths` (samples per clip), padded-region
     patches are excluded from attention and pooling (single-window path).
     """
+    if cfg.mel_layout == "tfb":
+        # fastest serving path: (T, F, B) mel straight from the TRANSPOSED
+        # Pallas kernel (the framing gather's native layout — no relayout
+        # copies anywhere), init_bn folded into the patch embed
+        if train:
+            raise ValueError(
+                "mel_layout='tfb' is an eval/serving optimization; train "
+                "with the default 'bft' layout (BN stat updates cannot be "
+                "folded into the patch embed)"
+            )
+        assert frontend_fn is not None, (
+            "mel_layout='tfb' needs a frontend_fn built with "
+            "make_frontend_fn(..., layout='tfb')"
+        )
+        mel = frontend_fn(wav)  # (T, F, B)
+        T = mel.shape[0]
+        if T > cfg.target_length:
+            crops, n_crops = chunk_long_mel_tfb(cfg, mel)
+            feats = _finish_features(
+                cfg, params, patch_embed_tfb(cfg, params, state, crops)
+            )
+            probs = forward_head(cfg, params, feats)
+            probs = probs.reshape(n_crops, -1, cfg.outputdim)  # crop-major
+            return probs.mean(axis=0) if cfg.eval_avg == "mean" else probs.max(axis=0)
+        feats = _finish_features(
+            cfg, params, patch_embed_tfb(cfg, params, state, mel)
+        )
+        return forward_head(cfg, params, feats)
+
     if cfg.mel_layout == "btf":
         # serving fast path: (B, T, F) mel straight from the Pallas kernel,
         # init_bn folded into the patch-embed matmul (patch_embed_btf)

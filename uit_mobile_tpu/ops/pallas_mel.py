@@ -135,6 +135,52 @@ def _mel_kernel_fast(frames_ref, ghi_ref, glo_ref, fbhi_ref, fblo_ref, out_ref):
     out_ref[:] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
 
 
+# ------------------------------------------------ transposed ('tfb') kernels
+#
+# The framing gather's NATURAL output layout is frames-transposed: XLA
+# pre-transposes wav to (T, B) and vectorizes the gather over batch in
+# lanes, materializing (P*n_fft, B) — then pays a 0.69 ms/batch relayout
+# copy (B=2048, profiled) to feed the row-major (B*P, n_fft) kernel above.
+# These kernels consume the transposed frames DIRECTLY: per grid cell one
+# frame plane (n_fft, B_blk), DFT as (lanes, n_fft) @ (n_fft, B_blk),
+# filterbank as (n_mels, lanes) @ (lanes, B_blk), output (P, n_mels, B).
+# Measured (B=2048, int16, fast): frontend device time 3.61 -> 2.64
+# ms/batch (the copy disappears AND the kernel drops 2.17 -> 1.99 ms),
+# output BITWISE identical to the row kernel's.
+
+def _tri_dot_left(a_hi, a_lo, b):
+    """3-pass bf16 split with the pre-split matrix on the LEFT."""
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dd(x, y):
+        return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return dd(a_hi, b_hi) + dd(a_lo, b_hi) + dd(a_hi, b_lo)
+
+
+def _mel_kernel_t(framesT_ref, gt_ref, fbthi_ref, fbtlo_ref, out_ref):
+    """framesT (1, n_fft, B_blk) -> log-mel (1, n_mels, B_blk); exact:
+    DFT at Precision.HIGHEST, filterbank 3-pass (see _mel_kernel)."""
+    g = jax.lax.dot_general(
+        gt_ref[:], _as_f32(framesT_ref[0]), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    power = g * g
+    mel = _tri_dot_left(fbthi_ref[:], fbtlo_ref[:], power)
+    out_ref[0] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
+
+
+def _mel_kernel_fast_t(framesT_ref, gthi_ref, gtlo_ref, fbthi_ref, fbtlo_ref,
+                       out_ref):
+    """Transposed fast variant: both matmuls 3-pass bf16 splits."""
+    g = _tri_dot_left(gthi_ref[:], gtlo_ref[:], _as_f32(framesT_ref[0]))
+    power = g * g
+    mel = _tri_dot_left(fbthi_ref[:], fbtlo_ref[:], power)
+    out_ref[0] = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
+
+
 def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
                    interpret: bool | None = None,
                    precision: str = "exact", layout: str = "bft",
@@ -151,12 +197,16 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     - 'fast': both matmuls 3-pass bf16 (~1.15x end-to-end throughput,
       <=2.5e-4 output-probability drift — see _mel_kernel_fast).
     layout: 'bft' -> (B, n_mels, n_frames), the reference's orientation;
-    'btf' -> (B, n_frames, n_mels), the kernel's NATIVE row layout — no
-    lane<->sublane transpose copy (serving fast path; consumed by
-    models.uit patch_embed_btf).
+    'btf' -> (B, n_frames, n_mels), the row kernel's native layout — no
+    output transpose (consumed by models.uit patch_embed_btf);
+    'tfb' -> (n_frames, n_mels, B), the FRAMING GATHER's native layout —
+    the transposed kernel consumes (P*n_fft, B) frames directly, so the
+    0.69 ms/batch frames relayout copy disappears too (fastest serving
+    path; consumed by models.uit patch_embed_tfb; bitwise identical to
+    the row kernel).
     """
     assert precision in ("exact", "fast")
-    assert layout in ("bft", "btf")
+    assert layout in ("bft", "btf", "tfb")
     config = config or FrontendConfig()
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -189,11 +239,71 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     valid = col_bin >= 0
     fb[valid] = mel_fb[col_bin[valid]]
 
+    def split(M):
+        hi = M.astype(jnp.bfloat16)
+        lo = (M - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    G = G * np.float32(wav_scale)  # exact: power-of-two exponent shift
+
+    if layout == "tfb":
+        # transposed path: gather rows of wav^T (Tp, B) -> framesT
+        # (n_frames, n_fft, B) — physically the layout XLA's gather
+        # produces anyway, so no relayout copy on either side
+        wavT = wav.T
+        idxT = (np.arange(n_frames)[:, None] * hop
+                + np.arange(n_fft)[None, :]).reshape(-1)
+        framesT = wavT[idxT, :].reshape(n_frames, n_fft, B)
+        b_blk = min(block_rows if block_rows is not None else 1024, B)
+        fbt_hi, fbt_lo = split(np.ascontiguousarray(fb.T))
+        xt_spec = pl.BlockSpec((1, n_fft, b_blk), lambda p, b: (p, 0, b),
+                               memory_space=pltpu.VMEM)
+        gt_spec = pl.BlockSpec((lanes, n_fft), lambda p, b: (0, 0),
+                               memory_space=pltpu.VMEM)
+        fbt_spec = pl.BlockSpec((config.n_mels, lanes), lambda p, b: (0, 0),
+                                memory_space=pltpu.VMEM)
+        outt_spec = pl.BlockSpec((1, config.n_mels, b_blk),
+                                 lambda p, b: (p, 0, b),
+                                 memory_space=pltpu.VMEM)
+        outt_shape = jax.ShapeDtypeStruct(
+            (n_frames, config.n_mels, B), jnp.float32)
+        cost = pl.CostEstimate(
+            flops=2 * n_frames * B * (n_fft * lanes + lanes * config.n_mels),
+            bytes_accessed=n_frames * B * (
+                n_fft * (2 if pcm16 else 4) + config.n_mels * 4),
+            transcendentals=n_frames * B * config.n_mels,
+        )
+        Gt = np.ascontiguousarray(G.T)
+        grid = (n_frames, pl.cdiv(B, b_blk))
+        if precision == "fast":
+            gt_hi, gt_lo = split(Gt)
+            x_db = pl.pallas_call(
+                _mel_kernel_fast_t, grid=grid,
+                in_specs=[xt_spec, gt_spec, gt_spec, fbt_spec, fbt_spec],
+                out_specs=outt_spec, out_shape=outt_shape,
+                cost_estimate=cost, interpret=interpret,
+            )(framesT, gt_hi, gt_lo, fbt_hi, fbt_lo)
+        else:
+            x_db = pl.pallas_call(
+                _mel_kernel_t, grid=grid,
+                in_specs=[xt_spec, gt_spec, fbt_spec, fbt_spec],
+                out_specs=outt_spec, out_shape=outt_shape,
+                cost_estimate=cost, interpret=interpret,
+            )(framesT, jnp.asarray(Gt), fbt_hi, fbt_lo)
+        if config.top_db is not None:
+            if config.top_db_mode == "torch":
+                ref = jnp.max(x_db)
+            else:  # per-sample: max over (frames, mels) per batch column
+                ref = jnp.max(x_db, axis=(0, 1), keepdims=True)
+            x_db = jnp.maximum(x_db, ref - config.top_db)
+        return x_db
+
     # hop-strided framing as one XLA gather (static indices, clamped so the
     # sublane-alignment rows read in-bounds garbage that we slice away).
     # Measured alternatives on v5e (B=2048, same process): flat-index
-    # gather +29%, chunk-slice+concat framing +17% — the 2-D-index gather
-    # (despite its relayout copy) is the fastest known formulation.
+    # gather +29%, chunk-slice+concat framing +17% — and for the row
+    # kernels the gather output still pays a relayout copy (see the 'tfb'
+    # path above, which eliminates it).
     idx = np.arange(frames_pad)[:, None] * hop + np.arange(n_fft)[None, :]
     idx = np.minimum(idx, Tp - 1)
     frames = wav[:, idx].reshape(B * frames_pad, n_fft)  # free reshape
@@ -213,13 +323,7 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     fb_spec = pl.BlockSpec((lanes, config.n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((m_blk, config.n_mels), lambda b: (b, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows, config.n_mels), jnp.float32)
-    def split(M):
-        hi = M.astype(jnp.bfloat16)
-        lo = (M - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
-        return jnp.asarray(hi), jnp.asarray(lo)
-
-    fb_hi, fb_lo = split(fb)
-    G = G * np.float32(wav_scale)  # exact: power-of-two exponent shift
+    fb_hi, fb_lo = split(fb)  # (G already carries the PCM scale above)
     if precision == "fast":
         G_hi, G_lo = split(G)
         mel_t = pl.pallas_call(
@@ -256,9 +360,10 @@ def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = Tr
                      block_rows: int | None = None):
     """Frontend callable for models.*.forward(frontend_fn=...).
 
-    layout='btf' must pair with a model config whose mel_layout='btf'
-    (models.uit consumes (B, T, F) directly, skipping the transpose).
-    block_rows tunes the kernel's grid block (pallas path only)."""
+    layout='btf'/'tfb' must pair with a model config whose mel_layout
+    matches (models.uit consumes the layout directly, no transposes).
+    block_rows tunes the kernel's grid block (pallas path only; for
+    'tfb' it is the batch-block width)."""
     config = config or FrontendConfig()
     if use_pallas:
         return lambda wav: pallas_log_mel(wav, config, precision=precision,
@@ -267,4 +372,7 @@ def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = Tr
 
     if layout == "btf":
         return lambda wav: jnp.swapaxes(log_mel_spectrogram(wav, config), -1, -2)
+    if layout == "tfb":
+        return lambda wav: jnp.transpose(log_mel_spectrogram(wav, config),
+                                         (2, 1, 0))
     return lambda wav: log_mel_spectrogram(wav, config)

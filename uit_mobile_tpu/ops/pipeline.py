@@ -39,21 +39,25 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
     <=3e-4 prob drift — serving).
     top_db_mode: override the frontend's dB-clamp reference
     ('per_sample' for serving isolation); None keeps the config's mode.
-    btf: force (True) / disable (False) the transpose-free (B, T, F)
-    layout; None = auto — on whenever the Pallas kernel runs and the
-    model supports it. Only ever engages under pallas on a UiT config.
+    btf: force (True) / disable (False) the transpose-free fast layout;
+    None = auto — on whenever the Pallas kernel runs and the model
+    supports it. Historically this engaged the (B, T, F) layout; it now
+    selects 'tfb' (frames, mels, batch) — the framing gather's native
+    orientation, which also removes the 0.69 ms/batch frames relayout
+    (PERF_NOTES). Only ever engages under pallas on a UiT config.
     """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     eligible = use_pallas and isinstance(cfg, models.UITConfig)
-    use_btf = eligible if btf is None else (btf and eligible)
+    use_fast_layout = eligible if btf is None else (btf and eligible)
+    layout = "tfb" if use_fast_layout else "bft"
     fe_cfg = getattr(cfg, "frontend", None)
     if top_db_mode is not None and fe_cfg is not None:
         fe_cfg = dataclasses.replace(fe_cfg, top_db_mode=top_db_mode)
-    run_cfg = dataclasses.replace(cfg, mel_layout="btf") if use_btf else cfg
+    run_cfg = (dataclasses.replace(cfg, mel_layout=layout)
+               if use_fast_layout else cfg)
     frontend = make_frontend_fn(
-        fe_cfg, use_pallas=use_pallas,
-        precision=precision, layout="btf" if use_btf else "bft",
+        fe_cfg, use_pallas=use_pallas, precision=precision, layout=layout,
     )
 
     def fn(wav):
