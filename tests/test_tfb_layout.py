@@ -143,3 +143,27 @@ def test_pipeline_auto_layout_is_tfb():
     plain = np.asarray(make_forward_fn(cfg, params, state, use_pallas=False)(wav))
     fast = np.asarray(make_forward_fn(cfg, params, state, use_pallas=True)(wav))
     np.testing.assert_allclose(fast, plain, atol=5e-4, rtol=0)
+
+
+def test_tfb_small_batch_fallback_is_row_kernel():
+    """B < 128 routes through the row kernel (the transposed kernel would
+    run 1/128-utilization lane tiles) — outputs are exactly the btf
+    kernel's, transposed."""
+    wav = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 16000)).astype(np.float32) * 0.1
+    )
+    tfb = np.asarray(pallas_log_mel(wav, layout="tfb"))
+    btf = np.asarray(pallas_log_mel(wav, layout="btf"))
+    np.testing.assert_array_equal(tfb, btf.transpose(1, 2, 0))
+
+
+def test_tfb_transposed_kernel_at_full_batch():
+    """B >= 128 exercises the REAL transposed kernel (grid over frame
+    planes); agreement with the row kernel at the interpret-mode floor."""
+    wav = jnp.asarray(
+        np.random.default_rng(8).standard_normal((128, 16000)).astype(np.float32) * 0.1
+    )
+    tfb = np.asarray(pallas_log_mel(wav, layout="tfb", precision="fast"))
+    btf = np.asarray(pallas_log_mel(wav, layout="btf", precision="fast"))
+    assert tfb.shape == (101, 64, 128)
+    np.testing.assert_allclose(tfb.transpose(2, 0, 1), btf, atol=1e-3, rtol=0)

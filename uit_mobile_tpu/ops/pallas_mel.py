@@ -218,6 +218,7 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     pcm16 = wav.dtype == jnp.int16
     wav_scale = (1.0 / 32768.0) if pcm16 else 1.0
     B, T = wav.shape
+    wav_in = wav  # pre-padding, for the small-batch tfb fallback below
     if config.center:
         pad = n_fft // 2
         if T <= pad:
@@ -245,6 +246,17 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
         return jnp.asarray(hi), jnp.asarray(lo)
 
     G = G * np.float32(wav_scale)  # exact: power-of-two exponent shift
+
+    if layout == "tfb" and B < 128:
+        # degenerate-batch guard: the transposed kernel puts BATCH in
+        # lanes, so below a VPU/MXU lane width it runs mostly-empty tiles
+        # (B=1 would be 1/128 utilization). Small batches take the row
+        # kernel and transpose its (small) mel output instead — the
+        # (T, F, B) contract is preserved for the caller.
+        mel_btf = pallas_log_mel(wav_in, config, interpret=interpret,
+                                 precision=precision, layout="btf",
+                                 block_rows=block_rows)
+        return jnp.transpose(mel_btf, (1, 2, 0))
 
     if layout == "tfb":
         # transposed path: gather rows of wav^T (Tp, B) -> framesT
