@@ -1,13 +1,14 @@
 """Profiler deep-dive: where does device time go inside one serving batch?
 
-Traces the fast-btf int16 forward (the bench.py headline path) and then
-parses the raw trace JSON to answer the round-3 question from
-PERF_NOTES.md: the ~2.8 ms/batch of "untracked gaps" — real device idle
-between ops, or trace accounting (ops not attributed to the jit span)?
+Traces the fast int16 forward (the bench.py headline path; --layout
+picks tfb (default, headline) or the btf/bft comparators) and parses the
+raw trace JSON: per-op-timeline totals, the op table, and the largest
+gaps between consecutive device ops. This analysis is what resolved the
+round-2 "untracked ~2.8 ms" (it was ~645 small ops, mostly layout
+copies — zero device idle) and motivated the tfb layout.
 
 Usage:  python tools/profile_gaps.py [--batch 2048] [--iters 8]
-Prints per-op-timeline totals, the op table, and the largest gaps
-between consecutive device ops.
+                                     [--layout tfb|btf|bft]
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run_trace(logdir: str, batch: int, iters: int):
+def run_trace(logdir: str, batch: int, iters: int, layout: str = "tfb"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,10 +35,10 @@ def run_trace(logdir: str, batch: int, iters: int):
 
     on_tpu = jax.devices()[0].platform == "tpu"
     cfg = models.get_model_config("uit_xs", outputdim=537, target_length=102,
-                                  mel_layout="btf")
+                                  mel_layout=layout)
     params, state = models.build(cfg, jax.random.key(0))
     fe = make_frontend_fn(cfg.frontend, use_pallas=on_tpu, precision="fast",
-                          layout="btf")
+                          layout=layout)
     fwd = jax.jit(lambda p, s, w: models.apply(cfg, p, s, w, frontend_fn=fe))
 
     rng = np.random.default_rng(0)
@@ -119,9 +120,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--layout", default="tfb", choices=["tfb", "btf", "bft"])
     ap.add_argument("--logdir", default="/tmp/uit_prof_gaps")
     ap.add_argument("--analyze-only", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
-        run_trace(args.logdir, args.batch, args.iters)
+        run_trace(args.logdir, args.batch, args.iters, layout=args.layout)
     analyze(args.logdir)

@@ -73,10 +73,13 @@ def main(argv=None):
     sc = StreamingConfig(hop_seconds=args.hop, threshold=args.threshold,
                          refractory_seconds=args.refractory)
     tagger = StreamingTagger(cfg, params, state, config=sc)
+    # models with a smaller head (e.g. SED checkpoints) track all their
+    # classes; 537-way models track the AudioSet range
+    n_tracked = min(sc.n_audioset, getattr(cfg, "outputdim", sc.n_audioset))
     detector = (OnlineEventDetector(
         on_threshold=args.on_threshold, off_threshold=args.off_threshold,
         hang_seconds=args.hang, min_duration=args.min_duration,
-        n_audioset=sc.n_audioset, window_seconds=sc.window_seconds)
+        n_audioset=n_tracked, window_seconds=sc.window_seconds)
         if args.events else None)
 
     def emit(obj):
@@ -107,8 +110,11 @@ def main(argv=None):
             buf = sys.stdin.buffer.read(hop_samples * 2)
             if not buf:
                 break
-            chunk = np.frombuffer(buf, dtype="<i2")
-            handle(tagger.feed_audio(chunk))
+            # a stream truncated mid-sample (killed recorder, head -c N)
+            # leaves an odd byte; drop it rather than crash pre-flush
+            chunk = np.frombuffer(buf[: len(buf) // 2 * 2], dtype="<i2")
+            if chunk.size:
+                handle(tagger.feed_audio(chunk))
     else:
         from ..data import read_wav
 

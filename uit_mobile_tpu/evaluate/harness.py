@@ -302,10 +302,17 @@ class Evaluator:
 
         def times_for(pad_to):
             if pad_to not in times_cache:
-                _, t = models.apply_framewise(  # unjitted: f64 times intact
-                    cfg, params, state, jnp.zeros((1, pad_to), jnp.float32)
-                )
-                times_cache[pad_to] = np.asarray(t)
+                if isinstance(cfg, models.UITConfig):
+                    # host-side arithmetic companion of forward_framewise:
+                    # f64 boundaries, no model execution (center=True
+                    # framing yields 1 + samples//hop frames)
+                    n_frames = 1 + pad_to // cfg.frontend.hop_length
+                    times_cache[pad_to] = models.uit.framewise_times(cfg, n_frames)
+                else:  # conv families: segment count depends on the stack
+                    _, t = models.apply_framewise(  # unjitted: f64 intact
+                        cfg, params, state, jnp.zeros((1, pad_to), jnp.float32)
+                    )
+                    times_cache[pad_to] = np.asarray(t)
             return times_cache[pad_to]
 
         all_p, all_t = [], []

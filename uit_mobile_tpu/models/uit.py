@@ -244,24 +244,33 @@ def patch_embed_btf(cfg: UITConfig, params, state, x):
             f"input has {T} mel frames but one {ps}x{ps} patch needs at least {ps}"
         )
     x = x[:, : tg * ps, : fg * ps]
+    Kf, bias_f = _folded_patch_kernel(cfg, params, state, F, fg, x.dtype)
+    # x5[b, t, v(time-in-patch), f, u(mel-in-patch)]
+    x5 = x.reshape(B, tg, ps, fg, ps)
+    tokens = jnp.einsum("btvfu,fuvd->btfd", x5, Kf) + bias_f[None, None]
+    return tokens.transpose(0, 2, 1, 3)            # (B, fg, tg, D)
+
+
+def _folded_patch_kernel(cfg: UITConfig, params, state, F: int, fg: int, dtype):
+    """The init_bn-into-patch-embed fold shared by the btf and tfb paths:
+    per-mel-bin affine y = a*m + b folded into the linear patch embed as
+    Kf = a . K (per frequency patch) and bias_f = b @ K + c.
+    Returns (Kf (fg, mel_p, time_p, D), bias_f (fg, D))."""
+    ps = cfg.patch_size
     if cfg.init_bn:
         p, s = params["init_bn"], state["init_bn"]
         inv = jax.lax.rsqrt(s["var"] + 1e-5)
         a = p["scale"] * inv                      # (n_mels,)
         b = p["bias"] - s["mean"] * a
     else:  # GlobalNormer(-10, 20, fac=2): (m + 10) / 40
-        a = jnp.full((F,), 1.0 / 40.0, x.dtype)
-        b = jnp.full((F,), 0.25, x.dtype)
+        a = jnp.full((F,), 1.0 / 40.0, dtype)
+        b = jnp.full((F,), 0.25, dtype)
     K = params["patch_embed"]["kernel"].reshape(ps, ps, -1)  # (mel_p, time_p, D)
-    D = K.shape[-1]
     a4 = a.reshape(fg, ps)                         # per-f-patch mel scales
     b4 = b.reshape(fg, ps)
     Kf = a4[:, :, None, None] * K[None]            # (fg, mel_p, time_p, D)
     bias_f = jnp.einsum("fu,uvd->fd", b4, K) + params["patch_embed"]["bias"]
-    # x5[b, t, v(time-in-patch), f, u(mel-in-patch)]
-    x5 = x.reshape(B, tg, ps, fg, ps)
-    tokens = jnp.einsum("btvfu,fuvd->btfd", x5, Kf) + bias_f[None, None]
-    return tokens.transpose(0, 2, 1, 3)            # (B, fg, tg, D)
+    return Kf, bias_f
 
 
 def patch_embed_tfb(cfg: UITConfig, params, state, x):
@@ -282,19 +291,7 @@ def patch_embed_tfb(cfg: UITConfig, params, state, x):
             f"input has {T} mel frames but one {ps}x{ps} patch needs at least {ps}"
         )
     x = x[: tg * ps, : fg * ps, :]
-    if cfg.init_bn:
-        p, s = params["init_bn"], state["init_bn"]
-        inv = jax.lax.rsqrt(s["var"] + 1e-5)
-        a = p["scale"] * inv                      # (n_mels,)
-        b = p["bias"] - s["mean"] * a
-    else:  # GlobalNormer(-10, 20, fac=2): (m + 10) / 40
-        a = jnp.full((F,), 1.0 / 40.0, x.dtype)
-        b = jnp.full((F,), 0.25, x.dtype)
-    K = params["patch_embed"]["kernel"].reshape(ps, ps, -1)  # (mel_p, time_p, D)
-    a4 = a.reshape(fg, ps)
-    b4 = b.reshape(fg, ps)
-    Kf = a4[:, :, None, None] * K[None]            # (fg, mel_p, time_p, D)
-    bias_f = jnp.einsum("fu,uvd->fd", b4, K) + params["patch_embed"]["bias"]
+    Kf, bias_f = _folded_patch_kernel(cfg, params, state, F, fg, x.dtype)
     # x5[t, v(time-in-patch), f, u(mel-in-patch), b]
     x5 = x.reshape(tg, ps, fg, ps, B)
     tokens = jnp.einsum("tvfub,fuvd->bftd", x5, Kf)
