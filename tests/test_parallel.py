@@ -134,3 +134,26 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dp_tfb_serving_forward_matches_single_device():
+    """The serving policy path — pallas frontend (interpret on CPU) in the
+    tfb layout — under shard_map DP must equal its single-device result;
+    this is exactly what multi-chip tfb serving runs on hardware (each
+    shard sees B/8 locally, so it also exercises the small-batch row-
+    kernel fallback inside the tfb contract)."""
+    from uit_mobile_tpu.ops.pipeline import make_forward_fn
+    from uit_mobile_tpu.parallel import data_parallel_forward
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=9, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    fwd = make_forward_fn(cfg, params, state, use_pallas=True,
+                          top_db_mode="per_sample")
+    assert fwd.uses_pallas  # forces the shard_map (manual) DP route
+    wav = jnp.asarray(
+        np.random.default_rng(1).standard_normal((16, 16000)).astype(np.float32) * 0.1
+    )
+    want = np.asarray(fwd(wav))
+    got = np.asarray(data_parallel_forward(fwd)(wav))
+    np.testing.assert_allclose(got, want, atol=2e-5)
