@@ -172,13 +172,20 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
     # against the event manifest (full-clip framewise path)
     from uit_mobile_tpu.evaluate import Evaluator
 
+    dump = tmp_path / "events_pred.tsv"
     res = Evaluator(str(out), num_workers=0,
                     report_dir=str(tmp_path)).strong(
         eval_data=str(sed_env), threshold=0.3, median_kernel=3,
-        event_collar=0.25)
+        event_collar=0.25, dump_events=str(dump))
     assert res["Segment_Micro_F1"] > 0.5, res
     # event-level scores ride along (validity, not quality: the smoke
     # model's onsets need not survive the collar)
     assert {"Event_Micro_F1", "Event_Macro_F1", "Event_Micro_Precision",
             "Event_Micro_Recall"} <= set(res)
     assert all(0.0 <= res[k] <= 1.0 for k in res if k.startswith("Event_"))
+    # the dump is a well-formed TSV of the extracted events
+    df_ev = pd.read_csv(dump, sep="\t")
+    assert list(df_ev.columns) == ["filename", "event", "onset", "offset"]
+    if len(df_ev):
+        assert (df_ev["offset"] > df_ev["onset"]).all()
+        assert df_ev["event"].between(0, 9).all()

@@ -65,6 +65,9 @@ def main(argv=None):
                           help="drop extracted events shorter than this (s)")
     p_strong.add_argument("--merge-gap", type=float, default=0.0,
                           help="fuse events separated by gaps <= this (s)")
+    p_strong.add_argument("--dump-events", default=None, metavar="TSV",
+                          help="write extracted predicted events "
+                          "(filename/event/onset/offset) to this TSV")
 
     p_all = sub.add_parser("all", help="gsc + audioset with one model load")
     p_all.add_argument("experiment_path")
@@ -115,7 +118,8 @@ def main(argv=None):
                             event_collar=args.event_collar,
                             offset_collar_rate=args.offset_collar_rate,
                             min_duration=args.min_duration,
-                            merge_gap=args.merge_gap)
+                            merge_gap=args.merge_gap,
+                            dump_events=args.dump_events)
         print({k: v for k, v in results.items() if not k.startswith("_")})
     else:
         ev.test_sample(args.experiment_path, args.sample, topk=args.topk)

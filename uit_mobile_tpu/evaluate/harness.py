@@ -236,7 +236,7 @@ class Evaluator:
                threshold: float = 0.5, min_overlap: float = 0.5,
                median_kernel: int = 1, event_collar: float = 0.2,
                offset_collar_rate: float = 0.2, min_duration: float = 0.0,
-               merge_gap: float = 0.0):
+               merge_gap: float = 0.0, dump_events: Optional[str] = None):
         """Strong-label (SED) evaluation: framewise probabilities over FULL
         clips scored against event intervals — DCASE-style segment
         F1/precision/recall (evaluate.metrics.segment_f1) PLUS collar-based
@@ -251,6 +251,10 @@ class Evaluator:
         events). Clips are zero-padded to whole seconds so the compile
         count is bounded by the longest clip; padded tail segments count
         as negatives (deterministic, slightly conservative).
+
+        dump_events: optional path — write every extracted predicted
+        event as a TSV (filename/event/onset/offset columns, seconds),
+        the inspection/post-processing companion of the scores.
 
         Completes the SED round trip with train/sed.py — the reference
         has no strong-label evaluation (or training) at all."""
@@ -315,25 +319,25 @@ class Evaluator:
                     times_cache[pad_to] = np.asarray(t)
             return times_cache[pad_to]
 
-        all_p, all_t = [], []
+        all_p, all_t, pred_rows = [], [], []
         scorer = EventScorer(t_collar=event_collar,
                              offset_collar_rate=offset_collar_rate)
 
         def flush(pad_to, items):
-            batch = np.stack([w for w, _ in items])
+            batch = np.stack([w for w, _, _ in items])
             probs = np.asarray(fwd(jnp.asarray(batch)))
             times = times_for(pad_to)
-            for p, (_, events) in zip(probs, items):
+            for p, (_, events, fname) in zip(probs, items):
                 all_p.append(p)
                 all_t.append(segment_events_to_targets(
                     times, events, num_classes, min_overlap=min_overlap))
-                scorer.add_clip(
-                    extract_events(times, p, threshold=threshold,
-                                   median_kernel=median_kernel,
-                                   min_duration=min_duration,
-                                   merge_gap=merge_gap),
-                    events,
-                )
+                pred = extract_events(times, p, threshold=threshold,
+                                      median_kernel=median_kernel,
+                                      min_duration=min_duration,
+                                      merge_gap=merge_gap)
+                scorer.add_clip(pred, events)
+                if dump_events is not None:
+                    pred_rows.extend((fname, c, on, off) for c, on, off in pred)
 
         # batch clips of the same padded length together (bounded memory:
         # at most batch_size clips buffered per distinct length)
@@ -342,7 +346,7 @@ class Evaluator:
             wav = reader._read(h5, fname)
             pad_to = -(-wav.shape[-1] // sr) * sr
             wav = np.pad(wav, (0, pad_to - wav.shape[-1]))
-            pending.setdefault(pad_to, []).append((wav, events))
+            pending.setdefault(pad_to, []).append((wav, events, fname))
             if len(pending[pad_to]) >= self.batch_size:
                 flush(pad_to, pending.pop(pad_to))
         for pad_to, items in pending.items():
@@ -350,6 +354,12 @@ class Evaluator:
         results = segment_f1(np.concatenate(all_p), np.concatenate(all_t),
                              threshold=threshold)
         results.update(scorer.scores())
+        if dump_events is not None:
+            import pandas as pd
+
+            pd.DataFrame(
+                pred_rows, columns=["filename", "event", "onset", "offset"]
+            ).to_csv(dump_events, sep="\t", index=False)
         self._write_report(
             "Strong",
             {k: v for k, v in results.items() if not k.startswith("_")}, None,
