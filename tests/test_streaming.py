@@ -178,3 +178,52 @@ def test_online_detector_on_tagger_output(model):
     assert len(closed) == 1  # one continuous run over the whole stream
     (ev,) = closed
     assert ev.cls == 0 and ev.offset > ev.onset >= 0.0
+
+
+def test_int16_buffers_bitwise_for_pcm_sources(model):
+    """dtype='int16' ring buffers must give bitwise-identical window
+    probabilities for PCM-sourced audio (raw int16 chunks or their
+    normalized-f32 decodings)."""
+    from uit_mobile_tpu.frontend import normalize_pcm16
+
+    cfg, params, state = model
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal(24000) * 3000).astype(np.int16)
+
+    ev_f32, ev_i16, ev_i16_from_f32 = [], [], []
+    for dtype, chunks, out in (
+        ("float32", normalize_pcm16(pcm), ev_f32),
+        ("int16", pcm, ev_i16),
+        ("int16", normalize_pcm16(pcm), ev_i16_from_f32),  # quantize round-trip
+    ):
+        sc = StreamingConfig(hop_seconds=0.5, dtype=dtype)
+        t = StreamingTagger(cfg, params, state, config=sc)
+        for lo in range(0, 24000, 4000):
+            out.extend(t.feed_audio(chunks[lo:lo + 4000]))
+    assert len(ev_f32) == len(ev_i16) == len(ev_i16_from_f32) > 0
+    for a, b, c in zip(ev_f32, ev_i16, ev_i16_from_f32):
+        np.testing.assert_array_equal(b.probs, c.probs)  # quantize is exact
+        np.testing.assert_allclose(a.probs, b.probs, atol=1e-6)
+
+
+def test_feed_all_matches_per_stream_feed(model):
+    """The vectorized all-streams ring advance must equal per-stream
+    feed() exactly (content and cadence)."""
+    cfg, params, state = model
+    rng = np.random.default_rng(4)
+    S, hop = 3, 4000
+    audio = (rng.standard_normal((S, 24000)) * 3000).astype(np.int16)
+
+    sc = StreamingConfig(hop_seconds=0.25, dtype="int16")
+    t_vec = MultiStreamTagger(cfg, params, state, n_streams=S, config=sc)
+    t_seq = MultiStreamTagger(cfg, params, state, n_streams=S, config=sc)
+    got_vec, got_seq = [], []
+    for lo in range(0, 24000, hop):
+        got_vec.extend(t_vec.feed_all(audio[:, lo:lo + hop]))
+        for s in range(S):
+            got_seq.extend(t_seq.feed(s, audio[s, lo:lo + hop]))
+    assert len(got_vec) == len(got_seq) > 0
+    key = lambda e: (e.time, e.stream)
+    for a, b in zip(sorted(got_vec, key=key), sorted(got_seq, key=key)):
+        assert (a.stream, a.time) == (b.stream, b.time)
+        np.testing.assert_array_equal(a.probs, b.probs)

@@ -35,6 +35,15 @@ def main(argv=None):
                         "per request, end-to-end incl. batching)")
     parser.add_argument("--serve-requests", type=int, default=512)
     parser.add_argument("--serve-concurrency", type=int, default=64)
+    parser.add_argument("--stream", action="store_true",
+                        help="benchmark always-on streaming capacity: S "
+                        "concurrent streams re-scored every hop "
+                        "(MultiStreamTagger.feed_all) -> windows/s and the "
+                        "real-time stream count this chip sustains")
+    parser.add_argument("--streams", type=int, default=1024,
+                        help="concurrent streams for --stream")
+    parser.add_argument("--hop", type=float, default=0.25,
+                        help="re-score cadence in seconds for --stream")
     parser.add_argument("--random-weights", action="store_true", default=True)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "int16"],
@@ -112,6 +121,41 @@ def main(argv=None):
             f"-> {len(lat) / wall:.0f} req/s; per-request latency "
             f"p50={np.percentile(ms, 50):.1f} p95={np.percentile(ms, 95):.1f} "
             f"p99={np.percentile(ms, 99):.1f} ms (incl. batching window)"
+        )
+        return 0
+
+    if args.stream:
+        from ..serve import MultiStreamTagger, StreamingConfig
+
+        cfg = models.get_model_config(args.model, outputdim=537, target_length=102)
+        params, state = models.build(cfg, jax.random.key(0))
+        S = args.streams
+        sc = StreamingConfig(hop_seconds=args.hop, use_pallas=use_pallas,
+                             dtype="int16")
+        tagger = MultiStreamTagger(cfg, params, state, n_streams=S, config=sc)
+        hop = int(sc.hop_seconds * sc.sample_rate)
+        rng = np.random.default_rng(0)
+        chunks = [
+            (rng.standard_normal((S, hop)) * 3000).astype(np.int16)
+            for _ in range(4)
+        ]
+        # fill the 1 s ring buffers, then time steady-state hops
+        for i in range(int(np.ceil(sc.window_seconds / sc.hop_seconds))):
+            tagger.feed_all(chunks[i % 4])
+        iters = 12 if dev.platform == "tpu" else 2
+        t0 = time.perf_counter()
+        n_events = 0
+        for i in range(iters):
+            n_events += len(tagger.feed_all(chunks[i % 4]))
+        wall = time.perf_counter() - t0
+        windows_s = n_events / wall
+        # each always-on stream needs 1/hop windows per second
+        sustain = windows_s * sc.hop_seconds
+        print(
+            f"stream({args.model}): {S} streams @ hop {sc.hop_seconds}s -> "
+            f"{windows_s:.0f} windows/s scored = ~{sustain:.0f} concurrent "
+            f"real-time streams/chip ({wall / iters * 1e3:.1f} ms per "
+            f"all-streams hop step)"
         )
         return 0
 

@@ -70,8 +70,11 @@ def main(argv=None):
 
     from ..serve import OnlineEventDetector, StreamingConfig, StreamingTagger
 
+    # int16 ring buffers: lossless for 16-bit-PCM-sourced audio (raw
+    # stdin chunks, or wav files decoded to k/32768 floats) and half the
+    # host->device bytes per hop
     sc = StreamingConfig(hop_seconds=args.hop, threshold=args.threshold,
-                         refractory_seconds=args.refractory)
+                         refractory_seconds=args.refractory, dtype="int16")
     tagger = StreamingTagger(cfg, params, state, config=sc)
     # models with a smaller head (e.g. SED checkpoints) track all their
     # classes; 537-way models track the AudioSet range

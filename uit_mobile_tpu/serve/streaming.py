@@ -33,6 +33,13 @@ class StreamingConfig:
     # max, so co-batched streams never couple through the dB clamp;
     # 'torch' replicates torchaudio's batch-global clamp (offline parity).
     top_db_mode: str = "per_sample"
+    # ring-buffer / device-transfer dtype. 'int16' halves the host->device
+    # bytes per hop (the frontend folds 1/32768 into the DFT matrices, so
+    # scores are bitwise the f32 path's). Lossless whenever the audio
+    # source is 16-bit PCM (raw int16 chunks, or floats k/32768 decoded
+    # from 16-bit wavs — quantize_pcm16 recovers k exactly); other float
+    # sources are quantized to the nearest PCM step.
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass
@@ -64,24 +71,45 @@ class MultiStreamTagger:
             use_pallas = jax.devices()[0].platform == "tpu"
         # single policy source (ops/pipeline.make_forward_fn): fast + btf
         # on TPU, per-stream dB-clamp isolation
+        assert config.dtype in ("float32", "int16"), config.dtype
         self._fwd = jax.jit(make_forward_fn(
             model_cfg, params, state, use_pallas=use_pallas,
             precision="fast" if use_pallas else "exact",
             top_db_mode=config.top_db_mode,
         ))
-        self._buf = np.zeros((n_streams, self._win), dtype=np.float32)
+        self._np_dtype = np.int16 if config.dtype == "int16" else np.float32
+        self._buf = np.zeros((n_streams, self._win), dtype=self._np_dtype)
         self._filled = np.zeros(n_streams, dtype=np.int64)   # samples seen
         self._since_hop = np.zeros(n_streams, dtype=np.int64)
         self._last_trigger: dict[tuple[int, int], float] = {}
+        # device-resident ring buffer for the steady-state feed_all loop:
+        # only the NEW hop chunk crosses the host->device link per step
+        # (window/hop x fewer transfer bytes — 4x at the defaults); the
+        # host mirror stays authoritative for feed() interop. Invalidated
+        # (-> one full re-upload) whenever feed() touches a single stream.
+        self._dev_buf = None
+        self._dev_step = None  # jitted (buf, chunk) -> (new_buf, probs)
+        self._dev_update = None  # jitted (buf, chunk) -> new_buf (warmup)
+
+    def _to_buf_dtype(self, chunk: np.ndarray) -> np.ndarray:
+        """Incoming audio (normalized f32 or raw int16 PCM) -> the ring
+        buffer's dtype, via THE conversion pair (frontend.mel): a bare
+        cast in either direction would be 32768x off."""
+        chunk = np.asarray(chunk)
+        if chunk.dtype == self._np_dtype:
+            return chunk
+        from ..frontend import normalize_pcm16, quantize_pcm16
+
+        if self._np_dtype == np.int16:
+            return np.asarray(quantize_pcm16(chunk))
+        return normalize_pcm16(chunk)
 
     def feed(self, stream: int, chunk: np.ndarray) -> list[Event]:
         """Append audio to one stream; returns events for every window that
         became due (one per elapsed hop). Accepts normalized float32 or raw
-        int16 PCM (normalized by 1/32768 — a bare f32 cast would feed the
-        model 32768x-scaled audio)."""
-        from ..frontend import normalize_pcm16
-
-        chunk = normalize_pcm16(np.asarray(chunk).reshape(-1))
+        int16 PCM (converted to the configured buffer dtype)."""
+        chunk = self._to_buf_dtype(np.asarray(chunk).reshape(-1))
+        self._dev_buf = None  # host buffer diverges from the device ring
         events = []
         pos = 0
         while pos < chunk.shape[0]:
@@ -101,17 +129,59 @@ class MultiStreamTagger:
     def feed_all(self, chunks: np.ndarray) -> list[Event]:
         """chunks (S, hop) — advance every stream one hop and score the due
         ones in ONE batched dispatch (the steady-state service loop).
-        Accepts normalized float32 or raw int16 PCM rows."""
-        from ..frontend import normalize_pcm16
+        Accepts normalized float32 or raw int16 PCM rows.
 
+        TPU-native steady state: the ring buffer LIVES ON THE DEVICE and
+        one jitted program shifts it, appends the chunk, and scores the
+        windows — per step only the (S, hop) chunk crosses the link
+        (window/hop x fewer bytes than re-sending full windows; the host
+        mirror advances in lockstep for feed() interop and stays ~100x
+        faster than the per-stream loop it replaced)."""
+        jnp = self._jnp
         assert chunks.shape == (self.n_streams, self._hop), chunks.shape
-        chunks = normalize_pcm16(chunks)
-        due = []
-        for s in range(self.n_streams):
-            self._push(s, chunks[s])
-            if self._filled[s] >= self._win:
-                due.append(s)
-        return self._score(due) if due else []
+        chunks = self._to_buf_dtype(chunks)
+        n = self._hop
+        if n >= self._win:
+            self._buf[:] = chunks[:, -self._win:]
+        else:
+            self._buf[:, :-n] = self._buf[:, n:]
+            self._buf[:, -n:] = chunks
+        self._filled += n
+        due = np.flatnonzero(self._filled >= self._win).tolist()
+
+        if n >= self._win or len(due) not in (0, self.n_streams):
+            # degenerate hop or mixed feed()/feed_all cadence: host path
+            self._dev_buf = None
+            return self._score(due) if due else []
+
+        if self._dev_buf is None:
+            # (re)seed: upload the post-advance host state once, score it
+            # directly this step; subsequent steps ship only the chunk
+            import jax
+
+            if self._dev_step is None:
+                def _advance(buf, chunk):
+                    return jnp.concatenate([buf[:, n:], chunk], axis=1)
+
+                self._dev_update = jax.jit(_advance, donate_argnums=0)
+                self._dev_step = jax.jit(
+                    lambda buf, chunk: (
+                        (lambda b: (b, self._fwd(b)))(_advance(buf, chunk))
+                    ),
+                    donate_argnums=0,
+                )
+            self._dev_buf = jnp.asarray(self._buf)
+            if due:
+                return self._emit(due, np.asarray(self._fwd(self._dev_buf)))
+            return []
+
+        if due:
+            self._dev_buf, probs_dev = self._dev_step(
+                self._dev_buf, jnp.asarray(chunks)
+            )
+            return self._emit(due, np.asarray(probs_dev))
+        self._dev_buf = self._dev_update(self._dev_buf, jnp.asarray(chunks))
+        return []
 
     def _push(self, stream: int, piece: np.ndarray):
         n = piece.shape[0]
@@ -120,17 +190,25 @@ class MultiStreamTagger:
         if n >= self._win:
             self._buf[stream] = piece[-self._win:]
         else:
-            self._buf[stream] = np.roll(self._buf[stream], -n)
+            self._buf[stream, :-n] = self._buf[stream, n:]
             self._buf[stream, -n:] = piece
         self._filled[stream] += n
 
     def _score(self, streams: list[int]) -> list[Event]:
+        """Host-buffer path: transfer the full windows of `streams`."""
         jnp = self._jnp
         batch = self._buf[streams]  # (k, win) -> pad to n_streams for one shape
         if batch.shape[0] < self.n_streams:
-            pad = np.zeros((self.n_streams - batch.shape[0], self._win), np.float32)
+            pad = np.zeros((self.n_streams - batch.shape[0], self._win),
+                           self._np_dtype)
             batch = np.concatenate([batch, pad])
         probs = np.asarray(self._fwd(jnp.asarray(batch)))
+        return self._emit(streams, probs)
+
+    def _emit(self, streams: list[int], probs: np.ndarray) -> list[Event]:
+        """(k>=len(streams), outputdim) probs rows -> Events + triggers.
+        Row i scores streams[i] (device-ring scoring passes all-stream
+        probs, where streams == range(n_streams), so rows still align)."""
         events = []
         for i, s in enumerate(streams):
             t = self._filled[s] / self.cfg.sample_rate
