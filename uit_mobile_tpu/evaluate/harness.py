@@ -51,7 +51,7 @@ class Evaluator:
         slightly; leave None (exact batch-max padding, the reference's
         collate semantics) when chasing bit parity.
 
-        fast: serving-grade speed — 3-pass bf16 DFT + btf layout on TPU
+        fast: serving-grade speed — 3-pass bf16 DFT + tfb layout on TPU
         (<=3e-4 prob drift; keep False for bit-parity gates).
         data_parallel: shard eval batches over ALL visible devices (pure
         DP; batches zero-pad up to a device-count multiple — padded rows
@@ -114,7 +114,7 @@ class Evaluator:
             log.info("data_parallel eval: using the XLA frontend "
                      "(pallas kernels cannot be auto-partitioned)")
             use_pallas = False
-        # single policy source (ops/pipeline.make_forward_fn); btf engages
+        # single policy source (ops/pipeline.make_forward_fn); tfb engages
         # only in fast mode — exact keeps the reference bft orientation
         # for bit-parity gates
         from ..ops.pipeline import make_forward_fn

@@ -91,7 +91,7 @@ class TaggingService:
             # (GSPMD inserts the cross-shard max collective)
             use_pallas = False
         # single policy source (ops/pipeline.make_forward_fn): fast
-        # precision + btf layout on TPU, per-request dB-clamp isolation
+        # precision + tfb layout on TPU, per-request dB-clamp isolation
         fwd_fn = make_forward_fn(
             model_cfg, params, state, use_pallas=use_pallas,
             precision="fast" if use_pallas else "exact",

@@ -69,7 +69,7 @@ class MultiStreamTagger:
         use_pallas = config.use_pallas
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
-        # single policy source (ops/pipeline.make_forward_fn): fast + btf
+        # single policy source (ops/pipeline.make_forward_fn): fast + tfb
         # on TPU, per-stream dB-clamp isolation
         assert config.dtype in ("float32", "int16"), config.dtype
         self._fwd = jax.jit(make_forward_fn(
