@@ -178,3 +178,40 @@ def test_events_from_framewise_model_output():
         assert 0 <= cls < 4 and 0.0 <= on < off <= times[:, 1].max() + 1e-9
     sc = event_based_scores([(evs, [(0, 0.0, 1.0)])])
     assert 0.0 <= sc["Event_Micro_F1"] <= 1.0
+
+
+# ------------------------------------------------- intersection criterion
+
+def test_intersection_criterion_tolerates_sloppy_boundaries():
+    """A long event found with imprecise edges: the 0.2 s collar rejects
+    it, the PSDS-style DTC/GTC overlap rule accepts it."""
+    ref = [(0, 10.0, 20.0)]
+    pred = [(0, 10.5, 19.0)]  # onset off by 0.5 s, covers 85% of ref
+    assert event_based_scores([(pred, ref)])["Event_Micro_F1"] == 0.0
+    s = event_based_scores([(pred, ref)], criterion="intersection")
+    assert s["Event_Micro_F1"] == 1.0
+
+
+def test_intersection_thresholds():
+    ref = [(0, 0.0, 10.0)]
+    # covers 40% of ref but is fully inside it: fails gtc=0.5, passes dtc
+    short = [(0, 2.0, 6.0)]
+    assert event_based_scores(
+        [(short, ref)], criterion="intersection")["Event_Micro_F1"] == 0.0
+    assert event_based_scores(
+        [(short, ref)], criterion="intersection", gtc=0.3)["Event_Micro_F1"] == 1.0
+    # covers the whole ref but half the prediction hangs outside: dtc binds
+    long_pred = [(0, 0.0, 25.0)]
+    assert event_based_scores(
+        [(long_pred, ref)], criterion="intersection")["Event_Micro_F1"] == 0.0
+    assert event_based_scores(
+        [(long_pred, ref)], criterion="intersection", dtc=0.4)["Event_Micro_F1"] == 1.0
+
+
+def test_intersection_no_overlap_never_matches():
+    s = event_based_scores(
+        [([(0, 0.0, 1.0)], [(0, 2.0, 3.0)])], criterion="intersection",
+        dtc=0.0, gtc=0.0)
+    # zero-length intersection is negative here; even dtc=gtc=0 must not
+    # match disjoint events
+    assert s["Event_Micro_F1"] == 0.0

@@ -68,6 +68,17 @@ def main(argv=None):
     p_strong.add_argument("--dump-events", default=None, metavar="TSV",
                           help="write extracted predicted events "
                           "(filename/event/onset/offset) to this TSV")
+    p_strong.add_argument("--criterion", default="collar",
+                          choices=["collar", "intersection"],
+                          help="event matching rule: onset/offset collars "
+                          "(DCASE event-based) or PSDS-style DTC/GTC "
+                          "intersection ratios")
+    p_strong.add_argument("--dtc", type=float, default=0.5,
+                          help="min intersection/prediction ratio "
+                          "(--criterion intersection)")
+    p_strong.add_argument("--gtc", type=float, default=0.5,
+                          help="min intersection/reference ratio "
+                          "(--criterion intersection)")
 
     p_all = sub.add_parser("all", help="gsc + audioset with one model load")
     p_all.add_argument("experiment_path")
@@ -119,7 +130,9 @@ def main(argv=None):
                             offset_collar_rate=args.offset_collar_rate,
                             min_duration=args.min_duration,
                             merge_gap=args.merge_gap,
-                            dump_events=args.dump_events)
+                            dump_events=args.dump_events,
+                            criterion=args.criterion, dtc=args.dtc,
+                            gtc=args.gtc)
         print({k: v for k, v in results.items() if not k.startswith("_")})
     else:
         ev.test_sample(args.experiment_path, args.sample, topk=args.topk)

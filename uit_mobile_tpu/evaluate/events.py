@@ -92,13 +92,19 @@ def extract_events(times: np.ndarray, probs: np.ndarray, *,
 
 
 class EventScorer:
-    """Accumulates collar-matched event counts across clips.
+    """Accumulates matched event counts across clips.
 
-    Matching per clip per class (DCASE event-based semantics): a predicted
-    event matches a reference event when |onset difference| <= t_collar
-    and — unless offset_condition=False — |offset difference| <=
-    max(t_collar, offset_collar_rate * reference duration). Each
-    reference event consumes at most one prediction; assignment is
+    Matching per clip per class, two criteria:
+    - ``criterion='collar'`` (default, DCASE event-based semantics): a
+      predicted event matches a reference when |onset difference| <=
+      t_collar and — unless offset_condition=False — |offset difference|
+      <= max(t_collar, offset_collar_rate * reference duration).
+    - ``criterion='intersection'`` (PSDS-style DTC/GTC): a prediction
+      matches when intersection/prediction_duration >= dtc AND
+      intersection/reference_duration >= gtc — tolerant of sloppy
+      boundaries on long events where a fixed collar is punitive.
+
+    Each reference event consumes at most one prediction; assignment is
     greedy nearest-onset over onset-sorted references (deterministic).
 
     Use: one ``add_clip(pred, ref)`` call per clip (events never match
@@ -106,10 +112,15 @@ class EventScorer:
     """
 
     def __init__(self, t_collar: float = 0.2, offset_collar_rate: float = 0.2,
-                 offset_condition: bool = True):
+                 offset_condition: bool = True, criterion: str = "collar",
+                 dtc: float = 0.5, gtc: float = 0.5):
+        assert criterion in ("collar", "intersection"), criterion
         self.t_collar = float(t_collar)
         self.rate = float(offset_collar_rate)
         self.offset_condition = offset_condition
+        self.criterion = criterion
+        self.dtc = float(dtc)
+        self.gtc = float(gtc)
         self.tp: Counter = Counter()
         self.fp: Counter = Counter()
         self.fn: Counter = Counter()
@@ -117,6 +128,11 @@ class EventScorer:
     def _matches(self, pred: Event, ref: Event) -> bool:
         _, on_p, off_p = pred
         _, on_r, off_r = ref
+        if self.criterion == "intersection":
+            eps = 1e-9
+            inter = min(off_p, off_r) - max(on_p, on_r)
+            return (inter / max(off_p - on_p, eps) >= self.dtc
+                    and inter / max(off_r - on_r, eps) >= self.gtc)
         if abs(on_p - on_r) > self.t_collar:
             return False
         if not self.offset_condition:
@@ -180,11 +196,14 @@ class EventScorer:
 
 def event_based_scores(clip_pairs, *, t_collar: float = 0.2,
                        offset_collar_rate: float = 0.2,
-                       offset_condition: bool = True) -> dict:
+                       offset_condition: bool = True,
+                       criterion: str = "collar", dtc: float = 0.5,
+                       gtc: float = 0.5) -> dict:
     """One-shot convenience over ``EventScorer``: ``clip_pairs`` is an
     iterable of (predicted_events, reference_events) per clip."""
     scorer = EventScorer(t_collar=t_collar, offset_collar_rate=offset_collar_rate,
-                         offset_condition=offset_condition)
+                         offset_condition=offset_condition,
+                         criterion=criterion, dtc=dtc, gtc=gtc)
     for pred, ref in clip_pairs:
         scorer.add_clip(pred, ref)
     return scorer.scores()

@@ -236,7 +236,8 @@ class Evaluator:
                threshold: float = 0.5, min_overlap: float = 0.5,
                median_kernel: int = 1, event_collar: float = 0.2,
                offset_collar_rate: float = 0.2, min_duration: float = 0.0,
-               merge_gap: float = 0.0, dump_events: Optional[str] = None):
+               merge_gap: float = 0.0, dump_events: Optional[str] = None,
+               criterion: str = "collar", dtc: float = 0.5, gtc: float = 0.5):
         """Strong-label (SED) evaluation: framewise probabilities over FULL
         clips scored against event intervals — DCASE-style segment
         F1/precision/recall (evaluate.metrics.segment_f1) PLUS collar-based
@@ -244,7 +245,10 @@ class Evaluator:
         filtered (`median_kernel` segments), thresholded, merged into
         events (`merge_gap`, `min_duration`) and matched to the reference
         intervals with an onset collar of `event_collar` seconds (offset
-        collar = max(collar, offset_collar_rate * event duration)).
+        collar = max(collar, offset_collar_rate * event duration)), or —
+        with criterion='intersection' — the PSDS-style DTC/GTC overlap
+        rule (intersection/prediction >= dtc and intersection/reference
+        >= gtc).
 
         eval_data: TSV with filename/labels/hdf5path/from/to (one labeled
         event interval per row; rows sharing a filename are that clip's
@@ -321,7 +325,8 @@ class Evaluator:
 
         all_p, all_t, pred_rows = [], [], []
         scorer = EventScorer(t_collar=event_collar,
-                             offset_collar_rate=offset_collar_rate)
+                             offset_collar_rate=offset_collar_rate,
+                             criterion=criterion, dtc=dtc, gtc=gtc)
 
         def flush(pad_to, items):
             batch = np.stack([w for w, _, _ in items])
