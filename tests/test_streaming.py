@@ -227,3 +227,32 @@ def test_feed_all_matches_per_stream_feed(model):
     for a, b in zip(sorted(got_vec, key=key), sorted(got_seq, key=key)):
         assert (a.stream, a.time) == (b.stream, b.time)
         np.testing.assert_array_equal(a.probs, b.probs)
+
+
+def test_mixed_feed_after_device_ring_rebuilds_host(model):
+    """Steady-state feed_all leaves the host mirror stale (device ring is
+    authoritative); a subsequent per-stream feed() must rebuild it so
+    window content stays exact."""
+    cfg, params, state = model
+    rng = np.random.default_rng(5)
+    S, hop = 2, 4000
+    audio = (rng.standard_normal((S, 40000)) * 3000).astype(np.int16)
+    sc = StreamingConfig(hop_seconds=0.25, dtype="int16")
+
+    t_mix = MultiStreamTagger(cfg, params, state, n_streams=S, config=sc)
+    t_ref = MultiStreamTagger(cfg, params, state, n_streams=S, config=sc)
+    # 6 hops via feed_all (device ring engages), reference via feed()
+    for lo in range(0, 24000, hop):
+        t_mix.feed_all(audio[:, lo:lo + hop])
+        for s in range(S):
+            t_ref.feed(s, audio[s, lo:lo + hop])
+    # now switch to per-stream feed() for the rest
+    got, want = [], []
+    for lo in range(24000, 40000, hop):
+        for s in range(S):
+            got.extend(t_mix.feed(s, audio[s, lo:lo + hop]))
+            want.extend(t_ref.feed(s, audio[s, lo:lo + hop]))
+    assert len(got) == len(want) > 0
+    for a, b in zip(got, want):
+        assert (a.stream, a.time) == (b.stream, b.time)
+        np.testing.assert_array_equal(a.probs, b.probs)

@@ -131,12 +131,12 @@ def main(argv=None):
         params, state = models.build(cfg, jax.random.key(0))
         S = args.streams
         sc = StreamingConfig(hop_seconds=args.hop, use_pallas=use_pallas,
-                             dtype="int16")
+                             dtype=args.dtype)
         tagger = MultiStreamTagger(cfg, params, state, n_streams=S, config=sc)
         hop = int(sc.hop_seconds * sc.sample_rate)
         rng = np.random.default_rng(0)
         chunks = [
-            (rng.standard_normal((S, hop)) * 3000).astype(np.int16)
+            np.asarray(mk_wav(rng, (S, hop)))
             for _ in range(4)
         ]
         # fill the 1 s ring buffers, then time steady-state hops
@@ -152,10 +152,11 @@ def main(argv=None):
         # each always-on stream needs 1/hop windows per second
         sustain = windows_s * sc.hop_seconds
         print(
-            f"stream({args.model}): {S} streams @ hop {sc.hop_seconds}s -> "
-            f"{windows_s:.0f} windows/s scored = ~{sustain:.0f} concurrent "
-            f"real-time streams/chip ({wall / iters * 1e3:.1f} ms per "
-            f"all-streams hop step)"
+            f"stream({args.model}, {args.dtype}): {S} streams @ hop "
+            f"{sc.hop_seconds}s -> {windows_s:.0f} windows/s scored = "
+            f"~{sustain:.0f} concurrent real-time streams/chip "
+            f"({wall / iters * 1e3:.1f} ms per all-streams hop step; "
+            f"--dtype int16 halves the per-hop transfer)"
         )
         return 0
 

@@ -61,12 +61,22 @@ def main(argv=None):
                         help="seconds below off-threshold before an event "
                         "closes")
     parser.add_argument("--min-duration", type=float, default=0.0)
+    parser.add_argument("--labels", default=None,
+                        help="label index CSV for this model's classes "
+                        "(default: the bundled 537-class map when it "
+                        "matches the model's output size)")
     args = parser.parse_args(argv)
     if bool(args.input_wav) == bool(args.raw):
         parser.error("pass wav files OR --raw (stdin PCM), not both/neither")
 
-    labels = load_label_map()
+    label_table = load_label_map(args.labels)
     cfg, params, state = resolve_model(args.model)
+    if getattr(cfg, "outputdim", len(label_table)) != len(label_table):
+        # a custom-head checkpoint (e.g. SED) with the default 537-class
+        # table: naming class i after AudioSet row i would be wrong
+        labels = {i: f"class_{i}" for i in range(cfg.outputdim)}
+    else:
+        labels = label_table
 
     from ..serve import OnlineEventDetector, StreamingConfig, StreamingTagger
 

@@ -312,9 +312,8 @@ class Evaluator:
             if pad_to not in times_cache:
                 if isinstance(cfg, models.UITConfig):
                     # host-side arithmetic companion of forward_framewise:
-                    # f64 boundaries, no model execution (center=True
-                    # framing yields 1 + samples//hop frames)
-                    n_frames = 1 + pad_to // cfg.frontend.hop_length
+                    # f64 boundaries, no model execution
+                    n_frames = cfg.frontend.num_frames(pad_to)
                     times_cache[pad_to] = models.uit.framewise_times(cfg, n_frames)
                 else:  # conv families: segment count depends on the stack
                     _, t = models.apply_framewise(  # unjitted: f64 intact

@@ -90,6 +90,12 @@ class MultiStreamTagger:
         self._dev_buf = None
         self._dev_step = None  # jitted (buf, chunk) -> (new_buf, probs)
         self._dev_update = None  # jitted (buf, chunk) -> new_buf (warmup)
+        # in the steady-state device loop the host mirror is NOT shifted
+        # per hop (that memmove measured ~10 ms/step at S=2048); it goes
+        # stale and is rebuilt from the device ring only when feed() or a
+        # mixed cadence actually needs it. Invariant: _dev_buf is None =>
+        # _host_stale is False (every path clearing the ring syncs first).
+        self._host_stale = False
 
     def _to_buf_dtype(self, chunk: np.ndarray) -> np.ndarray:
         """Incoming audio (normalized f32 or raw int16 PCM) -> the ring
@@ -109,6 +115,7 @@ class MultiStreamTagger:
         became due (one per elapsed hop). Accepts normalized float32 or raw
         int16 PCM (converted to the configured buffer dtype)."""
         chunk = self._to_buf_dtype(np.asarray(chunk).reshape(-1))
+        self._sync_host()
         self._dev_buf = None  # host buffer diverges from the device ring
         events = []
         pos = 0
@@ -141,24 +148,23 @@ class MultiStreamTagger:
         assert chunks.shape == (self.n_streams, self._hop), chunks.shape
         chunks = self._to_buf_dtype(chunks)
         n = self._hop
-        if n >= self._win:
-            self._buf[:] = chunks[:, -self._win:]
-        else:
-            self._buf[:, :-n] = self._buf[:, n:]
-            self._buf[:, -n:] = chunks
         self._filled += n
         due = np.flatnonzero(self._filled >= self._win).tolist()
 
         if n >= self._win or len(due) not in (0, self.n_streams):
             # degenerate hop or mixed feed()/feed_all cadence: host path
+            self._sync_host()
             self._dev_buf = None
+            self._host_advance(chunks)
             return self._score(due) if due else []
 
         if self._dev_buf is None:
-            # (re)seed: upload the post-advance host state once, score it
-            # directly this step; subsequent steps ship only the chunk
+            # (re)seed: advance the (authoritative, see invariant) host
+            # buffer, upload it once and score it directly this step;
+            # subsequent steps ship only the chunk
             import jax
 
+            self._host_advance(chunks)
             if self._dev_step is None:
                 def _advance(buf, chunk):
                     return jnp.concatenate([buf[:, n:], chunk], axis=1)
@@ -175,6 +181,9 @@ class MultiStreamTagger:
                 return self._emit(due, np.asarray(self._fwd(self._dev_buf)))
             return []
 
+        # steady state: device ring only; the host mirror goes stale and
+        # is rebuilt on demand (_sync_host)
+        self._host_stale = True
         if due:
             self._dev_buf, probs_dev = self._dev_step(
                 self._dev_buf, jnp.asarray(chunks)
@@ -182,6 +191,21 @@ class MultiStreamTagger:
             return self._emit(due, np.asarray(probs_dev))
         self._dev_buf = self._dev_update(self._dev_buf, jnp.asarray(chunks))
         return []
+
+    def _host_advance(self, chunks: np.ndarray):
+        """Vectorized all-streams ring shift on the host buffer."""
+        n = self._hop
+        if n >= self._win:
+            self._buf[:] = chunks[:, -self._win:]
+        else:
+            self._buf[:, :-n] = self._buf[:, n:]
+            self._buf[:, -n:] = chunks
+
+    def _sync_host(self):
+        """Rebuild the host mirror from the device ring if it went stale."""
+        if self._host_stale:
+            self._buf[:] = np.asarray(self._dev_buf)
+            self._host_stale = False
 
     def _push(self, stream: int, piece: np.ndarray):
         n = piece.shape[0]
