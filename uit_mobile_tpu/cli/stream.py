@@ -61,6 +61,10 @@ def main(argv=None):
                         help="seconds below off-threshold before an event "
                         "closes")
     parser.add_argument("--min-duration", type=float, default=0.0)
+    parser.add_argument("--track-classes", default=None, metavar="I,J,...",
+                        help="comma-separated class indices the online "
+                        "event detector watches (default: all AudioSet "
+                        "classes; a subset is cheaper for always-on use)")
     parser.add_argument("--labels", default=None,
                         help="label index CSV for this model's classes "
                         "(default: the bundled 537-class map when it "
@@ -89,10 +93,13 @@ def main(argv=None):
     # models with a smaller head (e.g. SED checkpoints) track all their
     # classes; 537-way models track the AudioSet range
     n_tracked = min(sc.n_audioset, getattr(cfg, "outputdim", sc.n_audioset))
+    tracked = (sorted({int(x) for x in args.track_classes.split(",")})
+               if args.track_classes else None)
     detector = (OnlineEventDetector(
         on_threshold=args.on_threshold, off_threshold=args.off_threshold,
         hang_seconds=args.hang, min_duration=args.min_duration,
-        n_audioset=n_tracked, window_seconds=sc.window_seconds)
+        n_audioset=n_tracked, window_seconds=sc.window_seconds,
+        classes=tracked)
         if args.events else None)
 
     def emit(obj):
