@@ -46,6 +46,11 @@ def main():
 
     from uit_mobile_tpu import models
     from uit_mobile_tpu.ops import make_frontend_fn
+    from uit_mobile_tpu.utils import enable_compilation_cache
+
+    # persistent executable cache: repeated bench runs (and the driver's)
+    # skip the remote compile, which intermittently takes minutes
+    enable_compilation_cache()
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
