@@ -176,13 +176,23 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
     res = Evaluator(str(out), num_workers=0,
                     report_dir=str(tmp_path)).strong(
         eval_data=str(sed_env), threshold=0.3, median_kernel=3,
-        event_collar=0.25, dump_events=str(dump))
+        event_collar=0.25, dump_events=str(dump),
+        sweep=(0.2, 0.3, 0.6))
     assert res["Segment_Micro_F1"] > 0.5, res
     # event-level scores ride along (validity, not quality: the smoke
     # model's onsets need not survive the collar)
     assert {"Event_Micro_F1", "Event_Macro_F1", "Event_Micro_Precision",
             "Event_Micro_Recall"} <= set(res)
     assert all(0.0 <= res[k] <= 1.0 for k in res if k.startswith("Event_"))
+    # the operating curve covers every requested threshold with sane rows
+    curve = res["_event_operating_curve"]
+    assert set(curve) == {0.2, 0.3, 0.6}
+    for row in curve.values():
+        assert 0.0 <= row["Event_Micro_F1"] <= 1.0
+        assert 0.0 <= row["Segment_Micro_F1"] <= 1.0
+    # the main scores equal the curve's row at the same settings
+    assert curve[0.3]["Event_Micro_F1"] == pytest.approx(res["Event_Micro_F1"])
+    assert curve[0.3]["Segment_Micro_F1"] == pytest.approx(res["Segment_Micro_F1"])
     # the dump is a well-formed TSV of the extracted events
     df_ev = pd.read_csv(dump, sep="\t")
     assert list(df_ev.columns) == ["filename", "event", "onset", "offset"]

@@ -79,6 +79,11 @@ def main(argv=None):
     p_strong.add_argument("--gtc", type=float, default=0.5,
                           help="min intersection/reference ratio "
                           "(--criterion intersection)")
+    p_strong.add_argument("--sweep", nargs="*", type=float, default=None,
+                          metavar="T",
+                          help="also report the event/segment operating "
+                          "curve at these thresholds (default sweep when "
+                          "given without values; one model pass total)")
 
     p_all = sub.add_parser("all", help="gsc + audioset with one model load")
     p_all.add_argument("experiment_path")
@@ -132,8 +137,14 @@ def main(argv=None):
                             merge_gap=args.merge_gap,
                             dump_events=args.dump_events,
                             criterion=args.criterion, dtc=args.dtc,
-                            gtc=args.gtc)
+                            gtc=args.gtc,
+                            sweep=((args.sweep or
+                                    (0.1, 0.2, 0.3, 0.5, 0.7, 0.9))
+                                   if args.sweep is not None else None))
         print({k: v for k, v in results.items() if not k.startswith("_")})
+        for th, row in sorted(results.get("_event_operating_curve", {}).items()):
+            print(f"  thr={th:.2f}: " + "  ".join(
+                f"{k}={v:.4f}" for k, v in sorted(row.items())))
     else:
         ev.test_sample(args.experiment_path, args.sample, topk=args.topk)
     return 0

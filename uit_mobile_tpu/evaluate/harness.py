@@ -237,7 +237,8 @@ class Evaluator:
                median_kernel: int = 1, event_collar: float = 0.2,
                offset_collar_rate: float = 0.2, min_duration: float = 0.0,
                merge_gap: float = 0.0, dump_events: Optional[str] = None,
-               criterion: str = "collar", dtc: float = 0.5, gtc: float = 0.5):
+               criterion: str = "collar", dtc: float = 0.5, gtc: float = 0.5,
+               sweep=None):
         """Strong-label (SED) evaluation: framewise probabilities over FULL
         clips scored against event intervals — DCASE-style segment
         F1/precision/recall (evaluate.metrics.segment_f1) PLUS collar-based
@@ -259,6 +260,12 @@ class Evaluator:
         dump_events: optional path — write every extracted predicted
         event as a TSV (filename/event/onset/offset columns, seconds),
         the inspection/post-processing companion of the scores.
+
+        sweep: optional iterable of decision thresholds — re-extracts and
+        re-scores the (cached) framewise probabilities at every point and
+        returns the event + segment operating curve under
+        ``_event_operating_curve`` ({threshold: {metric: value}}), the
+        event analog of the KWS `--sweep` (one model pass total).
 
         Completes the SED round trip with train/sed.py — the reference
         has no strong-label evaluation (or training) at all."""
@@ -323,9 +330,14 @@ class Evaluator:
             return times_cache[pad_to]
 
         all_p, all_t, pred_rows = [], [], []
-        scorer = EventScorer(t_collar=event_collar,
-                             offset_collar_rate=offset_collar_rate,
-                             criterion=criterion, dtc=dtc, gtc=gtc)
+        clip_records = []  # (pad_to, probs, ref_events) for the sweep
+
+        def mk_scorer():
+            return EventScorer(t_collar=event_collar,
+                               offset_collar_rate=offset_collar_rate,
+                               criterion=criterion, dtc=dtc, gtc=gtc)
+
+        scorer = mk_scorer()
 
         def flush(pad_to, items):
             batch = np.stack([w for w, _, _ in items])
@@ -340,6 +352,8 @@ class Evaluator:
                                       min_duration=min_duration,
                                       merge_gap=merge_gap)
                 scorer.add_clip(pred, events)
+                if sweep is not None:
+                    clip_records.append((pad_to, p, events))
                 if dump_events is not None:
                     pred_rows.extend((fname, c, on, off) for c, on, off in pred)
 
@@ -358,6 +372,26 @@ class Evaluator:
         results = segment_f1(np.concatenate(all_p), np.concatenate(all_t),
                              threshold=threshold)
         results.update(scorer.scores())
+        if sweep is not None:
+            cat_p = np.concatenate(all_p)
+            cat_t = np.concatenate(all_t)
+            curve = {}
+            for th in sorted(float(t) for t in sweep):
+                sc = mk_scorer()
+                for pad_to, p, events in clip_records:
+                    sc.add_clip(
+                        extract_events(times_for(pad_to), p, threshold=th,
+                                       median_kernel=median_kernel,
+                                       min_duration=min_duration,
+                                       merge_gap=merge_gap),
+                        events,
+                    )
+                row = {k: v for k, v in sc.scores().items()
+                       if not k.startswith("_")}
+                row["Segment_Micro_F1"] = segment_f1(
+                    cat_p, cat_t, threshold=th)["Segment_Micro_F1"]
+                curve[th] = row
+            results["_event_operating_curve"] = curve
         if dump_events is not None:
             import pandas as pd
 
