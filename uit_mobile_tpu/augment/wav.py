@@ -58,6 +58,11 @@ WAV_TRANSFORMS = {
     "PolarityInversion": polarity_inversion,
 }
 
+# transforms that never move audio along the time axis — the only ones
+# admissible for strong-label (SED) training, where per-segment targets
+# are rasterized from the ORIGINAL event times (train/sed.py checks this)
+TIME_PRESERVING_WAV_TRANSFORMS = frozenset({"Gain", "PolarityInversion"})
+
 
 def parse_wavtransforms(transforms_dict: dict) -> Callable:
     """Config dict {name: kwargs} -> fn(rng, wav) applying them in order."""

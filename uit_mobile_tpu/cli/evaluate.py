@@ -79,6 +79,12 @@ def main(argv=None):
     p_strong.add_argument("--gtc", type=float, default=0.5,
                           help="min intersection/reference ratio "
                           "(--criterion intersection)")
+    p_strong.add_argument("--batch-size", type=int, default=32)
+    p_strong.add_argument("--dtype", default="float32",
+                          choices=["float32", "int16"],
+                          help="int16 transfers batches as raw PCM (half "
+                          "the host->device bytes, bitwise-identical "
+                          "results)")
     p_strong.add_argument("--sweep", nargs="*", type=float, default=None,
                           metavar="T",
                           help="also report the event/segment operating "

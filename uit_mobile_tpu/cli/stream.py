@@ -95,6 +95,22 @@ def main(argv=None):
     n_tracked = min(sc.n_audioset, getattr(cfg, "outputdim", sc.n_audioset))
     tracked = (sorted({int(x) for x in args.track_classes.split(",")})
                if args.track_classes else None)
+    if tracked:
+        # fail at startup, not mid-stream on the first scored window
+        outputdim = getattr(cfg, "outputdim", len(label_table))
+        bad = [i for i in tracked if not 0 <= i < outputdim]
+        if bad:
+            parser.error(
+                f"--track-classes indices {bad} out of range for this "
+                f"model's {outputdim}-way output"
+            )
+        beyond_as = [i for i in tracked if i >= n_tracked]
+        if beyond_as:
+            print(f"# note: tracked indices {beyond_as} lie beyond the "
+                  f"AudioSet range (>= {n_tracked}); keyword classes "
+                  f"already fire through the --threshold trigger path, so "
+                  f"the event detector will report them twice",
+                  file=sys.stderr)
     detector = (OnlineEventDetector(
         on_threshold=args.on_threshold, off_threshold=args.off_threshold,
         hang_seconds=args.hang, min_duration=args.min_duration,

@@ -104,8 +104,12 @@ class EventScorer:
       intersection/reference_duration >= gtc — tolerant of sloppy
       boundaries on long events where a fixed collar is punitive.
 
-    Each reference event consumes at most one prediction; assignment is
-    greedy nearest-onset over onset-sorted references (deterministic).
+    Each reference event consumes at most one prediction; the assignment
+    is an OPTIMAL bipartite matching (maximum cardinality, minimal total
+    onset distance among maximum matchings, via Hungarian) — a greedy
+    nearest-onset pass can undercount TPs when one prediction is the only
+    admissible match for a later reference (event counts per clip/class
+    are tiny, so Hungarian is essentially free).
 
     Use: one ``add_clip(pred, ref)`` call per clip (events never match
     across clip boundaries), then ``scores()``.
@@ -149,21 +153,29 @@ class EventScorer:
         for c in set(by_cls_p) | set(by_cls_r):
             preds = sorted(by_cls_p.get(c, ()), key=lambda e: e[1])
             refs = sorted(by_cls_r.get(c, ()), key=lambda e: e[1])
-            used = [False] * len(preds)
-            for ref in refs:
-                best, best_d = None, np.inf
-                for j, pred in enumerate(preds):
-                    if used[j] or not self._matches(pred, ref):
-                        continue
-                    d = abs(pred[1] - ref[1])
-                    if d < best_d:
-                        best, best_d = j, d
-                if best is None:
-                    self.fn[c] += 1
-                else:
-                    used[best] = True
-                    self.tp[c] += 1
-            self.fp[c] += used.count(False)
+            tp = self._match_count(preds, refs)
+            self.tp[c] += tp
+            self.fn[c] += len(refs) - tp
+            self.fp[c] += len(preds) - tp
+
+    def _match_count(self, preds: list, refs: list) -> int:
+        """Maximum-cardinality matching between admissible (pred, ref)
+        pairs; among maximum matchings, minimal total onset distance.
+        Implemented as Hungarian on a cost matrix where inadmissible pairs
+        cost more than any sum of admissible ones, so minimizing total
+        cost first maximizes the number of admissible matches."""
+        if not preds or not refs:
+            return 0
+        cost = np.empty((len(preds), len(refs)))
+        spans = [abs(p[1] - r[1]) for p in preds for r in refs]
+        big = max(spans) * (len(preds) + len(refs) + 1) + 1.0
+        for i, p in enumerate(preds):
+            for j, r in enumerate(refs):
+                cost[i, j] = abs(p[1] - r[1]) if self._matches(p, r) else big
+        from scipy.optimize import linear_sum_assignment
+
+        rows, cols = linear_sum_assignment(cost)
+        return int(np.sum(cost[rows, cols] < big))
 
     @staticmethod
     def _prf(tp: int, fp: int, fn: int) -> Tuple[float, float, float]:

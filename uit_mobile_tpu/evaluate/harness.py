@@ -341,7 +341,18 @@ class Evaluator:
 
         def flush(pad_to, items):
             batch = np.stack([w for w, _, _ in items])
-            probs = np.asarray(fwd(jnp.asarray(batch)))
+            if batch.shape[0] < self.batch_size:
+                # pad partial groups to the full batch size: one compiled
+                # program per distinct clip LENGTH instead of one per
+                # (length, remainder-count) pair. Padded rows are silence
+                # and are sliced away below; per-sample dB clamping keeps
+                # them from coupling into real clips' scores.
+                batch = np.concatenate([
+                    batch,
+                    np.zeros((self.batch_size - batch.shape[0],) + batch.shape[1:],
+                             batch.dtype),
+                ])
+            probs = np.asarray(fwd(jnp.asarray(batch)))[: len(items)]
             times = times_for(pad_to)
             for p, (_, events, fname) in zip(probs, items):
                 all_p.append(p)

@@ -188,8 +188,13 @@ def gsc_accuracy(y_pred: np.ndarray, y_true_multihot: np.ndarray,
 
     as_scores = y_pred[:, :n_audioset]
     as_argmax = as_scores.argmax(-1)
-    keep = as_scores.max(-1, keepdims=True)
-    masked_as = np.where(as_scores == keep, as_scores, 0.0)
+    # keep exactly ONE surviving AudioSet column — the argmax (first of any
+    # exact-float ties), matching the reference's scatter-into-zeros
+    # (evaluate.py:217-219); a value-equality mask would keep all tied
+    # maxima and could flip the final argmax on a pathological tie
+    masked_as = np.zeros_like(as_scores)
+    rows = np.arange(len(as_scores))
+    masked_as[rows, as_argmax] = as_scores[rows, as_argmax]
     y_pred[:, :n_audioset] = masked_as
 
     filler = y < n_audioset

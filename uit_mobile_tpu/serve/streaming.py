@@ -149,6 +149,11 @@ class MultiStreamTagger:
         chunks = self._to_buf_dtype(chunks)
         n = self._hop
         self._filled += n
+        # feed_all always advances exactly one hop and scores at its end:
+        # any residual from a partial (non-hop-aligned) feed() is absorbed
+        # into this hop, so later feed() boundaries stay hop-aligned
+        # instead of drifting by the leftover samples
+        self._since_hop[:] = 0
         due = np.flatnonzero(self._filled >= self._win).tolist()
 
         if n >= self._win or len(due) not in (0, self.n_streams):

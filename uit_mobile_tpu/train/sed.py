@@ -57,6 +57,21 @@ def train_sed_from_config(config: dict) -> Path:
     from ..ops import make_frontend_fn
 
     c = config
+    if c.get("wavtransforms"):
+        # per-segment targets are rasterized from the ORIGINAL event times:
+        # a time-shifting augment (Shift) would silently misalign the
+        # framewise supervision (configs/train_sed.yaml documents this) —
+        # reject before any side effects (output dir, data, model)
+        from ..augment.wav import TIME_PRESERVING_WAV_TRANSFORMS
+
+        offending = set(c["wavtransforms"]) - TIME_PRESERVING_WAV_TRANSFORMS
+        if offending:
+            raise ValueError(
+                f"SED training only admits time-preserving wavtransforms "
+                f"({sorted(TIME_PRESERVING_WAV_TRANSFORMS)}); remove "
+                f"{sorted(offending)} — they would move audio away from "
+                f"the fixed per-segment targets"
+            )
     outputdir = _make_outputdir(c)
     handler = add_file_sink(log, outputdir / c.get("logfile", "train.log"))
     log.info(f"SED training -> {outputdir}")

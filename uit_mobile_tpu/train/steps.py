@@ -303,6 +303,18 @@ OPTIMIZERS = {
 def build_optimizer(name: str, schedule_or_lr, **kwargs) -> optax.GradientTransformation:
     if name not in OPTIMIZERS:
         raise KeyError(f"unknown optimizer {name!r}; known: {sorted(OPTIMIZERS)}")
+    if name == "Adam8bit":
+        # a DIFFERENT update rule, not a quantized Adam — configs written
+        # for the reference will converge differently; say so loudly
+        from ..utils import get_logger
+
+        get_logger().warning(
+            "optimizer 'Adam8bit' (bitsandbytes) has no TPU analogue; "
+            "substituting optax.adafactor — a different update rule with "
+            "different convergence behavior. Use 'Adam'/'AdamW' for "
+            "faithful reference dynamics, or 'Adafactor' to make this "
+            "choice explicit."
+        )
     kwargs = dict(kwargs)
     kwargs.pop("lr", None)
     return OPTIMIZERS[name](lr=schedule_or_lr, **kwargs)
