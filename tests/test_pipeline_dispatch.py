@@ -34,3 +34,40 @@ def test_dispatch_mobilenetv2_uses_plain_layout():
     a = np.asarray(make_forward_fn(cfg, params, state, use_pallas=False)(wav))
     b = np.asarray(make_forward_fn(cfg, params, state, use_pallas=True)(wav))
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_scanned_forward_matches_per_batch_calls():
+    """make_scanned_forward: one (K, B, T) dispatch == K per-batch calls,
+    bitwise, for both the plain and the pallas(interpret) fast paths."""
+    from uit_mobile_tpu.ops.pipeline import make_scanned_forward
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=11, target_length=102,
+                                  depth=2)
+    params, state = models.build(cfg, jax.random.key(2))
+    rng = np.random.default_rng(7)
+    block = jnp.asarray(
+        rng.standard_normal((3, 4, 16000)).astype(np.float32) * 0.1
+    )
+    for kwargs in (dict(use_pallas=False),
+                   dict(use_pallas=True, precision="fast")):
+        fwd = make_forward_fn(cfg, params, state, **kwargs)
+        scanned = jax.jit(make_scanned_forward(fwd))
+        got = np.asarray(scanned(block))
+        want = np.stack([np.asarray(jax.jit(fwd)(block[k])) for k in range(3)])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_scanned_forward_int16_and_unroll():
+    from uit_mobile_tpu.ops.pipeline import make_scanned_forward
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=9, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(3))
+    rng = np.random.default_rng(8)
+    f32 = rng.standard_normal((2, 3, 16000)).astype(np.float32) * 0.1
+    pcm = jnp.asarray(np.round(f32 * 32768.0).clip(-32768, 32767).astype(np.int16))
+    fwd = make_forward_fn(cfg, params, state, use_pallas=True, precision="fast")
+    a = np.asarray(jax.jit(make_scanned_forward(fwd))(pcm))
+    b = np.asarray(jax.jit(make_scanned_forward(fwd, unroll=2))(pcm))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 3, 9)

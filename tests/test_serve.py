@@ -252,3 +252,36 @@ def test_service_per_sample_top_db_isolates_requests(model):
     assert np.abs(coupled["alone"] - coupled["cobatched"]).max() > 1e-6, (
         "expected torch-mode clamp coupling; the isolation test is vacuous"
     )
+
+
+def test_service_scanned_dispatch_matches_per_batch(model):
+    """scan_batches>1: K full batches fold into one scanned dispatch;
+    results must match the per-batch service bitwise."""
+    cfg, params, state = model
+    rng = np.random.default_rng(11)
+    wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1
+            for _ in range(8)]  # 4 full batches of 2
+    conf_scan = ServiceConfig(batch_size=2, max_seconds=1, warmup=False,
+                              scan_batches=2, max_wait_ms=200.0)
+    conf_base = ServiceConfig(batch_size=2, max_seconds=1, warmup=False)
+    with TaggingService(cfg, params, state, conf_scan) as svc:
+        got = svc.infer_many(wavs)
+    with TaggingService(cfg, params, state, conf_base) as svc:
+        want = svc.infer_many(wavs)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_service_scanned_dispatch_partial_load(model):
+    """Below K full batches the scanned path must not engage (no deadlock,
+    partial groups dispatch per-batch immediately)."""
+    cfg, params, state = model
+    rng = np.random.default_rng(12)
+    wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1
+            for _ in range(3)]  # 1.5 batches < K*bs = 4
+    conf = ServiceConfig(batch_size=2, max_seconds=1, warmup=False,
+                         scan_batches=2, max_wait_ms=50.0)
+    with TaggingService(cfg, params, state, conf) as svc:
+        outs = svc.infer_many(wavs)
+    for o in outs:
+        assert o.shape == (537,) and np.isfinite(o).all()

@@ -67,3 +67,67 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
     # the shard_map (manual) route, which it selects from this flag
     fn.uses_pallas = use_pallas
     return fn
+
+
+def make_fused_token_forward(cfg, params, state, block_b: int = 256,
+                             interpret: bool | None = None):
+    """Serving forward on the FUSED mel->patch-token kernel: the (T, F, B)
+    f32 mel never touches HBM (ops/pallas_mel.pallas_mel_tokens docstring
+    for constraints: per-sample top_db, single-window clips, fast-grade
+    token contraction). Returns fn(wav)->probs, not yet jitted.
+
+    The BN-folded patch-embed matrices are computed from (params, state)
+    inside the traced function, so converted/updated checkpoints work
+    unmodified."""
+    import jax.numpy as jnp
+
+    from ..models import uit as uit_mod
+
+    assert isinstance(cfg, models.UITConfig), "fused token path is UiT-only"
+    fe_cfg = dataclasses.replace(cfg.frontend, top_db_mode="per_sample")
+    fg = cfg.grid_size[0]
+
+    from .pallas_mel import pallas_mel_tokens
+
+    def fn(wav):
+        Kf, bias_f = uit_mod._folded_patch_kernel(
+            cfg, params, state, cfg.n_mels, fg, jnp.float32
+        )
+        tokens = pallas_mel_tokens(
+            wav, fe_cfg, Kf, bias_f, target_length=cfg.target_length,
+            block_b=block_b, interpret=interpret,
+        )
+        feats = uit_mod._finish_features(cfg, params, tokens)
+        return uit_mod.forward_head(cfg, params, feats)
+
+    fn.uses_pallas = True
+    return fn
+
+
+def make_scanned_forward(fwd_fn, unroll: int = 1):
+    """Amortize per-dispatch overhead over K batches: (K, B, T) wav block
+    -> (K, B, C) probs as ONE jittable program (`lax.scan` over the batch
+    axis, each step the full fused forward).
+
+    Why: through a dispatch relay (and on busy production hosts) each
+    jitted call pays a fixed enqueue/RTT cost — at B=2048 the round-2
+    profile showed 6.16 ms of device work against ~9.7 ms of wall per
+    batch, i.e. ~37% of device-limited throughput lost to dispatch
+    (PERF_NOTES). Scanning K batches inside one program pays that cost
+    once per K. The batches are INDEPENDENT (no carry), so the scan is
+    pure sequencing — XLA pipelines each step identically to K separate
+    dispatches, and outputs are bitwise identical to per-batch calls
+    (tests/test_pipeline_dispatch.py pins this).
+
+    Callers jit the result (donation of the input block is safe: the
+    output (K, B, C) never aliases the (K, B, T) input shape).
+    """
+    def scanned(wav_block):
+        def body(carry, wav):
+            return carry, fwd_fn(wav)
+
+        _, out = jax.lax.scan(body, None, wav_block, unroll=unroll)
+        return out
+
+    scanned.uses_pallas = bool(getattr(fwd_fn, "uses_pallas", False))
+    return scanned

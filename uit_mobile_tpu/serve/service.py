@@ -64,6 +64,15 @@ class ServiceConfig:
     # float32 submissions are re-quantized (exact when the floats came
     # from int16 PCM, i.e. any real wav file).
     dtype: str = "float32"
+    # when a bucket has >= scan_batches full batches pending, they run as
+    # ONE K-batch lax.scan dispatch (ops.pipeline.make_scanned_forward):
+    # per-dispatch overhead is paid once per K batches instead of per
+    # batch — the fix for the measured 37% wall-vs-device dispatch gap
+    # (PERF_NOTES round 3). Outputs are bitwise the per-batch path's.
+    # Only engages under sustained load (partial groups still dispatch
+    # immediately); ignored under data_parallel (scan over shard_map is
+    # not supported here). 1 disables.
+    scan_batches: int = 1
 
 
 class TaggingService:
@@ -108,6 +117,15 @@ class TaggingService:
         else:
             self._fwd = jax.jit(fwd_fn)
             self._batch_multiple = 1
+        # K-batch scanned dispatch for sustained load (see ServiceConfig.
+        # scan_batches); programs compile lazily per bucket length on the
+        # first deep-queue moment
+        self._scan_k = config.scan_batches if not self._dp else 1
+        self._scanned_fwd = None
+        if self._scan_k > 1:
+            from ..ops.pipeline import make_scanned_forward
+
+            self._scanned_fwd = jax.jit(make_scanned_forward(fwd_fn))
         self._q: queue.Queue = queue.Queue()
         # (device_result, chunk) pairs awaiting materialization; bounded ->
         # backpressure on the batcher when the device is saturated
@@ -215,9 +233,12 @@ class TaggingService:
             pending = [item]
             # batching window: a hard DEADLINE from the first request, not a
             # per-arrival idle timeout (a steady trickle must not postpone
-            # dispatch indefinitely)
+            # dispatch indefinitely). With scanned dispatch enabled the
+            # window may gather up to K batches (they still leave within
+            # max_wait_ms of the first request).
+            limit = self.cfg.batch_size * max(1, self._scan_k)
             deadline = time.monotonic() + self.cfg.max_wait_ms / 1e3
-            while len(pending) < self.cfg.batch_size:
+            while len(pending) < limit:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
@@ -253,7 +274,24 @@ class TaggingService:
             groups.setdefault(length, []).append((wav, fut))
         for length, items in groups.items():
             bs = dict(self._buckets)[length]
-            for i in range(0, len(items), bs):
+            i = 0
+            K = self._scan_k
+            # sustained load: fold K full batches into one scanned dispatch
+            while K > 1 and len(items) - i >= K * bs:
+                chunk = items[i: i + K * bs]
+                i += K * bs
+                block = np.zeros((K, bs, length), dtype=self._np_dtype)
+                for j, (wav, _) in enumerate(chunk):
+                    block[j // bs, j % bs, : wav.shape[0]] = wav
+                try:
+                    dev = self._scanned_fwd(jnp.asarray(block))  # (K, bs, C)
+                except Exception as e:  # pragma: no cover
+                    for _, fut in chunk:
+                        if not fut.done():
+                            fut.set_exception(e)
+                    continue
+                self._done_q.put((dev, chunk))
+            for i in range(i, len(items), bs):
                 chunk = items[i: i + bs]
                 batch = np.zeros((bs, length), dtype=self._np_dtype)
                 for j, (wav, _) in enumerate(chunk):
@@ -276,6 +314,9 @@ class TaggingService:
             dev, chunk = item
             try:
                 probs = np.asarray(dev)
+                # scanned dispatches deliver (K, bs, C); flatten so the
+                # chunk's j-th request reads row j either way
+                probs = probs.reshape(-1, probs.shape[-1])
                 for j, (_, fut) in enumerate(chunk):
                     if not fut.done():
                         fut.set_result(probs[j])
