@@ -185,3 +185,68 @@ def test_evaluate_cli_strong_accepts_shared_flags():
                      "--batch-size", "8", "--eval-data", "/nonexistent.tsv"])
     # must NOT be an argparse unrecognized-arguments exit
     assert "unrecognized arguments" not in str(exc.value)
+
+
+# ------------------------------------- fast+DP eval keeps the Pallas kernel
+
+def _dp_eval_fixture(tmp_path):
+    import h5py
+    import pandas as pd
+    import jax
+
+    from uit_mobile_tpu import models
+    from uit_mobile_tpu.ckpt.io import save_checkpoint
+
+    rng = np.random.default_rng(5)
+    h5 = tmp_path / "dp.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(8):
+            f[f"c{i}.wav"] = (rng.standard_normal(16000) * 3000).astype(np.int16)
+            rows.append((f"c{i}.wav", "3", str(h5)))
+    tsv = tmp_path / "dp.tsv"
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+        tsv, sep="\t", index=False)
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, cfg)
+    return ckpt, tsv
+
+
+def test_fast_dp_eval_keeps_pallas_and_matches_single_device(tmp_path):
+    """Evaluator(fast=True, data_parallel=True) routes the Pallas forward
+    through shard_map (per-sample top_db) instead of silently dropping to
+    the XLA frontend; on non-degenerate audio the scores equal the
+    single-device fast run (the clamp never binds 120 dB below max)."""
+    import jax
+
+    from uit_mobile_tpu.data import read_tsv_data
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    assert jax.device_count() == 8  # conftest's CPU mesh
+    ckpt, tsv = _dp_eval_fixture(tmp_path)
+    df = read_tsv_data(tsv, basename=False)
+    kw = dict(batch_size=8, num_workers=0, use_pallas=True, fast=True)
+    p1, _ = Evaluator(str(ckpt), **kw)._run_epoch(df, num_classes=537)
+    pdp, _ = Evaluator(str(ckpt), data_parallel=True,
+                       **kw)._run_epoch(df, num_classes=537)
+    np.testing.assert_allclose(pdp, p1, atol=1e-6)
+
+
+def test_exact_dp_eval_still_uses_global_clamp(tmp_path):
+    """Exact-grade DP eval keeps the XLA frontend with the batch-global
+    torch clamp (bit-parity path unchanged)."""
+    import jax
+
+    from uit_mobile_tpu.data import read_tsv_data
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    ckpt, tsv = _dp_eval_fixture(tmp_path)
+    df = read_tsv_data(tsv, basename=False)
+    kw = dict(batch_size=8, num_workers=0)
+    p1, _ = Evaluator(str(ckpt), **kw)._run_epoch(df, num_classes=537)
+    pdp, _ = Evaluator(str(ckpt), data_parallel=True, use_pallas=True,
+                       **kw)._run_epoch(df, num_classes=537)
+    np.testing.assert_allclose(pdp, p1, atol=1e-5)

@@ -177,8 +177,11 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
                     report_dir=str(tmp_path)).strong(
         eval_data=str(sed_env), threshold=0.3, median_kernel=3,
         event_collar=0.25, dump_events=str(dump),
-        sweep=(0.2, 0.3, 0.6))
+        sweep=(0.2, 0.3, 0.6), psds=True)
     assert res["Segment_Micro_F1"] > 0.5, res
+    # PSDS rides on the same sweep (intersection criterion); bounded
+    assert 0.0 <= res["PSDS"] <= 1.0
+    assert res["_psd_roc"] and res["_per_class_auc"]
     # event-level scores ride along (validity, not quality: the smoke
     # model's onsets need not survive the collar)
     assert {"Event_Micro_F1", "Event_Macro_F1", "Event_Micro_Precision",

@@ -11,6 +11,11 @@ import time
 
 import numpy as np
 
+import sys as _sys
+from pathlib import Path
+
+_sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def measure(fn, bufs, clips, rounds=4, depth=8):
     out = None

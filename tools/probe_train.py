@@ -14,6 +14,11 @@ import time
 
 import numpy as np
 
+import sys as _sys
+from pathlib import Path
+
+_sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def main():
     import jax

@@ -90,6 +90,15 @@ def main(argv=None):
                           help="also report the event/segment operating "
                           "curve at these thresholds (default sweep when "
                           "given without values; one model pass total)")
+    p_strong.add_argument("--psds", action="store_true",
+                          help="compute the PSDS score over the sweep's "
+                          "operating points (DTC/GTC intersection "
+                          "criterion; implies a default sweep)")
+    p_strong.add_argument("--psds-alpha-st", type=float, default=0.0,
+                          help="across-class std-dev penalty weight")
+    p_strong.add_argument("--psds-e-max", type=float, default=100.0,
+                          help="max effective FP rate (per hour) of the "
+                          "PSD-ROC integration")
 
     p_all = sub.add_parser("all", help="gsc + audioset with one model load")
     p_all.add_argument("experiment_path")
@@ -146,11 +155,18 @@ def main(argv=None):
                             gtc=args.gtc,
                             sweep=((args.sweep or
                                     (0.1, 0.2, 0.3, 0.5, 0.7, 0.9))
-                                   if args.sweep is not None else None))
+                                   if args.sweep is not None else None),
+                            psds=({"alpha_st": args.psds_alpha_st,
+                                   "e_max": args.psds_e_max}
+                                  if args.psds else None))
         print({k: v for k, v in results.items() if not k.startswith("_")})
         for th, row in sorted(results.get("_event_operating_curve", {}).items()):
             print(f"  thr={th:.2f}: " + "  ".join(
                 f"{k}={v:.4f}" for k, v in sorted(row.items())))
+        if args.psds:
+            roc = results.get("_psd_roc", {})
+            print("  PSD-ROC: " + "  ".join(
+                f"{e:.1f}/hr->{v:.3f}" for e, v in sorted(roc.items())))
     else:
         ev.test_sample(args.experiment_path, args.sample, topk=args.topk)
     return 0

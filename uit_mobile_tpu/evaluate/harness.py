@@ -103,17 +103,26 @@ class Evaluator:
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
         dp_active = self.data_parallel and jax.device_count() > 1
+        top_db_mode = None
         if dp_active and use_pallas:
-            # Mosaic kernels carry no SPMD partitioning rule: a pallas_call
-            # under jit with batch-sharded inputs cannot be partitioned on
-            # real multi-chip hosts (CPU tests run the kernel in interpret
-            # mode, which partitions as ordinary XLA and hides this). The
-            # XLA frontend also keeps the batch-GLOBAL top_db reference
-            # exact across shards (GSPMD inserts the collective for
-            # jnp.max), which per-shard pallas execution would not.
-            log.info("data_parallel eval: using the XLA frontend "
-                     "(pallas kernels cannot be auto-partitioned)")
-            use_pallas = False
+            if self.fast:
+                # fast+DP keeps the Pallas kernel: data_parallel_forward
+                # routes Mosaic through shard_map (manual partitioning, the
+                # documented way — serving does the same), with PER-SAMPLE
+                # dB clamping so no cross-shard reduction is needed. The
+                # divergence from torch's batch-global clamp only shows on
+                # silent/degenerate clips whose own max sits >120 dB below
+                # the batch max — fast mode's 1e-3-grade contract already
+                # excludes bit-parity gates (those run exact, below).
+                top_db_mode = "per_sample"
+            else:
+                # exact/parity grade: the XLA frontend under GSPMD keeps
+                # the batch-GLOBAL top_db reference exact across shards
+                # (the jnp.max collective is inserted automatically);
+                # Mosaic kernels cannot be auto-partitioned.
+                log.info("data_parallel exact eval: using the XLA frontend "
+                         "(batch-global top_db stays exact across shards)")
+                use_pallas = False
         # single policy source (ops/pipeline.make_forward_fn); tfb engages
         # only in fast mode — exact keeps the reference bft orientation
         # for bit-parity gates
@@ -122,7 +131,7 @@ class Evaluator:
         fwd_fn = make_forward_fn(
             cfg, params, state, use_pallas=use_pallas,
             precision="fast" if self.fast else "exact",
-            btf=self.fast,
+            btf=self.fast, top_db_mode=top_db_mode,
         )
         if dp_active:
             from ..parallel.mesh import data_parallel_forward
@@ -238,7 +247,7 @@ class Evaluator:
                offset_collar_rate: float = 0.2, min_duration: float = 0.0,
                merge_gap: float = 0.0, dump_events: Optional[str] = None,
                criterion: str = "collar", dtc: float = 0.5, gtc: float = 0.5,
-               sweep=None):
+               sweep=None, psds=None):
         """Strong-label (SED) evaluation: framewise probabilities over FULL
         clips scored against event intervals — DCASE-style segment
         F1/precision/recall (evaluate.metrics.segment_f1) PLUS collar-based
@@ -266,6 +275,12 @@ class Evaluator:
         returns the event + segment operating curve under
         ``_event_operating_curve`` ({threshold: {metric: value}}), the
         event analog of the KWS `--sweep` (one model pass total).
+
+        psds: truthy — also compute the PSDS score (evaluate.psds) over
+        the sweep's operating points with the DTC/GTC intersection
+        criterion; pass a dict to set {'alpha_st': .., 'e_max': ..}.
+        Implies the default sweep when none is given. A coarse sweep
+        LOWER-bounds the true PSDS (see evaluate/psds.py).
 
         Completes the SED round trip with train/sed.py — the reference
         has no strong-label evaluation (or training) at all."""
@@ -338,6 +353,9 @@ class Evaluator:
                                criterion=criterion, dtc=dtc, gtc=gtc)
 
         scorer = mk_scorer()
+        if psds and sweep is None:
+            sweep = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+        total_samples = 0
 
         def flush(pad_to, items):
             batch = np.stack([w for w, _, _ in items])
@@ -373,6 +391,7 @@ class Evaluator:
         pending: dict = {}
         for fname, h5, events in groups:
             wav = reader._read(h5, fname)
+            total_samples += int(wav.shape[-1])
             pad_to = -(-wav.shape[-1] // sr) * sr
             wav = np.pad(wav, (0, pad_to - wav.shape[-1]))
             pending.setdefault(pad_to, []).append((wav, events, fname))
@@ -387,22 +406,44 @@ class Evaluator:
             cat_p = np.concatenate(all_p)
             cat_t = np.concatenate(all_t)
             curve = {}
+            psds_points = []
             for th in sorted(float(t) for t in sweep):
                 sc = mk_scorer()
+                # PSDS is defined on the intersection (DTC/GTC) criterion;
+                # reuse the sweep scorer when it already is one
+                sc_int = sc if (psds and criterion == "intersection") else (
+                    EventScorer(criterion="intersection", dtc=dtc, gtc=gtc)
+                    if psds else None
+                )
                 for pad_to, p, events in clip_records:
-                    sc.add_clip(
-                        extract_events(times_for(pad_to), p, threshold=th,
-                                       median_kernel=median_kernel,
-                                       min_duration=min_duration,
-                                       merge_gap=merge_gap),
-                        events,
-                    )
+                    pred = extract_events(times_for(pad_to), p, threshold=th,
+                                          median_kernel=median_kernel,
+                                          min_duration=min_duration,
+                                          merge_gap=merge_gap)
+                    sc.add_clip(pred, events)
+                    if sc_int is not None and sc_int is not sc:
+                        sc_int.add_clip(pred, events)
+                if sc_int is not None:
+                    cls = set(sc_int.tp) | set(sc_int.fp) | set(sc_int.fn)
+                    psds_points.append({
+                        c: (sc_int.tp[c], sc_int.fp[c], sc_int.fn[c])
+                        for c in cls
+                    })
                 row = {k: v for k, v in sc.scores().items()
                        if not k.startswith("_")}
                 row["Segment_Micro_F1"] = segment_f1(
                     cat_p, cat_t, threshold=th)["Segment_Micro_F1"]
                 curve[th] = row
             results["_event_operating_curve"] = curve
+            if psds:
+                from .psds import psds as psds_score
+
+                opts = dict(psds) if isinstance(psds, dict) else {}
+                results.update(psds_score(
+                    psds_points,
+                    duration_hours=total_samples / sr / 3600.0,
+                    **opts,
+                ))
         if dump_events is not None:
             import pandas as pd
 

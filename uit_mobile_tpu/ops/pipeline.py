@@ -116,8 +116,10 @@ def make_scanned_forward(fwd_fn, unroll: int = 1):
     (PERF_NOTES). Scanning K batches inside one program pays that cost
     once per K. The batches are INDEPENDENT (no carry), so the scan is
     pure sequencing — XLA pipelines each step identically to K separate
-    dispatches, and outputs are bitwise identical to per-batch calls
-    (tests/test_pipeline_dispatch.py pins this).
+    dispatches. On TPU the Mosaic kernels are the identical program either
+    way (outputs match per-batch calls bitwise); under CPU interpret mode
+    XLA's fusion boundaries inside scan can differ at f32-epsilon level
+    (tests/test_pipeline_dispatch.py).
 
     Callers jit the result (donation of the input block is safe: the
     output (K, B, C) never aliases the (K, B, T) input shape).
