@@ -3,13 +3,24 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-The metric is the BASELINE.json north star — 1s-clip inferences/sec/chip for
-uit_xs with the fused Pallas mel frontend (fast precision; <=2.5e-4 output
-drift vs exact, inside the 1e-3 parity budget). Extra keys anchor the other
-BASELINE claims with measurements:
+The metric is the BASELINE.json north star — 1s-clip inferences/sec/chip
+for uit_xs with the fused Pallas mel frontend (fast precision; <=2.5e-4
+output drift vs exact, inside the 1e-3 parity budget), served through the
+K-batch scanned dispatch (ops.pipeline.make_scanned_forward: one XLA
+program runs K batches per dispatch — round-3 measured +21/37/43/52% at
+K=8/16/32/64 over per-batch dispatch through this relay). Extra keys anchor
+the other BASELINE claims with measurements:
+  per_batch_clips_per_s  one dispatch per batch (round-2 headline mode)
   exact_clips_per_s      same pipeline, exact-precision Pallas DFT
-  cpu_clips_per_s        XLA-frontend forward on THIS HOST's CPU backend
-  vs_cpu_baseline        value / cpu_clips_per_s (the ">=50x CPU" north star)
+  train_clips_per_s      fused PSL train step (B=512, device-resident)
+  serve_mfu / train_mfu  model-FLOP utilization vs the chip's bf16 peak
+                         (utils/flops.py hand model, documented there)
+  cpu_clips_per_s        THIS framework's XLA-CPU forward on this host
+  ref_torch_cpu_clips_per_s  the REFERENCE's torch uit_xs on this host's
+                         CPU, mel precomputed (generous to the reference:
+                         its torchaudio frontend cost is excluded)
+  vs_ref_torch_cpu       value / ref_torch_cpu_clips_per_s — the honest
+                         ">=50x CPU" anchor (BASELINE.json)
 ``vs_baseline`` compares against the reference implementation's ambition
 proxy: the published Snapdragon-865 single-clip latency of 3.4 ms
 (README.md:15-24) => ~294 clips/s on the reference's best mobile target.
@@ -17,27 +28,116 @@ Diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 
-def _measure(fwd, params, state, wavs, B, rounds, depth):
-    """Steady-state pipelined throughput: enqueue a stream of batches,
+def _measure(fwd, wavs, clips_per_call, rounds, depth):
+    """Steady-state pipelined throughput: enqueue a stream of calls,
     block once — overlaps dispatch/tunnel latency the way a real service
     loop does. (Depth capped at 8: deeper async queues can stall the
     remote-TPU relay in this environment.)"""
     out = None
     for w in wavs:
-        out = fwd(params, state, w)
+        out = fwd(w)
     out.block_until_ready()  # compile
     t0 = time.perf_counter()
     for _ in range(rounds):
         for i in range(depth):
-            out = fwd(params, state, wavs[i % len(wavs)])
+            out = fwd(wavs[i % len(wavs)])
         out.block_until_ready()
-    return rounds * depth * B / (time.perf_counter() - t0)
+    return rounds * depth * clips_per_call / (time.perf_counter() - t0)
+
+
+def _ref_torch_cpu_baseline(n_clips=64, rounds=3):
+    """The reference's own torch uit_xs on this host's CPU, fed
+    precomputed mel (its torchaudio C++ frontend is not installable here;
+    excluding the frontend only flatters the reference)."""
+    try:
+        import torch
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+        from ref_torch_loader import load_reference_module, reference_available
+
+        if not reference_available():
+            return None
+        torch.set_num_threads(os.cpu_count() or 1)
+        ref = load_reference_module("uit")
+        torch.manual_seed(0)
+        model = ref.uit_xs(outputdim=537, target_length=102)
+        model.eval()
+        model.front_end = torch.nn.Identity()
+        mel = torch.randn(n_clips, 64, 101) * 20 - 30
+        with torch.no_grad():
+            model(mel)  # warmup
+            t0 = time.perf_counter()
+            for _ in range(rounds):
+                model(mel)
+            dt = (time.perf_counter() - t0) / rounds
+        return n_clips / dt
+    except Exception as e:  # pragma: no cover
+        print(f"# ref-torch cpu baseline unavailable: {e}", file=sys.stderr)
+        return None
+
+
+def _train_bench(models, on_tpu):
+    """Fused PSL train step (student uit_xs + MobileNetV2 teacher + mixup
+    + grad clip + AdamW in one program), device-resident batches —
+    measures device+dispatch throughput; loader-transfer economics are in
+    PERF_NOTES (int16 loaders ~halve real-loop step time on this relay)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from uit_mobile_tpu.ops import make_frontend_fn
+    from uit_mobile_tpu.train.steps import make_train_step
+
+    B = 512 if on_tpu else 8
+    cfg = models.get_model_config("uit_xs", outputdim=537, target_length=102)
+    psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
+    params, state = models.build(cfg, jax.random.key(0))
+    psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
+    frontend = make_frontend_fn(None, use_pallas=on_tpu, precision="fast")
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(
+        make_train_step(cfg, opt, mixup_alpha=0.3, max_grad_norm=1.0,
+                        psl_cfg=psl_cfg, frontend_fn=frontend),
+        donate_argnums=(0, 1, 2),
+    )
+    rng = np.random.default_rng(0)
+
+    def half(b):
+        return {
+            "wav": jnp.asarray(rng.standard_normal((b, 16000))
+                               .astype(np.float32) * 0.1),
+            "target": jnp.asarray((rng.uniform(size=(b, 537)) > 0.95)
+                                  .astype(np.float32)),
+        }
+
+    batches = [{"audioset": half(B // 2), "kws": half(B // 2)}
+               for _ in range(2)]
+    key = jax.random.key(7)
+    params, state, opt_state, m = step(params, state, opt_state, batches[0],
+                                       key, psl_params, psl_state)
+    jax.block_until_ready(m)  # compile
+    steps = 16 if on_tpu else 4
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        params, state, opt_state, m = step(params, state, opt_state,
+                                           batches[i % 2], k,
+                                           psl_params, psl_state)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / steps
+    assert np.isfinite(float(m["total_loss"]))
+    return {"train_step_ms": round(dt * 1e3, 2),
+            "train_clips_per_s": round(B / dt, 1),
+            "train_batch": B}
 
 
 def main():
@@ -45,8 +145,11 @@ def main():
     import jax.numpy as jnp
 
     from uit_mobile_tpu import models
-    from uit_mobile_tpu.ops import make_frontend_fn
+    from uit_mobile_tpu.ops import make_frontend_fn, make_scanned_forward
     from uit_mobile_tpu.utils import enable_compilation_cache
+    from uit_mobile_tpu.utils.flops import (
+        device_peak_flops, train_step_flops, uit_forward_flops, xla_flops,
+    )
 
     # persistent executable cache: repeated bench runs (and the driver's)
     # skip the remote compile, which intermittently takes minutes
@@ -60,11 +163,15 @@ def main():
     params, state = models.build(cfg, jax.random.key(0))
 
     def make_fwd(frontend):
-        return jax.jit(lambda p, s, w: models.apply(cfg, p, s, w, frontend_fn=frontend))
+        return jax.jit(lambda w: models.apply(cfg, params, state, w,
+                                              frontend_fn=frontend))
 
-    # B=4096 measured +3% over 2048 (same process) — amortizes per-dispatch
-    # overhead further; VMEM/HBM comfortable (frames buffer ~870 MB)
-    B = 4096 if on_tpu else 64
+    B = 2048 if on_tpu else 64
+    # scan depth: measured +21/37/43/52% at K=8/16/32/64 over per-batch
+    # dispatch (B=2048, same-session A/B); K=64 holds 2x4.2 GB of input
+    # blocks in HBM — comfortable on a 16 GB chip, and 93% of the
+    # profiler's ~332k device-limited ceiling
+    K = 64 if on_tpu else 2
     rng = np.random.default_rng(0)
     # two distinct buffers, alternated: guards against any same-args
     # dispatch dedup in remote-TPU relays. Headline input is raw int16 PCM
@@ -81,70 +188,100 @@ def main():
     wavs_f32 = [jnp.asarray(p.astype(np.float32) / 32768.0) for p in pcm]
     rounds, depth = (4, 8) if on_tpu else (2, 2)
 
-    # headline: fused Pallas mel frontend in the TRANSPOSED (T, F, B)
-    # layout — the framing gather's native orientation, so neither the
-    # frames nor the mel are ever re-laid-out (models/uit.patch_embed_tfb
-    # folds init_bn into the patch embed), fast (3-pass bf16 DFT) precision
-    def make_fwd_layout(layout, frontend):
-        c = models.get_model_config("uit_xs", outputdim=537, target_length=102,
-                                    mel_layout=layout)
-        return jax.jit(lambda p, s, w: models.apply(c, p, s, w, frontend_fn=frontend))
+    # headline forward: fused Pallas mel frontend in the TRANSPOSED
+    # (T, F, B) layout — the framing gather's native orientation, so
+    # neither the frames nor the mel are ever re-laid-out
+    # (models/uit.patch_embed_tfb folds init_bn into the patch embed),
+    # fast (3-pass bf16 DFT) precision
+    from uit_mobile_tpu.ops.pipeline import make_forward_fn
 
-    fwd_fast = make_fwd_layout("tfb", make_frontend_fn(
-        cfg.frontend, use_pallas=on_tpu, precision="fast", layout="tfb"))
-    clips_per_s = _measure(fwd_fast, params, state, wavs, B, rounds, depth)
+    fast_fn = make_forward_fn(cfg, params, state, use_pallas=on_tpu,
+                              precision="fast" if on_tpu else "exact")
+    fwd_fast = jax.jit(fast_fn)
+    per_batch_clips_per_s = _measure(fwd_fast, wavs, B, rounds, depth)
 
-    btf_clips_per_s = bft_clips_per_s = exact_clips_per_s = f32_clips_per_s = None
+    # K-batch scanned dispatch (the round-3 headline): blocks built ON
+    # DEVICE (uploading ~GB blocks through the relay would swamp setup)
+    @jax.jit
+    def mkblock(a, b, s):
+        return jnp.stack([jnp.roll(a if i % 2 == 0 else b, s + i, axis=0)
+                          for i in range(K)])
+
+    blocks = [jax.block_until_ready(mkblock(wavs[0], wavs[1], j * K))
+              for j in range(2)]
+    scanned = jax.jit(make_scanned_forward(fast_fn))
+    clips_per_s = _measure(scanned, blocks, K * B,
+                           rounds if on_tpu else 1, max(2, 16 // K))
+
+    f32_clips_per_s = exact_clips_per_s = None
     if on_tpu:
-        # same pipeline fed normalized f32 wavs
-        f32_clips_per_s = _measure(fwd_fast, params, state, wavs_f32, B, rounds, depth)
-        # round-2 (B, T, F) layout, for comparison
-        fwd_btf = make_fwd_layout("btf", make_frontend_fn(
-            cfg.frontend, use_pallas=True, precision="fast", layout="btf"))
-        btf_clips_per_s = _measure(fwd_btf, params, state, wavs, B, rounds, depth)
-        # reference-orientation path (round-1 headline), for comparison
-        fwd_bft = make_fwd(make_frontend_fn(cfg.frontend, use_pallas=True,
-                                            precision="fast"))
-        bft_clips_per_s = _measure(fwd_bft, params, state, wavs, B, rounds, depth)
+        # same per-batch pipeline fed normalized f32 wavs
+        f32_clips_per_s = _measure(fwd_fast, wavs_f32, B, rounds, depth)
         # exact-precision Pallas DFT (the parity-grade serving mode), tfb
-        fwd_exact = make_fwd_layout("tfb", make_frontend_fn(
-            cfg.frontend, use_pallas=True, precision="exact", layout="tfb"))
-        exact_clips_per_s = _measure(fwd_exact, params, state, wavs, B, rounds, depth)
+        fwd_exact = jax.jit(make_forward_fn(cfg, params, state,
+                                            use_pallas=True,
+                                            precision="exact"))
+        exact_clips_per_s = _measure(fwd_exact, wavs, B, rounds, depth)
 
-    # measured CPU baseline: the SAME model with the XLA-op frontend on this
-    # host's CPU backend — anchors the ">=50x CPU clips/s" north star with a
-    # measurement instead of a proxy
+    # measured CPU baselines: (a) THIS framework's XLA-CPU forward, (b)
+    # the reference's torch model on the same host (mel precomputed)
     cpu_clips_per_s = None
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             cpu_B = 64
             cpu_wavs = [
-                jnp.asarray(rng.standard_normal((cpu_B, 16000)).astype(np.float32) * 0.1)
+                jnp.asarray(rng.standard_normal((cpu_B, 16000))
+                            .astype(np.float32) * 0.1)
                 for _ in range(2)
             ]
             fwd_cpu = make_fwd(make_frontend_fn(cfg.frontend, use_pallas=False))
-            cpu_clips_per_s = _measure(fwd_cpu, params, state, cpu_wavs, cpu_B,
+            cpu_clips_per_s = _measure(fwd_cpu, cpu_wavs, cpu_B,
                                        rounds=2, depth=2)
     except Exception as e:  # CPU backend unavailable in some relay setups
         print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
+    ref_torch_cpu = _ref_torch_cpu_baseline()
+
+    # fused PSL train step + MFU accounting (round-3 VERDICT items 3/5)
+    train = _train_bench(models, on_tpu)
+    peak = device_peak_flops(dev)
+    serve_flops_per_clip = uit_forward_flops(cfg, 16000)
+    serve_mfu = train_mfu = None
+    if peak is not None and on_tpu:
+        serve_mfu = clips_per_s * serve_flops_per_clip / peak
+        # train: student fwd+bwd (3x) + MobileNetV2 teacher fwd; the
+        # teacher's conv FLOPs come from XLA's cost analysis when the
+        # backend reports one, else the student-only lower bound
+        psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
+        psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
+        teacher_flops = xla_flops(
+            jax.jit(lambda w: models.apply(psl_cfg, psl_params, psl_state, w)),
+            jnp.zeros((8, 16000), jnp.float32),
+        )
+        teacher_per_clip = (teacher_flops / 8) if teacher_flops else 0.0
+        train_flops_per_clip = (
+            train_step_flops(serve_flops_per_clip) + teacher_per_clip / 2
+        )  # teacher scores only the AudioSet half of each batch
+        train_mfu = train["train_clips_per_s"] * train_flops_per_clip / peak
 
     # blocking per-batch p50 (diagnostic; includes dispatch/tunnel RTT)
     times = []
     for _ in range(10):
         t0 = time.perf_counter()
-        out = fwd_fast(params, state, wavs[0])
+        out = fwd_fast(wavs[0])
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50))
 
     print(
-        f"# batch={B} pipelined fast-tfb-int16={clips_per_s:.0f} "
-        f"fast-tfb-f32={f32_clips_per_s and round(f32_clips_per_s)} "
-        f"fast-btf={btf_clips_per_s and round(btf_clips_per_s)} "
-        f"fast-bft={bft_clips_per_s and round(bft_clips_per_s)} "
-        f"exact-tfb={exact_clips_per_s and round(exact_clips_per_s)} "
-        f"cpu={cpu_clips_per_s and round(cpu_clips_per_s, 1)} clips/s/chip; "
+        f"# B={B} K={K} scanned={clips_per_s:.0f} "
+        f"per-batch={per_batch_clips_per_s:.0f} "
+        f"f32={f32_clips_per_s and round(f32_clips_per_s)} "
+        f"exact={exact_clips_per_s and round(exact_clips_per_s)} "
+        f"train={train['train_clips_per_s']} clips/s "
+        f"({train['train_step_ms']} ms/step); cpu={cpu_clips_per_s} "
+        f"ref-torch-cpu={ref_torch_cpu and round(ref_torch_cpu, 1)}; "
+        f"serve_mfu={serve_mfu} train_mfu={train_mfu}; "
         f"blocking p50={p50 * 1e3:.2f} ms/batch",
         file=sys.stderr,
     )
@@ -152,22 +289,29 @@ def main():
     # Reference ambition proxy: 3.4 ms/clip on Snapdragon 865 (README.md:15-24)
     baseline_clips_per_s = 1000.0 / 3.4
     record = {
-        "metric": "uit_xs 1s-clip inferences/sec/chip (batched, pallas mel frontend, tfb layout, int16 PCM in)",
+        "metric": "uit_xs 1s-clip inferences/sec/chip (K-batch scanned dispatch, pallas mel frontend, tfb layout, int16 PCM in)",
         "value": round(clips_per_s, 1),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_s / baseline_clips_per_s, 2),
+        "per_batch_clips_per_s": round(per_batch_clips_per_s, 1),
+        "scan_batches": K,
     }
     if f32_clips_per_s is not None:
         record["f32_clips_per_s"] = round(f32_clips_per_s, 1)
     if exact_clips_per_s is not None:
         record["exact_clips_per_s"] = round(exact_clips_per_s, 1)
-    if btf_clips_per_s is not None:
-        record["btf_clips_per_s"] = round(btf_clips_per_s, 1)
-    if bft_clips_per_s is not None:
-        record["bft_clips_per_s"] = round(bft_clips_per_s, 1)
+    record.update(train)
+    if serve_mfu is not None:
+        record["serve_mfu"] = round(serve_mfu, 4)
+        record["serve_flops_per_clip"] = round(serve_flops_per_clip)
+    if train_mfu is not None:
+        record["train_mfu"] = round(train_mfu, 4)
     if cpu_clips_per_s is not None:
         record["cpu_clips_per_s"] = round(cpu_clips_per_s, 1)
         record["vs_cpu_baseline"] = round(clips_per_s / cpu_clips_per_s, 1)
+    if ref_torch_cpu is not None:
+        record["ref_torch_cpu_clips_per_s"] = round(ref_torch_cpu, 1)
+        record["vs_ref_torch_cpu"] = round(clips_per_s / ref_torch_cpu, 1)
     print(json.dumps(record))
 
 

@@ -75,27 +75,31 @@ def main():
     data = batches(4)
     key = jax.random.key(7)
     results = {}
-    for dt in ("float32", "bfloat16"):
+    which = sys.argv[1:] or ["float32", "bfloat16"]
+    for dt in which:
         params, state, opt_state, step = build(dt)
         losses = []
         # warmup/compile
         params, state, opt_state, m = step(params, state, opt_state, data[0],
-                                           key)
+                                           key, psl_params, psl_state)
         jax.block_until_ready(m)
         steps = 16
         t0 = time.perf_counter()
         for i in range(steps):
             key, k = jax.random.split(key)
             params, state, opt_state, m = step(params, state, opt_state,
-                                               data[i % len(data)], k)
+                                               data[i % len(data)], k,
+                                               psl_params, psl_state)
             losses.append(m["total_loss"])
         jax.block_until_ready(m)
         dt_s = (time.perf_counter() - t0) / steps
         results[dt] = (dt_s, [float(x) for x in losses[:4]])
         print(f"{dt}: {dt_s * 1e3:.2f} ms/step = {B / dt_s:,.0f} clips/s "
-              f"trained; losses {[round(float(x), 4) for x in losses[:4]]}")
-    f32_t, bf16_t = results["float32"][0], results["bfloat16"][0]
-    print(f"bf16 vs f32: {f32_t / bf16_t - 1:+.1%} throughput")
+              f"trained; losses {[round(float(x), 4) for x in losses[:4]]}",
+              flush=True)
+    if {"float32", "bfloat16"} <= set(results):
+        f32_t, bf16_t = results["float32"][0], results["bfloat16"][0]
+        print(f"bf16 vs f32: {f32_t / bf16_t - 1:+.1%} throughput")
 
 
 if __name__ == "__main__":
