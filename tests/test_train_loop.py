@@ -117,3 +117,48 @@ def test_train_cli_yaml(tmp_path, synth_env):
     cfg_path.write_text(yaml.safe_dump(cfg))
     rc = main(["train", str(cfg_path), "--epochs", "1"])
     assert rc == 0
+
+
+def test_multi_step_scan_matches_sequential_steps():
+    """make_multi_step: K scanned optimizer updates == K sequential
+    train_step calls (same params, same metrics)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from uit_mobile_tpu import models
+
+    from uit_mobile_tpu.train.steps import make_multi_step, make_train_step
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=7, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, max_grad_norm=1.0)
+    rng = np.random.default_rng(0)
+    K, B = 3, 4
+    wavs = rng.standard_normal((K, B, 16000)).astype(np.float32) * 0.1
+    tgts = (rng.uniform(size=(K, B, 7)) > 0.7).astype(np.float32)
+    keys = jax.random.split(jax.random.key(5), K)
+
+    # sequential
+    p, s, o = params, state, opt_state
+    seq_losses = []
+    for i in range(K):
+        p, s, o, m = jax.jit(step)(
+            p, s, o, {"wav": jnp.asarray(wavs[i]), "target": jnp.asarray(tgts[i])},
+            keys[i])
+        seq_losses.append(float(m["total_loss"]))
+
+    # scanned
+    multi = jax.jit(make_multi_step(step))
+    p2, s2, o2, ms = multi(
+        params, state, opt_state,
+        {"wav": jnp.asarray(wavs), "target": jnp.asarray(tgts)}, keys)
+    np.testing.assert_allclose(np.asarray(ms["total_loss"]), seq_losses,
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        p, p2)

@@ -51,6 +51,7 @@ def make_split(root, name, n, rng, kws: bool):
 
 def main():
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp(prefix="uit_demo_"))
+    compute_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(0)
 
@@ -58,7 +59,8 @@ def main():
         outputpath=str(out / "exp"),
         num_classes=537,
         model="uit_xxxs",
-        model_args={"target_length": 102, "init_bn": False},  # GlobalNormer: no BN-stat warmup needed in a short demo
+        model_args={"target_length": 102, "init_bn": False,
+                    "compute_dtype": compute_dtype},  # GlobalNormer: no BN-stat warmup needed in a short demo
         batch_size=32,
         epochs=10,
         epoch_length=40,

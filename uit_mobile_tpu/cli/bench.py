@@ -199,6 +199,39 @@ def main(argv=None):
 
         batches = [mk(), mk()]
         key = jax.random.key(0)
+        if args.scan:
+            # K-step scanned training (train.steps.make_multi_step): one
+            # dispatched program per K optimizer updates
+            from ..train.steps import make_multi_step
+
+            K = args.scan
+            multi = jax.jit(make_multi_step(
+                make_train_step(cfg, optimizer, mixup_alpha=0.3,
+                                max_grad_norm=1.0, psl_cfg=psl_cfg,
+                                frontend_fn=frontend), psl=True),
+                donate_argnums=(0, 1, 2))
+            stacked = [jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *[mk() for _ in range(K)])
+                       for _ in range(2)]
+            keys = jax.random.split(key, K)
+            params, state, opt_state, m = multi(
+                params, state, opt_state, stacked[0], keys,
+                psl_params, psl_state)
+            jax.block_until_ready(m)
+            iters = max(2, (10 if dev.platform == "tpu" else 2) // K * 2)
+            t0 = time.perf_counter()
+            for i in range(iters):
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, K)
+                params, state, opt_state, m = multi(
+                    params, state, opt_state, stacked[i % 2], keys,
+                    psl_params, psl_state)
+            jax.block_until_ready(m)
+            dt = (time.perf_counter() - t0) / (iters * K)
+            print(f"train({args.model}+PSL, scan K={K}): batch={B} "
+                  f"{dt * 1e3:.1f} ms/step = {B / dt:.0f} clips/s trained; "
+                  f"loss={float(np.asarray(m['total_loss'])[-1]):.4f}")
+            return 0
         params, state, opt_state, m = step(params, state, opt_state, batches[0], key,
                                            psl_params, psl_state)
         jax.block_until_ready(m)

@@ -277,6 +277,42 @@ def make_framewise_train_step(
     return train_step
 
 
+def make_multi_step(train_step: Callable, psl: bool = False) -> Callable:
+    """K train steps in ONE jittable program (`lax.scan` with the
+    (params, state, opt_state) triple as carry) — the training-side
+    analogue of ops.pipeline.make_scanned_forward: per-dispatch overhead
+    is paid once per K optimizer updates instead of per step.
+
+    batches: the usual batch pytree with a leading (K, ...) axis on every
+    leaf; rngs: (K,)-split keys. Returns (params, state, opt_state,
+    metrics) with each metric stacked over the K steps. Semantics are
+    EXACTLY K sequential `train_step` calls (scan is pure sequencing;
+    tests/test_train_loop.py pins the equivalence).
+
+    Trade-off: metrics surface only after all K steps, so per-step
+    logging granularity coarsens to K — pick K to taste (uit-bench
+    --train --scan measures the throughput side).
+    """
+
+    def multi(params, state, opt_state, batches, rngs,
+              psl_params=None, psl_state=None):
+        def body(carry, x):
+            p, s, o = carry
+            b, k = x
+            if psl:
+                p, s, o, m = train_step(p, s, o, b, k, psl_params, psl_state)
+            else:
+                p, s, o, m = train_step(p, s, o, b, k)
+            return (p, s, o), m
+
+        (params, state, opt_state), metrics = jax.lax.scan(
+            body, (params, state, opt_state), (batches, rngs)
+        )
+        return params, state, opt_state, metrics
+
+    return multi
+
+
 def make_eval_step(model_cfg, frontend_fn: Optional[Callable] = None) -> Callable:
     """(params, state, wav) -> probs, eval mode (crop-chunking engaged)."""
 
