@@ -104,6 +104,50 @@ def make_fused_token_forward(cfg, params, state, block_b: int = 256,
     return fn
 
 
+def make_fused_encoder_forward(cfg, params, state, precision: str = "bf16",
+                               block_b: int = 128, mode: str = "full",
+                               interpret: bool | None = None,
+                               frontend_precision: str = "fast"):
+    """Serving forward with a Pallas encoder variant
+    (ops/pallas_encoder_tfb): Pallas mel (tfb) -> BN-folded patch embed
+    -> pos embeds -> encoder -> head. Single-window clips, eval only.
+
+    mode='full': the whole-encoder VMEM-resident kernel (measured SLOWER
+    than XLA on v5e — kept for study; PERF_NOTES round 3).
+    mode='hybrid': XLA attention + fused-MLP-sublayer kernels.
+    Returns fn(wav)->probs, not yet jitted."""
+    import jax.numpy as jnp
+
+    from ..models import uit as uit_mod
+    from .pallas_encoder_tfb import encoder_forward, encoder_hybrid
+
+    assert isinstance(cfg, models.UITConfig)
+    assert mode in ("full", "hybrid"), mode
+    run_cfg = dataclasses.replace(cfg, mel_layout="tfb")
+    # pallas_log_mel auto-interprets off-TPU, so use_pallas stays True
+    frontend = make_frontend_fn(cfg.frontend, use_pallas=True,
+                                precision=frontend_precision, layout="tfb")
+
+    def fn(wav):
+        mel = frontend(wav)                                  # (T, F, B)
+        assert mel.shape[0] <= cfg.target_length, "single-window only"
+        tokens = uit_mod.patch_embed_tfb(run_cfg, params, state, mel)
+        tg = tokens.shape[2]
+        x = tokens + params["time_pos_embed"][None, None, :tg, :]
+        x = x + params["freq_pos_embed"][None, :, None, :]
+        x = x.reshape(x.shape[0], -1, cfg.embed_dim)
+        if mode == "full":
+            x = encoder_forward(cfg, params, x, precision=precision,
+                                block_b=block_b, interpret=interpret)
+        else:
+            x = encoder_hybrid(cfg, params, x, precision=precision,
+                               interpret=interpret)
+        return uit_mod.forward_head(cfg, params, x)
+
+    fn.uses_pallas = True
+    return fn
+
+
 def make_scanned_forward(fwd_fn, unroll: int = 1):
     """Amortize per-dispatch overhead over K batches: (K, B, T) wav block
     -> (K, B, C) probs as ONE jittable program (`lax.scan` over the batch
