@@ -285,3 +285,22 @@ def test_service_scanned_dispatch_partial_load(model):
         outs = svc.infer_many(wavs)
     for o in outs:
         assert o.shape == (537,) and np.isfinite(o).all()
+
+
+def test_service_full_batch_never_waits_for_scan_company(model):
+    """scan_batches>1 must be latency-neutral: one COMPLETE batch
+    dispatches without waiting out the batching window for K-1 more."""
+    import time
+
+    cfg, params, state = model
+    rng = np.random.default_rng(13)
+    wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1
+            for _ in range(2)]  # exactly one full batch
+    conf = ServiceConfig(batch_size=2, max_seconds=1, warmup=True,
+                         scan_batches=4, max_wait_ms=5000.0)
+    with TaggingService(cfg, params, state, conf) as svc:
+        t0 = time.perf_counter()
+        svc.infer_many(wavs)
+        dt = time.perf_counter() - t0
+    # well under the 5 s window (CPU forward takes ~tens of ms)
+    assert dt < 2.0, f"full batch waited {dt:.2f}s for scan company"

@@ -29,7 +29,7 @@ def main(argv=None):
     parser.add_argument("--scan", type=int, default=None, metavar="K",
                         help="run the forward as a K-batch scanned "
                         "dispatch (one program per K batches; measured "
-                        "+52% at K=64/B=2048 through the dev relay)")
+                        "+52%% at K=64/B=2048 through the dev relay)")
     parser.add_argument("--train", action="store_true",
                         help="benchmark the fused PSL training step instead "
                         "of inference")
@@ -197,7 +197,6 @@ def main(argv=None):
                 },
             }
 
-        batches = [mk(), mk()]
         key = jax.random.key(0)
         if args.scan:
             # K-step scanned training (train.steps.make_multi_step): one
@@ -232,6 +231,7 @@ def main(argv=None):
                   f"{dt * 1e3:.1f} ms/step = {B / dt:.0f} clips/s trained; "
                   f"loss={float(np.asarray(m['total_loss'])[-1]):.4f}")
             return 0
+        batches = [mk(), mk()]
         params, state, opt_state, m = step(params, state, opt_state, batches[0], key,
                                            psl_params, psl_state)
         jax.block_until_ready(m)

@@ -28,6 +28,30 @@ import numpy as np
 
 Event = Tuple[int, float, float]  # (class_index, onset_s, offset_s)
 
+try:  # optional: min-onset-distance tie-break among maximum matchings
+    from scipy.optimize import linear_sum_assignment as _linear_sum_assignment
+except Exception:  # pragma: no cover - scipy absent
+    _linear_sum_assignment = None
+
+
+def _max_bipartite_matching(admissible) -> int:
+    """Maximum-cardinality bipartite matching via augmenting paths
+    (Kuhn's algorithm) on a preds x refs admissibility matrix — the
+    scipy-free fallback; event counts per clip/class are tiny."""
+    n_refs = len(admissible[0]) if admissible else 0
+    match_of_ref = [-1] * n_refs
+
+    def augment(i, seen):
+        for j in range(n_refs):
+            if admissible[i][j] and not seen[j]:
+                seen[j] = True
+                if match_of_ref[j] < 0 or augment(match_of_ref[j], seen):
+                    match_of_ref[j] = i
+                    return True
+        return False
+
+    return sum(augment(i, [False] * n_refs) for i in range(len(admissible)))
+
 
 def median_filter_probs(probs: np.ndarray, kernel_size: int) -> np.ndarray:
     """Per-class median filter along the segment axis (odd kernel,
@@ -160,22 +184,27 @@ class EventScorer:
 
     def _match_count(self, preds: list, refs: list) -> int:
         """Maximum-cardinality matching between admissible (pred, ref)
-        pairs; among maximum matchings, minimal total onset distance.
-        Implemented as Hungarian on a cost matrix where inadmissible pairs
-        cost more than any sum of admissible ones, so minimizing total
-        cost first maximizes the number of admissible matches."""
+        pairs. With scipy present, Hungarian on a cost matrix where
+        inadmissible pairs cost more than any sum of admissible ones —
+        minimizing total cost first maximizes the number of admissible
+        matches and, among maximum matchings, minimizes total onset
+        distance. Without scipy, a pure-python augmenting-path matching
+        gives the same (maximum) cardinality, dropping only the
+        onset-distance tie-break (counts are unchanged)."""
         if not preds or not refs:
             return 0
-        cost = np.empty((len(preds), len(refs)))
-        spans = [abs(p[1] - r[1]) for p in preds for r in refs]
-        big = max(spans) * (len(preds) + len(refs) + 1) + 1.0
-        for i, p in enumerate(preds):
-            for j, r in enumerate(refs):
-                cost[i, j] = abs(p[1] - r[1]) if self._matches(p, r) else big
-        from scipy.optimize import linear_sum_assignment
-
-        rows, cols = linear_sum_assignment(cost)
-        return int(np.sum(cost[rows, cols] < big))
+        admissible = [[self._matches(p, r) for r in refs] for p in preds]
+        if _linear_sum_assignment is not None:
+            cost = np.empty((len(preds), len(refs)))
+            spans = [abs(p[1] - r[1]) for p in preds for r in refs]
+            big = max(spans) * (len(preds) + len(refs) + 1) + 1.0
+            for i, p in enumerate(preds):
+                for j, r in enumerate(refs):
+                    cost[i, j] = (abs(p[1] - r[1]) if admissible[i][j]
+                                  else big)
+            rows, cols = _linear_sum_assignment(cost)
+            return int(np.sum(cost[rows, cols] < big))
+        return _max_bipartite_matching(admissible)
 
     @staticmethod
     def _prf(tp: int, fp: int, fn: int) -> Tuple[float, float, float]:

@@ -194,6 +194,10 @@ def encoder_hybrid(cfg, params, tokens: jax.Array, *,
     loop + final norm of models.uit._finish_features."""
     from ..models.common import layer_norm, multihead_attention
 
+    assert cfg.init_values is None, "LayerScale unsupported"
+    assert cfg.pooling != "token", (
+        "hybrid encoder never prepends a cls token (mean/dm pooling only)"
+    )
     B, N, D = tokens.shape
     x = tokens.reshape(B, N, D)
     for blk in params["blocks"]:
@@ -232,6 +236,14 @@ def encoder_forward(cfg, params, tokens: jax.Array, *,
     b_blk = min(block_b, B)
     assert B % b_blk == 0, (B, b_blk)
     assert cfg.init_values is None, "LayerScale unsupported in the kernel"
+    assert not cfg.causal, (
+        "encoder_forward builds the full N x N gram — causal configs "
+        "must use the XLA encoder (models.common.multihead_attention)"
+    )
+    assert cfg.pooling != "token", (
+        "encoder_forward never prepends a cls token; 'token' pooling "
+        "would silently pool an ordinary patch token downstream"
+    )
 
     blocks = params["blocks"]
 

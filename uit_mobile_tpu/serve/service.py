@@ -69,9 +69,11 @@ class ServiceConfig:
     # per-dispatch overhead is paid once per K batches instead of per
     # batch — the fix for the measured 37% wall-vs-device dispatch gap
     # (PERF_NOTES round 3). Outputs are bitwise the per-batch path's.
-    # Only engages under sustained load (partial groups still dispatch
-    # immediately); ignored under data_parallel (scan over shard_map is
-    # not supported here). 1 disables.
+    # Latency-neutral: a complete batch never waits for company (the
+    # batching window only drains requests that are ALREADY queued once
+    # one batch is full), so folding engages exactly under backlog;
+    # ignored under data_parallel (scan over shard_map is not supported
+    # here). 1 disables.
     scan_batches: int = 1
 
 
@@ -144,6 +146,12 @@ class TaggingService:
         if config.warmup:
             for length, bs in self._buckets:
                 self._fwd(jnp.zeros((bs, length), self._np_dtype))
+                if self._scanned_fwd is not None:
+                    # keep the no-recompiles-after-warmup contract: the
+                    # K-batch program must not compile mid-traffic on the
+                    # first deep-queue moment
+                    self._scanned_fwd(
+                        jnp.zeros((self._scan_k, bs, length), self._np_dtype))
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._completer = threading.Thread(target=self._complete, daemon=True)
         if _start_worker:
@@ -233,19 +241,27 @@ class TaggingService:
             pending = [item]
             # batching window: a hard DEADLINE from the first request, not a
             # per-arrival idle timeout (a steady trickle must not postpone
-            # dispatch indefinitely). With scanned dispatch enabled the
-            # window may gather up to K batches (they still leave within
-            # max_wait_ms of the first request).
+            # dispatch indefinitely). The deadline governs only the FIRST
+            # batch_size requests; beyond one full batch the loop drains
+            # without blocking (scanned dispatch folds additional batches
+            # only when they are ALREADY queued — a complete batch never
+            # waits on the window for company).
             limit = self.cfg.batch_size * max(1, self._scan_k)
             deadline = time.monotonic() + self.cfg.max_wait_ms / 1e3
             while len(pending) < limit:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    nxt = self._q.get(timeout=remaining)
-                except queue.Empty:
-                    break
+                if len(pending) < self.cfg.batch_size:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self._q.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                else:  # full batch in hand: take only what is already there
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        break
                 if nxt is None:
                     shutdown = True
                     break
