@@ -162,3 +162,34 @@ def test_multi_step_scan_matches_sequential_steps():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=1e-6),
         p, p2)
+
+
+def test_train_smoke_steps_per_dispatch(tmp_path, synth_env):
+    """steps_per_dispatch=2: K scanned optimizer updates per dispatched
+    program (epoch_length=3 also exercises the single-step remainder)."""
+    from uit_mobile_tpu.ckpt.io import load_checkpoint
+    from uit_mobile_tpu.train.loop import train_from_config
+
+    out = train_from_config(base_config(tmp_path, synth_env, epochs=1,
+                                        steps_per_dispatch=2))
+    assert out.exists()
+    params, state, cfg, extra = load_checkpoint(out)
+    assert cfg.outputdim == 537
+    # train.log shows the scanned-dispatch banner and finite epoch loss
+    logs = list((tmp_path / "exp").rglob("train.log"))
+    assert logs and "scanned training: 2 steps" in logs[0].read_text()
+
+
+def test_train_smoke_psl_steps_per_dispatch(tmp_path, synth_env):
+    from uit_mobile_tpu.train.loop import train_from_config
+
+    cfg = base_config(
+        tmp_path, synth_env,
+        mixup=0.3, max_grad_norm=1.0,
+        psl={"model": "MobileNetV2",
+             "pretrained": str(tmp_path / "missing.npz"),
+             "allow_untrained": True},
+        epochs=1, epoch_length=2, steps_per_dispatch=2,
+    )
+    out = train_from_config(cfg)
+    assert out.exists()

@@ -325,6 +325,30 @@ class Trainer:
             data_sh = None
             jit_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
+        # K optimizer updates per dispatched program (train.steps.
+        # make_multi_step — the training-side scanned dispatch): fixed
+        # per-dispatch overhead amortizes Kx; per-step loss granularity
+        # coarsens to K (metrics surface after each group)
+        steps_per_dispatch = int(c.get("steps_per_dispatch", 1))
+        jit_multi = None
+        if steps_per_dispatch > 1:
+            from .steps import make_multi_step
+
+            multi = make_multi_step(train_step, psl=psl_cfg is not None)
+            if mesh is not None:
+                stacked_sh = NamedSharding(mesh, P(None, "data"))
+                jit_multi = jax.jit(
+                    multi,
+                    in_shardings=(repl, repl, repl, stacked_sh, repl, repl,
+                                  repl),
+                    out_shardings=(repl, repl, repl, repl),
+                    donate_argnums=(0, 1, 2),
+                )
+            else:
+                jit_multi = jax.jit(multi, donate_argnums=(0, 1, 2))
+            log.info(f"scanned training: {steps_per_dispatch} steps per "
+                     f"dispatched program")
+
         rng = jax.random.key(c.get("seed", 42))
         best_score = -np.inf
         patience = c.get("early_stop", 10)
@@ -397,14 +421,31 @@ class Trainer:
                 break
             t0 = time.time()
             losses = []
-            for _ in range(epoch_length):
-                batch = next(train_iter)
-                rng, step_rng = jax.random.split(rng)
-                params, state, opt_state, metrics = jit_step(
-                    params, state, opt_state, batch, step_rng, psl_params, psl_state
-                )
-                step_count += 1
-                losses.append(metrics["total_loss"])
+            done = 0
+            while done < epoch_length:
+                K = steps_per_dispatch if (
+                    jit_multi is not None
+                    and epoch_length - done >= steps_per_dispatch) else 1
+                if K > 1:
+                    group = [next(train_iter) for _ in range(K)]
+                    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                    rng, sub = jax.random.split(rng)
+                    keys = jax.random.split(sub, K)
+                    params, state, opt_state, metrics = jit_multi(
+                        params, state, opt_state, batch, keys,
+                        psl_params, psl_state
+                    )
+                    losses.extend(np.asarray(metrics["total_loss"]))
+                else:
+                    batch = next(train_iter)
+                    rng, step_rng = jax.random.split(rng)
+                    params, state, opt_state, metrics = jit_step(
+                        params, state, opt_state, batch, step_rng,
+                        psl_params, psl_state
+                    )
+                    losses.append(metrics["total_loss"])
+                step_count += K
+                done += K
             mean_loss = float(np.mean([float(l) for l in losses]))
             log.info(
                 f"Epoch {epoch:<4} loss {mean_loss:.4f} "
