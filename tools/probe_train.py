@@ -11,13 +11,11 @@ Run on the real chip:  timeout 600 python tools/probe_train.py
 
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
-import sys as _sys
-from pathlib import Path
-
-_sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
