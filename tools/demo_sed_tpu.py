@@ -63,15 +63,19 @@ def main():
 
     ckpt = train_sed_from_config(dict(
         model="uit_xxxs",
-        model_args={"target_length": 102},
+        # init_bn=False (GlobalNormer): inference-BN running stats need
+        # hundreds of momentum-0.01 steps — too slow for a short demo
+        model_args={"target_length": 102, "init_bn": False},
         num_classes=10,
         strong_train_data=train_tsv,
         strong_eval_data=eval_tsv,
         outputpath=str(out / "exp"),
         batch_size=16,
-        epochs=6,
+        epochs=20,
+        epoch_length=8,
         warmup_iters=20,
-        optimizer_args={"lr": 1e-3},
+        optimizer_args={"lr": 2e-3},
+        threshold=0.3,
         basename=False,
         seed=0,
     ))
