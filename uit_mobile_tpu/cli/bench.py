@@ -26,6 +26,11 @@ def main(argv=None):
                         help="bit-parity DFT precision instead of the fast "
                         "3-pass-bf16 mode")
     parser.add_argument("--frontend-only", action="store_true")
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="encoder matmul dtype (bfloat16: +23%% "
+                        "train step measured, f32 LN/head; convergence "
+                        "verified on-chip — PERF_NOTES round 3)")
     parser.add_argument("--scan", type=int, default=None, metavar="K",
                         help="run the forward as a K-batch scanned "
                         "dispatch (one program per K batches; measured "
@@ -85,7 +90,8 @@ def main(argv=None):
 
         from ..serve import ServiceConfig, TaggingService
 
-        cfg = models.get_model_config(args.model, outputdim=537, target_length=102)
+        cfg = models.get_model_config(args.model, outputdim=537, target_length=102,
+                                      compute_dtype=args.compute_dtype)
         params, state = models.build(cfg, jax.random.key(0))
         svc = TaggingService(
             cfg, params, state,
@@ -131,7 +137,8 @@ def main(argv=None):
     if args.stream:
         from ..serve import MultiStreamTagger, StreamingConfig
 
-        cfg = models.get_model_config(args.model, outputdim=537, target_length=102)
+        cfg = models.get_model_config(args.model, outputdim=537, target_length=102,
+                                      compute_dtype=args.compute_dtype)
         params, state = models.build(cfg, jax.random.key(0))
         S = args.streams
         sc = StreamingConfig(hop_seconds=args.hop, use_pallas=use_pallas,
@@ -170,7 +177,8 @@ def main(argv=None):
         from ..train import make_train_step
         from ..train.steps import build_optimizer
 
-        cfg = models.get_model_config(args.model, outputdim=537, target_length=102)
+        cfg = models.get_model_config(args.model, outputdim=537, target_length=102,
+                                      compute_dtype=args.compute_dtype)
         psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
         params, state = models.build(cfg, jax.random.key(0))
         psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
@@ -257,7 +265,8 @@ def main(argv=None):
         fwd = jax.jit(frontend)
         label = f"frontend({'pallas' if use_pallas else 'xla'})"
     else:
-        cfg = models.get_model_config(args.model, outputdim=537, target_length=102)
+        cfg = models.get_model_config(args.model, outputdim=537, target_length=102,
+                                      compute_dtype=args.compute_dtype)
         params, state = models.build(cfg, jax.random.key(0))
         frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas, precision=prec)
         fwd = jax.jit(lambda w: models.apply(cfg, params, state, w, frontend_fn=frontend))
