@@ -70,6 +70,20 @@ def main(argv=None):
     from ..frontend import FrontendConfig, log_mel_spectrogram
 
     dev = jax.devices()[0]
+
+    def bench_cfg(name):
+        """Model config with the bench's UiT-oriented kwargs filtered to
+        the fields the family's config dataclass actually declares
+        (MobileNetV2Config has no target_length/compute_dtype)."""
+        import dataclasses as _dc
+
+        base = models.get_model_config(name, outputdim=537)
+        fields = {f.name for f in _dc.fields(base)}
+        extra = {k: v for k, v in dict(
+            target_length=102, compute_dtype=args.compute_dtype,
+        ).items() if k in fields}
+        return models.get_model_config(name, outputdim=537, **extra)
+
     use_pallas = (dev.platform == "tpu") and not args.no_pallas
     prec = "exact" if args.exact else "fast"
     B = args.batch_size
@@ -90,8 +104,7 @@ def main(argv=None):
 
         from ..serve import ServiceConfig, TaggingService
 
-        cfg = models.get_model_config(args.model, outputdim=537, target_length=102,
-                                      compute_dtype=args.compute_dtype)
+        cfg = bench_cfg(args.model)
         params, state = models.build(cfg, jax.random.key(0))
         svc = TaggingService(
             cfg, params, state,
@@ -137,8 +150,7 @@ def main(argv=None):
     if args.stream:
         from ..serve import MultiStreamTagger, StreamingConfig
 
-        cfg = models.get_model_config(args.model, outputdim=537, target_length=102,
-                                      compute_dtype=args.compute_dtype)
+        cfg = bench_cfg(args.model)
         params, state = models.build(cfg, jax.random.key(0))
         S = args.streams
         sc = StreamingConfig(hop_seconds=args.hop, use_pallas=use_pallas,
@@ -177,8 +189,7 @@ def main(argv=None):
         from ..train import make_train_step
         from ..train.steps import build_optimizer
 
-        cfg = models.get_model_config(args.model, outputdim=537, target_length=102,
-                                      compute_dtype=args.compute_dtype)
+        cfg = bench_cfg(args.model)
         psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
         params, state = models.build(cfg, jax.random.key(0))
         psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
@@ -265,8 +276,7 @@ def main(argv=None):
         fwd = jax.jit(frontend)
         label = f"frontend({'pallas' if use_pallas else 'xla'})"
     else:
-        cfg = models.get_model_config(args.model, outputdim=537, target_length=102,
-                                      compute_dtype=args.compute_dtype)
+        cfg = bench_cfg(args.model)
         params, state = models.build(cfg, jax.random.key(0))
         frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas, precision=prec)
         fwd = jax.jit(lambda w: models.apply(cfg, params, state, w, frontend_fn=frontend))
