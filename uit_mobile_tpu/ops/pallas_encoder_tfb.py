@@ -37,11 +37,9 @@ Measured verdict lives in PERF_NOTES.md (see "round 3").
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -211,9 +209,7 @@ def encoder_hybrid(cfg, params, tokens: jax.Array, *,
                          precision=precision, block_m=block_m,
                          interpret=interpret)
         x = rows.reshape(B, N, D)
-    from ..models.common import layer_norm as _lnx
-
-    return _lnx(params["norm"], x.astype(jnp.float32), eps=1e-6)
+    return layer_norm(params["norm"], x.astype(jnp.float32), eps=1e-6)
 
 
 def encoder_forward(cfg, params, tokens: jax.Array, *,

@@ -41,6 +41,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bf16_split(M):
+    """hi/lo bf16 decomposition of an f32 matrix for 3-pass split matmuls
+    (numpy or jax input; returns jax arrays)."""
+    hi = jnp.asarray(M).astype(jnp.bfloat16)
+    lo = (jnp.asarray(M, dtype=jnp.float32)
+          - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 @functools.lru_cache(maxsize=4)
 def _dft_matrices(n_fft: int, win_length: int, n_freqs: int):
     """Window-folded packed DFT matrix + matching mel-filterbank row map.
@@ -240,10 +249,7 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     valid = col_bin >= 0
     fb[valid] = mel_fb[col_bin[valid]]
 
-    def split(M):
-        hi = M.astype(jnp.bfloat16)
-        lo = (M - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
-        return jnp.asarray(hi), jnp.asarray(lo)
+    split = _bf16_split
 
     G = G * np.float32(wav_scale)  # exact: power-of-two exponent shift
 
@@ -462,19 +468,13 @@ def pallas_mel_tokens(wav: jax.Array, config: FrontendConfig,
     fb[valid] = mel_fb[col_bin[valid]]
     G = G * np.float32((1.0 / 32768.0) if pcm16 else 1.0)
 
-    def split_np(M):
-        hi = M.astype(jnp.bfloat16)
-        lo = (M - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
-        return jnp.asarray(hi), jnp.asarray(lo)
-
-    gt_hi, gt_lo = split_np(np.ascontiguousarray(G.T))
-    fbt_hi, fbt_lo = split_np(np.ascontiguousarray(fb.T))
+    gt_hi, gt_lo = _bf16_split(np.ascontiguousarray(G.T))
+    fbt_hi, fbt_lo = _bf16_split(np.ascontiguousarray(fb.T))
     # (fg, u, v, D) -> contraction rows ordered (v*ps + u), transposed so
     # the pre-split matrix sits on the LEFT of the in-kernel dot
     k2t = jnp.transpose(folded_kernel, (0, 2, 1, 3)).reshape(fg, ps * ps, D)
     k2t = jnp.transpose(k2t, (0, 2, 1)).astype(jnp.float32)  # (fg, D, ps*ps)
-    k2t_hi = k2t.astype(jnp.bfloat16)
-    k2t_lo = (k2t - k2t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    k2t_hi, k2t_lo = _bf16_split(k2t)
 
     # transposed framing gather (identical to the tfb path)
     wavT = wav.T
