@@ -37,8 +37,10 @@ def test_dispatch_mobilenetv2_uses_plain_layout():
 
 
 def test_scanned_forward_matches_per_batch_calls():
-    """make_scanned_forward: one (K, B, T) dispatch == K per-batch calls,
-    bitwise, for both the plain and the pallas(interpret) fast paths."""
+    """make_scanned_forward: one (K, B, T) dispatch == K per-batch calls
+    to f32 epsilon (XLA fuses the non-kernel ops differently inside the
+    scan body — not bitwise, on CPU or TPU), for both the plain and the
+    pallas(interpret) fast paths."""
     from uit_mobile_tpu.ops.pipeline import make_scanned_forward
 
     cfg = models.get_model_config("uit_xxxs", outputdim=11, target_length=102,
@@ -54,7 +56,7 @@ def test_scanned_forward_matches_per_batch_calls():
         scanned = jax.jit(make_scanned_forward(fwd))
         got = np.asarray(scanned(block))
         want = np.stack([np.asarray(jax.jit(fwd)(block[k])) for k in range(3)])
-        np.testing.assert_array_equal(got, want)
+        np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_scanned_forward_int16_and_unroll():

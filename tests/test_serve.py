@@ -256,7 +256,7 @@ def test_service_per_sample_top_db_isolates_requests(model):
 
 def test_service_scanned_dispatch_matches_per_batch(model):
     """scan_batches>1: K full batches fold into one scanned dispatch;
-    results must match the per-batch service bitwise."""
+    results match the per-batch service to f32 epsilon."""
     cfg, params, state = model
     rng = np.random.default_rng(11)
     wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1
@@ -269,7 +269,7 @@ def test_service_scanned_dispatch_matches_per_batch(model):
     with TaggingService(cfg, params, state, conf_base) as svc:
         want = svc.infer_many(wavs)
     for g, w in zip(got, want):
-        np.testing.assert_array_equal(g, w)
+        np.testing.assert_allclose(g, w, atol=1e-6)
 
 
 def test_service_scanned_dispatch_partial_load(model):

@@ -45,8 +45,8 @@ def main(argv=None):
     parser.add_argument("--scan-batches", type=int, default=1, metavar="K",
                         help="fold K pending full batches into one "
                         "K-batch lax.scan dispatch under sustained load "
-                        "(dispatch cost amortizes Kx; results bitwise "
-                        "the per-batch path's)")
+                        "(dispatch cost amortizes Kx; results match "
+                        "the per-batch path to f32 epsilon)")
     args = parser.parse_args(argv)
 
     from ..serve import ServiceConfig, TaggingService

@@ -160,10 +160,12 @@ def make_scanned_forward(fwd_fn, unroll: int = 1):
     (PERF_NOTES). Scanning K batches inside one program pays that cost
     once per K. The batches are INDEPENDENT (no carry), so the scan is
     pure sequencing — XLA pipelines each step identically to K separate
-    dispatches. On TPU the Mosaic kernels are the identical program either
-    way (outputs match per-batch calls bitwise); under CPU interpret mode
-    XLA's fusion boundaries inside scan can differ at f32-epsilon level
-    (tests/test_pipeline_dispatch.py).
+    dispatches. Numerics: the Mosaic kernels are the identical program
+    either way, but XLA's fusion boundaries for the surrounding ops can
+    differ inside the scan body, so outputs match per-batch calls to
+    f32 epsilon (measured 1.2e-7 on v5e and CPU —
+    tools/verify_tpu_numerics.py, tests/test_pipeline_dispatch.py), not
+    bitwise.
 
     Callers jit the result (donation of the input block is safe: the
     output (K, B, C) never aliases the (K, B, T) input shape).

@@ -68,7 +68,8 @@ class ServiceConfig:
     # ONE K-batch lax.scan dispatch (ops.pipeline.make_scanned_forward):
     # per-dispatch overhead is paid once per K batches instead of per
     # batch — the fix for the measured 37% wall-vs-device dispatch gap
-    # (PERF_NOTES round 3). Outputs are bitwise the per-batch path's.
+    # (PERF_NOTES round 3). Outputs match the per-batch path's to
+    # f32 epsilon (~1e-7 — scan changes XLA fusion boundaries).
     # Latency-neutral: a complete batch never waits for company (the
     # batching window only drains requests that are ALREADY queued once
     # one batch is full), so folding engages exactly under backlog;
