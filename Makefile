@@ -4,10 +4,15 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench parity help
+.PHONY: test test-fast bench parity verify-tpu help
 
 help:
-	@echo "targets: test | test-fast | bench | parity"
+	@echo "targets: test | test-fast | bench | parity | verify-tpu"
+
+# on-chip numerics gates: committed goldens vs the REAL TPU's outputs
+# (exact/fast/int16/scan/mel-kernel; see tools/verify_tpu_numerics.py)
+verify-tpu:
+	$(PY) tools/verify_tpu_numerics.py
 
 test:
 	$(PY) -m pytest tests/ -q
