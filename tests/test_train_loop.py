@@ -193,3 +193,16 @@ def test_train_smoke_psl_steps_per_dispatch(tmp_path, synth_env):
     )
     out = train_from_config(cfg)
     assert out.exists()
+
+
+def test_train_steps_per_dispatch_variable_length_batches(tmp_path, synth_env):
+    """Full-clip loaders pad each batch to its own max; a K-group must
+    equalize lengths before stacking (regression: jnp.stack used to
+    raise ValueError mid-epoch on mixed-length groups)."""
+    from uit_mobile_tpu.train.loop import train_from_config
+
+    out = train_from_config(base_config(
+        tmp_path, synth_env, epochs=1, epoch_length=4,
+        chunk_length=None, steps_per_dispatch=2,
+    ))
+    assert out.exists()

@@ -79,14 +79,14 @@ def main():
         basename=False,
         seed=0,
     ))
-    print(f"SED checkpoint: {ckpt}")
+    print(f"SED checkpoint: {ckpt}", flush=True)
 
     res = Evaluator(str(ckpt), num_workers=0, report_dir=str(out)).strong(
         eval_data=eval_tsv, threshold=0.3, median_kernel=3,
         event_collar=0.25, psds=True)
     for k in ("Segment_Micro_F1", "Segment_Macro_F1", "Event_Micro_F1",
               "PSDS"):
-        print(f"{k}: {res[k]:.4f}")
+        print(f"{k}: {res[k]:.4f}", flush=True)
     assert res["Segment_Micro_F1"] > 0.4, "did not learn localization"
 
 

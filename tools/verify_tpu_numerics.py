@@ -9,7 +9,8 @@ wav batch:
   (BASELINE's <=1e-3 logit-drift gate);
 - fast precision vs exact (the documented <=3e-4 serving contract);
 - int16 PCM vs f32 input (must be bitwise);
-- scanned dispatch vs per-batch (must be bitwise on TPU);
+- scanned dispatch vs per-batch (f32 epsilon, <=1e-6: XLA fuses the
+  non-kernel ops differently inside the scan body — measured 1.2e-7);
 - the mel kernel (exact, bft) vs the committed frontend golden.
 
 Run:  timeout 900 python tools/verify_tpu_numerics.py
@@ -72,7 +73,7 @@ def main():
                               precision="fast")
     fast = jax.jit(fast_fn)
     p_fast = np.asarray(fast(wav))
-    gate("fast vs exact", np.abs(p_fast - p_exact).max(), 1e-3)
+    gate("fast vs exact", np.abs(p_fast - p_exact).max(), 3e-4)
 
     # int16 vs f32 (must be bitwise)
     pcm = quantize_pcm16(np.asarray(wav))

@@ -79,9 +79,12 @@ def main(argv=None):
 
         base = models.get_model_config(name, outputdim=537)
         fields = {f.name for f in _dc.fields(base)}
-        extra = {k: v for k, v in dict(
-            target_length=102, compute_dtype=args.compute_dtype,
-        ).items() if k in fields}
+        wanted = dict(target_length=102, compute_dtype=args.compute_dtype)
+        extra = {k: v for k, v in wanted.items() if k in fields}
+        if args.compute_dtype != "float32" and "compute_dtype" not in fields:
+            print(f"# WARNING: {name} has no compute_dtype field — "
+                  f"--compute-dtype {args.compute_dtype} ignored, "
+                  f"running float32", file=sys.stderr)
         return models.get_model_config(name, outputdim=537, **extra)
 
     use_pallas = (dev.platform == "tpu") and not args.no_pallas

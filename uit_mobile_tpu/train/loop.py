@@ -414,7 +414,11 @@ class Trainer:
             for raw in train_loader:
                 yield to_step_batch(raw)
 
-        train_iter = device_prefetch(step_batches(), size=2, sharding=data_sh)
+        # prefetch depth covers a full scanned group plus one batch so the
+        # host stays ahead of the device even at steps_per_dispatch > 1
+        train_iter = device_prefetch(step_batches(),
+                                     size=max(2, steps_per_dispatch + 1),
+                                     sharding=data_sh)
         stop = False
         for epoch in range(start_epoch, epochs + 1):
             if stop:
@@ -428,14 +432,32 @@ class Trainer:
                     and epoch_length - done >= steps_per_dispatch) else 1
                 if K > 1:
                     group = [next(train_iter) for _ in range(K)]
-                    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+
+                    def stack_leaves(*xs):
+                        # full-clip loaders pad each batch to its own
+                        # batch-max length; equalize across the group
+                        # (zero right-pad — identical semantics to the
+                        # clips having shared one batch)
+                        T = max(x.shape[-1] for x in xs)
+                        xs = [
+                            jnp.pad(x, [(0, 0)] * (x.ndim - 1)
+                                    + [(0, T - x.shape[-1])])
+                            if x.shape[-1] != T else x
+                            for x in xs
+                        ]
+                        return jnp.stack(xs)
+
+                    batch = jax.tree.map(stack_leaves, *group)
                     rng, sub = jax.random.split(rng)
                     keys = jax.random.split(sub, K)
                     params, state, opt_state, metrics = jit_multi(
                         params, state, opt_state, batch, keys,
                         psl_params, psl_state
                     )
-                    losses.extend(np.asarray(metrics["total_loss"]))
+                    # keep the (K,) loss LAZY — a sync here would
+                    # serialize host and device and defeat the
+                    # dispatch pipelining this feature provides
+                    losses.append(metrics["total_loss"])
                 else:
                     batch = next(train_iter)
                     rng, step_rng = jax.random.split(rng)
@@ -446,7 +468,9 @@ class Trainer:
                     losses.append(metrics["total_loss"])
                 step_count += K
                 done += K
-            mean_loss = float(np.mean([float(l) for l in losses]))
+            # one sync per epoch: entries are scalars (K=1) or (K,) arrays
+            mean_loss = float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(l)) for l in losses])))
             log.info(
                 f"Epoch {epoch:<4} loss {mean_loss:.4f} "
                 f"({epoch_length / (time.time() - t0):.1f} it/s)"
