@@ -196,6 +196,11 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
     # the main scores equal the curve's row at the same settings
     assert curve[0.3]["Event_Micro_F1"] == pytest.approx(res["Event_Micro_F1"])
     assert curve[0.3]["Segment_Micro_F1"] == pytest.approx(res["Segment_Micro_F1"])
+    # the sweep also names the best operating thresholds
+    assert res["_best_event_threshold"] in curve
+    assert res["_best_segment_threshold"] in curve
+    assert curve[res["_best_segment_threshold"]]["Segment_Micro_F1"] == max(
+        row["Segment_Micro_F1"] for row in curve.values())
     # the dump is a well-formed TSV of the extracted events
     df_ev = pd.read_csv(dump, sep="\t")
     assert list(df_ev.columns) == ["filename", "event", "onset", "offset"]

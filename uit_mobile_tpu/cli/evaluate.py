@@ -163,6 +163,10 @@ def main(argv=None):
         for th, row in sorted(results.get("_event_operating_curve", {}).items()):
             print(f"  thr={th:.2f}: " + "  ".join(
                 f"{k}={v:.4f}" for k, v in sorted(row.items())))
+        if "_best_event_threshold" in results:
+            print(f"  best thresholds: event-F1 @ "
+                  f"{results['_best_event_threshold']:.2f}, segment-F1 @ "
+                  f"{results['_best_segment_threshold']:.2f}")
         if args.psds:
             roc = results.get("_psd_roc", {})
             print("  PSD-ROC: " + "  ".join(

@@ -435,6 +435,13 @@ class Evaluator:
                     cat_p, cat_t, threshold=th)["Segment_Micro_F1"]
                 curve[th] = row
             results["_event_operating_curve"] = curve
+            # operating-point guidance: the sweep thresholds that maximize
+            # event / segment F1 (deploy-time `threshold` picks)
+            if curve:
+                results["_best_event_threshold"] = max(
+                    curve, key=lambda t: curve[t]["Event_Micro_F1"])
+                results["_best_segment_threshold"] = max(
+                    curve, key=lambda t: curve[t]["Segment_Micro_F1"])
             if psds:
                 from .psds import psds as psds_score
 
