@@ -52,6 +52,7 @@ def make_split(root, name, n, rng, kws: bool):
 def main():
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp(prefix="uit_demo_"))
     compute_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    steps_per_dispatch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(0)
 
@@ -72,6 +73,7 @@ def main():
         n_saved=2,
         num_workers=2,
         seed=0,
+        steps_per_dispatch=steps_per_dispatch,
         config_stem="demo",
         audioset_train_data=make_split(out, "as_train", 256, rng, kws=False),
         audioset_eval_data=make_split(out, "as_eval", 64, rng, kws=False),
