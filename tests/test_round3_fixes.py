@@ -250,3 +250,57 @@ def test_exact_dp_eval_still_uses_global_clamp(tmp_path):
     pdp, _ = Evaluator(str(ckpt), data_parallel=True, use_pallas=True,
                        **kw)._run_epoch(df, num_classes=537)
     np.testing.assert_allclose(pdp, p1, atol=1e-5)
+
+
+# --------------------------------------- scanned dispatch in the Evaluator
+
+def test_scanned_eval_matches_per_batch(tmp_path):
+    """Evaluator(scan_batches=K): full K-blocks run as one scanned
+    dispatch, shape changes and the epoch tail flush per-batch — results
+    keep loader order, cover every clip, and match scan_batches=1 to f32
+    epsilon. Mixed clip lengths exercise the shape-change flush."""
+    import h5py
+    import jax
+    import pandas as pd
+
+    from uit_mobile_tpu import models
+    from uit_mobile_tpu.ckpt.io import save_checkpoint
+    from uit_mobile_tpu.data import read_tsv_data
+    from uit_mobile_tpu.evaluate import Evaluator
+
+    rng = np.random.default_rng(11)
+    h5 = tmp_path / "scan.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        # 4 full-length + 3 half-length clips: batches of 2 give two
+        # 16000-sample batches (one scan block at K=2), then a shape
+        # change, one 8000 block, and a size-1 tail
+        for i, n in enumerate([16000] * 4 + [8000] * 3):
+            f[f"c{i}.wav"] = (rng.standard_normal(n) * 3000).astype(np.int16)
+            rows.append((f"c{i}.wav", str(i % 5), str(h5)))
+    tsv = tmp_path / "scan.tsv"
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+        tsv, sep="\t", index=False)
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, cfg)
+
+    df = read_tsv_data(tsv, basename=False)
+    kw = dict(batch_size=2, num_workers=0, fast=True, use_pallas=True)
+    p1, t1 = Evaluator(str(ckpt), **kw)._run_epoch(df, num_classes=537)
+    pk, tk = Evaluator(str(ckpt), scan_batches=2, **kw)._run_epoch(
+        df, num_classes=537)
+    assert p1.shape == pk.shape == (7, 537)
+    np.testing.assert_array_equal(t1, tk)  # loader order preserved
+    np.testing.assert_allclose(pk, p1, atol=1e-6)
+
+
+def test_scanned_eval_cli_flag_parses():
+    from uit_mobile_tpu.cli import evaluate as ev_cli
+
+    with pytest.raises(BaseException) as exc:
+        ev_cli.main(["gsc", "/nonexistent/ckpt", "--scan", "4",
+                     "--eval-data", "/nonexistent.tsv"])
+    assert "unrecognized arguments" not in str(exc.value)

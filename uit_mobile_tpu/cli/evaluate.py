@@ -122,6 +122,11 @@ def main(argv=None):
                         choices=["float32", "int16"],
                         help="int16 transfers batches as raw PCM (half the "
                         "host->device bytes, bitwise-identical results)")
+        sp.add_argument("--scan", type=int, default=1, metavar="K",
+                        help="fold K consecutive same-shape eval batches "
+                        "into one scanned dispatch (throughput on "
+                        "fixed-length sets; f32-epsilon vs per-batch — "
+                        "keep 1 for bit-parity gates)")
 
     args = parser.parse_args(argv)
     ev = Evaluator(args.experiment_path,
@@ -129,7 +134,8 @@ def main(argv=None):
                    fast=getattr(args, "fast", False),
                    data_parallel=getattr(args, "data_parallel", False),
                    bucket_seconds=getattr(args, "bucket_seconds", None),
-                   dtype=getattr(args, "dtype", "float32"))
+                   dtype=getattr(args, "dtype", "float32"),
+                   scan_batches=getattr(args, "scan", 1))
     if args.command == "all":
         print(ev.gsc(eval_data=args.eval_data))
         results = ev.audioset(audioset_eval_data=args.audioset_eval_data)

@@ -43,7 +43,7 @@ class Evaluator:
                  report_dir: Optional[str] = None,
                  bucket_seconds: Optional[float] = None,
                  fast: bool = False, data_parallel: bool = False,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", scan_batches: int = 1):
         """bucket_seconds: when set, every batch right-pads up to the next
         multiple of this many seconds — the whole eval runs on a handful of
         compiled shapes instead of one per distinct batch-max length.
@@ -59,7 +59,18 @@ class Evaluator:
         top_db reference, so parity is unaffected for non-silent data).
         dtype: 'int16' transfers batches as raw PCM (half the
         host->device bytes; bitwise-identical outputs — every frontend
-        folds the 1/32768 scale in exactly, tests/test_int16_pcm.py)."""
+        folds the 1/32768 scale in exactly, tests/test_int16_pcm.py).
+        scan_batches: K>1 folds K consecutive same-shape eval batches
+        into ONE dispatched program (ops.pipeline.make_scanned_forward —
+        the serving throughput trick, here amortizing per-batch dispatch
+        across a fixed-shape eval stream such as GSC's 1 s clips or a
+        bucketed AudioSet run). Shape changes and the epoch tail flush
+        through the per-batch program, so results keep loader order and
+        cover every clip. Numerics: XLA fuses the scan body's
+        surrounding ops differently, so probabilities match the
+        per-batch path to f32 epsilon (~1e-7), not bitwise — leave at 1
+        for bit-parity gates. Ignored under data_parallel (the DP
+        forward already amortizes across devices)."""
         self._resolved = None
         self._run_config: dict = {}
         self._model_spec = model_spec
@@ -73,6 +84,8 @@ class Evaluator:
         self.data_parallel = data_parallel
         assert dtype in ("float32", "int16"), dtype
         self.dtype = dtype
+        assert scan_batches >= 1, scan_batches
+        self.scan_batches = scan_batches
 
     # ------------------------------------------------------------------ setup
 
@@ -141,6 +154,19 @@ class Evaluator:
         else:
             jitted = jax.jit(fwd_fn)
             pad_multiple = 1
+        # K-batch scanned dispatch (non-DP only — the DP forward already
+        # amortizes): one (K, B, T) program per K same-shape batches
+        self._scan_k = self.scan_batches if not dp_active else 1
+        self._fwd_block = None
+        if self._scan_k > 1:
+            from ..ops.pipeline import make_scanned_forward
+
+            scanned = jax.jit(make_scanned_forward(fwd_fn))
+
+            def fwd_block(block_np: np.ndarray) -> np.ndarray:
+                return np.asarray(scanned(jnp.asarray(block_np)))
+
+            self._fwd_block = fwd_block
 
         def fwd(wav_np: np.ndarray) -> np.ndarray:
             n = wav_np.shape[0]
@@ -163,6 +189,24 @@ class Evaluator:
         loader = DataLoader(ds, batch_size=self.batch_size, shuffle=False,
                             num_workers=self.num_workers)
         preds, targets = [], []
+        scan_k = getattr(self, "_scan_k", 1)
+        buf: list = []  # (wav, target) awaiting a full K-batch scan block
+
+        def flush_buf():
+            # full blocks run as ONE scanned dispatch; short tails (shape
+            # change / epoch end) fall back to the per-batch program so
+            # loader order and coverage are preserved exactly
+            if len(buf) == scan_k and scan_k > 1:
+                block = self._fwd_block(np.stack([w for w, _ in buf]))
+                for out, (_, tgt) in zip(block, buf):
+                    preds.append(out)
+                    targets.append(tgt)
+            else:
+                for w, tgt in buf:
+                    preds.append(self._fwd(w))
+                    targets.append(tgt)
+            buf.clear()
+
         for batch in loader:
             wav = batch["wav"]
             if pad_to_target and hasattr(cfg, "target_length"):
@@ -175,8 +219,16 @@ class Evaluator:
                 step = int(self.bucket_seconds * cfg.frontend.sample_rate)
                 target_len = -(-wav.shape[-1] // step) * step
                 wav = np.pad(wav, ((0, 0), (0, target_len - wav.shape[-1])))
-            preds.append(self._fwd(wav))
-            targets.append(batch["target"])
+            if scan_k <= 1:
+                preds.append(self._fwd(wav))
+                targets.append(batch["target"])
+                continue
+            if buf and buf[0][0].shape != wav.shape:
+                flush_buf()
+            buf.append((wav, batch["target"]))
+            if len(buf) == scan_k:
+                flush_buf()
+        flush_buf()
         return np.concatenate(preds), np.concatenate(targets)
 
     # ---------------------------------------------------------------- targets
