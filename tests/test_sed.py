@@ -177,7 +177,7 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
                     report_dir=str(tmp_path)).strong(
         eval_data=str(sed_env), threshold=0.3, median_kernel=3,
         event_collar=0.25, dump_events=str(dump),
-        sweep=(0.2, 0.3, 0.6), psds=True)
+        sweep=(0.2, 0.3, 0.6), psds={"alpha_ct": 0.5})
     assert res["Segment_Micro_F1"] > 0.5, res
     # PSDS rides on the same sweep (intersection criterion); bounded
     assert 0.0 <= res["PSDS"] <= 1.0
@@ -199,6 +199,9 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
     # the sweep also names the best operating thresholds
     assert res["_best_event_threshold"] in curve
     assert res["_best_segment_threshold"] in curve
+    # ... including per-class picks (every value is a sweep threshold)
+    per_cls = res["_best_event_threshold_per_class"]
+    assert per_cls and all(t in curve for t in per_cls.values())
     assert curve[res["_best_segment_threshold"]]["Segment_Micro_F1"] == max(
         row["Segment_Micro_F1"] for row in curve.values())
     # the dump is a well-formed TSV of the extracted events

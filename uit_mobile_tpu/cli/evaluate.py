@@ -96,6 +96,11 @@ def main(argv=None):
                           "criterion; implies a default sweep)")
     p_strong.add_argument("--psds-alpha-st", type=float, default=0.0,
                           help="across-class std-dev penalty weight")
+    p_strong.add_argument("--psds-alpha-ct", type=float, default=0.0,
+                          help="cross-trigger penalty weight (counts "
+                          "unmatched predictions intersecting OTHER "
+                          "classes' reference events against the "
+                          "effective FP rate)")
     p_strong.add_argument("--psds-e-max", type=float, default=100.0,
                           help="max effective FP rate (per hour) of the "
                           "PSD-ROC integration")
@@ -163,6 +168,7 @@ def main(argv=None):
                                     (0.1, 0.2, 0.3, 0.5, 0.7, 0.9))
                                    if args.sweep is not None else None),
                             psds=({"alpha_st": args.psds_alpha_st,
+                                   "alpha_ct": args.psds_alpha_ct,
                                    "e_max": args.psds_e_max}
                                   if args.psds else None))
         print({k: v for k, v in results.items() if not k.startswith("_")})
@@ -173,6 +179,10 @@ def main(argv=None):
             print(f"  best thresholds: event-F1 @ "
                   f"{results['_best_event_threshold']:.2f}, segment-F1 @ "
                   f"{results['_best_segment_threshold']:.2f}")
+            per_cls = results.get("_best_event_threshold_per_class") or {}
+            if per_cls:
+                print("  per-class event-F1 thresholds: " + "  ".join(
+                    f"{c}@{t:.2f}" for c, t in sorted(per_cls.items())))
         if args.psds:
             roc = results.get("_psd_roc", {})
             print("  PSD-ROC: " + "  ".join(

@@ -34,10 +34,11 @@ except Exception:  # pragma: no cover - scipy absent
     _linear_sum_assignment = None
 
 
-def _max_bipartite_matching(admissible) -> int:
+def _max_bipartite_matching(admissible) -> set:
     """Maximum-cardinality bipartite matching via augmenting paths
     (Kuhn's algorithm) on a preds x refs admissibility matrix — the
-    scipy-free fallback; event counts per clip/class are tiny."""
+    scipy-free fallback; event counts per clip/class are tiny. Returns
+    the set of matched pred indices."""
     n_refs = len(admissible[0]) if admissible else 0
     match_of_ref = [-1] * n_refs
 
@@ -50,7 +51,9 @@ def _max_bipartite_matching(admissible) -> int:
                     return True
         return False
 
-    return sum(augment(i, [False] * n_refs) for i in range(len(admissible)))
+    for i in range(len(admissible)):
+        augment(i, [False] * n_refs)
+    return {i for i in match_of_ref if i >= 0}
 
 
 def median_filter_probs(probs: np.ndarray, kernel_size: int) -> np.ndarray:
@@ -141,7 +144,8 @@ class EventScorer:
 
     def __init__(self, t_collar: float = 0.2, offset_collar_rate: float = 0.2,
                  offset_condition: bool = True, criterion: str = "collar",
-                 dtc: float = 0.5, gtc: float = 0.5):
+                 dtc: float = 0.5, gtc: float = 0.5, cttc: float | None = None,
+                 count_cross_triggers: bool = False):
         assert criterion in ("collar", "intersection"), criterion
         self.t_collar = float(t_collar)
         self.rate = float(offset_collar_rate)
@@ -149,9 +153,20 @@ class EventScorer:
         self.criterion = criterion
         self.dtc = float(dtc)
         self.gtc = float(gtc)
+        # cross-trigger tolerance (PSDS CTTC): an UNMATCHED prediction of
+        # class c cross-triggers class c' when some class-c' reference
+        # covers >= cttc of the prediction's duration. Defaults to dtc
+        # (the psds_eval convention when no separate value is given).
+        self.cttc = float(dtc if cttc is None else cttc)
+        self.count_cross_triggers = bool(count_cross_triggers)
         self.tp: Counter = Counter()
         self.fp: Counter = Counter()
         self.fn: Counter = Counter()
+        # (pred_class, other_class) -> cross-trigger count; per-class
+        # reference-event total duration in SECONDS (the alpha_ct
+        # normalizer) rides along when counting is enabled
+        self.ct: Counter = Counter()
+        self.ref_duration: Counter = Counter()
 
     def _matches(self, pred: Event, ref: Event) -> bool:
         _, on_p, off_p = pred
@@ -177,22 +192,47 @@ class EventScorer:
         for c in set(by_cls_p) | set(by_cls_r):
             preds = sorted(by_cls_p.get(c, ()), key=lambda e: e[1])
             refs = sorted(by_cls_r.get(c, ()), key=lambda e: e[1])
-            tp = self._match_count(preds, refs)
+            matched = self._match_preds(preds, refs)
+            tp = len(matched)
             self.tp[c] += tp
             self.fn[c] += len(refs) - tp
             self.fp[c] += len(preds) - tp
+            if self.count_cross_triggers:
+                eps = 1e-9
+                for i, (_, on_p, off_p) in enumerate(preds):
+                    if i in matched:
+                        continue
+                    dur_p = max(off_p - on_p, eps)
+                    for c2, refs2 in by_cls_r.items():
+                        if c2 == c:
+                            continue
+                        if any(
+                            (min(off_p, off_r) - max(on_p, on_r)) / dur_p
+                            >= self.cttc
+                            for _, on_r, off_r in refs2
+                        ):
+                            self.ct[(c, c2)] += 1
+        if self.count_cross_triggers:
+            for c, on_r, off_r in ((int(e[0]), float(e[1]), float(e[2]))
+                                   for e in ref_events):
+                self.ref_duration[c] += off_r - on_r
 
     def _match_count(self, preds: list, refs: list) -> int:
+        return len(self._match_preds(preds, refs))
+
+    def _match_preds(self, preds: list, refs: list) -> set:
         """Maximum-cardinality matching between admissible (pred, ref)
-        pairs. With scipy present, Hungarian on a cost matrix where
-        inadmissible pairs cost more than any sum of admissible ones —
-        minimizing total cost first maximizes the number of admissible
-        matches and, among maximum matchings, minimizes total onset
-        distance. Without scipy, a pure-python augmenting-path matching
-        gives the same (maximum) cardinality, dropping only the
-        onset-distance tie-break (counts are unchanged)."""
+        pairs; returns the set of MATCHED pred indices (the complement is
+        the FP set — what cross-trigger counting consumes). With scipy
+        present, Hungarian on a cost matrix where inadmissible pairs cost
+        more than any sum of admissible ones — minimizing total cost
+        first maximizes the number of admissible matches and, among
+        maximum matchings, minimizes total onset distance. Without scipy,
+        a pure-python augmenting-path matching gives the same (maximum)
+        cardinality, dropping only the onset-distance tie-break (counts
+        are unchanged)."""
         if not preds or not refs:
-            return 0
+            return set()
         admissible = [[self._matches(p, r) for r in refs] for p in preds]
         if _linear_sum_assignment is not None:
             cost = np.empty((len(preds), len(refs)))
@@ -203,7 +243,7 @@ class EventScorer:
                     cost[i, j] = (abs(p[1] - r[1]) if admissible[i][j]
                                   else big)
             rows, cols = _linear_sum_assignment(cost)
-            return int(np.sum(cost[rows, cols] < big))
+            return {int(i) for i, j in zip(rows, cols) if cost[i, j] < big}
         return _max_bipartite_matching(admissible)
 
     @staticmethod

@@ -163,12 +163,20 @@ class Evaluator:
 
             scanned = jax.jit(make_scanned_forward(fwd_fn))
 
-            def fwd_block(block_np: np.ndarray) -> np.ndarray:
-                return np.asarray(scanned(jnp.asarray(block_np)))
+            def fwd_block(block_np: np.ndarray):
+                # returns the DEVICE array (async) — callers materialize;
+                # lazy reshape folds the K batch outputs into one entry
+                out = scanned(jnp.asarray(block_np))
+                return out.reshape((-1,) + out.shape[2:])
 
             self._fwd_block = fwd_block
 
-        def fwd(wav_np: np.ndarray) -> np.ndarray:
+        def fwd_async(wav_np: np.ndarray):
+            # returns the DEVICE array without blocking: JAX dispatch is
+            # async, so the caller can keep uploading/enqueueing batches
+            # while this one computes — np.asarray (the sync point) is
+            # deferred to a bounded window in _run_epoch. Per deferred
+            # batch this also saves one full host<->device round trip.
             n = wav_np.shape[0]
             rem = n % pad_multiple
             if rem:
@@ -176,8 +184,12 @@ class Evaluator:
                     [wav_np,
                      np.zeros((pad_multiple - rem, wav_np.shape[1]), wav_np.dtype)]
                 )
-            out = np.asarray(jitted(jnp.asarray(wav_np)))
-            return out[:n]
+            return jitted(jnp.asarray(wav_np))[:n]
+
+        self._fwd_async = fwd_async
+
+        def fwd(wav_np: np.ndarray) -> np.ndarray:
+            return np.asarray(fwd_async(wav_np))
 
         return fwd
 
@@ -191,19 +203,34 @@ class Evaluator:
         preds, targets = [], []
         scan_k = getattr(self, "_scan_k", 1)
         buf: list = []  # (wav, target) awaiting a full K-batch scan block
+        # bounded async-dispatch window: preds holds DEVICE arrays until
+        # the window exceeds _dispatch_depth in-flight programs, then the
+        # oldest is materialized. Overlaps host->device upload of batch
+        # k+1 with batch k's compute AND drops one relay round trip per
+        # deferred batch (np.asarray per batch was a hard sync point).
+        # Depth stays small — queues deeper than ~8 can stall the relay
+        # (PERF_NOTES measurement caveats); results are bit-identical to
+        # synchronous dispatch (same programs, later blocking).
+        depth = max(1, int(getattr(self, "_dispatch_depth", 4)))
+        inflight: list = []  # indices into preds still on device
+
+        def push(dev_pred):
+            preds.append(dev_pred)
+            inflight.append(len(preds) - 1)
+            while len(inflight) > depth:
+                i = inflight.pop(0)
+                preds[i] = np.asarray(preds[i])
 
         def flush_buf():
             # full blocks run as ONE scanned dispatch; short tails (shape
             # change / epoch end) fall back to the per-batch program so
             # loader order and coverage are preserved exactly
             if len(buf) == scan_k and scan_k > 1:
-                block = self._fwd_block(np.stack([w for w, _ in buf]))
-                for out, (_, tgt) in zip(block, buf):
-                    preds.append(out)
-                    targets.append(tgt)
+                push(self._fwd_block(np.stack([w for w, _ in buf])))
+                targets.extend(tgt for _, tgt in buf)
             else:
                 for w, tgt in buf:
-                    preds.append(self._fwd(w))
+                    push(self._fwd_async(w))
                     targets.append(tgt)
             buf.clear()
 
@@ -220,7 +247,7 @@ class Evaluator:
                 target_len = -(-wav.shape[-1] // step) * step
                 wav = np.pad(wav, ((0, 0), (0, target_len - wav.shape[-1])))
             if scan_k <= 1:
-                preds.append(self._fwd(wav))
+                push(self._fwd_async(wav))
                 targets.append(batch["target"])
                 continue
             if buf and buf[0][0].shape != wav.shape:
@@ -229,6 +256,7 @@ class Evaluator:
             if len(buf) == scan_k:
                 flush_buf()
         flush_buf()
+        preds = [np.asarray(p) for p in preds]
         return np.concatenate(preds), np.concatenate(targets)
 
     # ---------------------------------------------------------------- targets
@@ -330,7 +358,10 @@ class Evaluator:
 
         psds: truthy — also compute the PSDS score (evaluate.psds) over
         the sweep's operating points with the DTC/GTC intersection
-        criterion; pass a dict to set {'alpha_st': .., 'e_max': ..}.
+        criterion; pass a dict to set {'alpha_st': .., 'alpha_ct': ..,
+        'e_max': ..} (alpha_ct > 0 enables cross-trigger counting —
+        unmatched predictions intersecting OTHER classes' references
+        penalize those classes' effective FPR, see evaluate/psds.py).
         Implies the default sweep when none is given. A coarse sweep
         LOWER-bounds the true PSDS (see evaluate/psds.py).
 
@@ -399,10 +430,11 @@ class Evaluator:
         all_p, all_t, pred_rows = [], [], []
         clip_records = []  # (pad_to, probs, ref_events) for the sweep
 
-        def mk_scorer():
+        def mk_scorer(ct: bool = False):
             return EventScorer(t_collar=event_collar,
                                offset_collar_rate=offset_collar_rate,
-                               criterion=criterion, dtc=dtc, gtc=gtc)
+                               criterion=criterion, dtc=dtc, gtc=gtc,
+                               count_cross_triggers=ct)
 
         scorer = mk_scorer()
         if psds and sweep is None:
@@ -458,13 +490,16 @@ class Evaluator:
             cat_p = np.concatenate(all_p)
             cat_t = np.concatenate(all_t)
             curve = {}
-            psds_points = []
+            psds_points, ct_points, ref_dur = [], [], {}
+            per_class_curves: dict = {}  # class -> {threshold: F1}
             for th in sorted(float(t) for t in sweep):
-                sc = mk_scorer()
                 # PSDS is defined on the intersection (DTC/GTC) criterion;
                 # reuse the sweep scorer when it already is one
-                sc_int = sc if (psds and criterion == "intersection") else (
-                    EventScorer(criterion="intersection", dtc=dtc, gtc=gtc)
+                reuse = bool(psds) and criterion == "intersection"
+                sc = mk_scorer(ct=reuse)
+                sc_int = sc if reuse else (
+                    EventScorer(criterion="intersection", dtc=dtc, gtc=gtc,
+                                count_cross_triggers=True)
                     if psds else None
                 )
                 for pad_to, p, events in clip_records:
@@ -481,23 +516,40 @@ class Evaluator:
                         c: (sc_int.tp[c], sc_int.fp[c], sc_int.fn[c])
                         for c in cls
                     })
-                row = {k: v for k, v in sc.scores().items()
+                    ct_points.append(dict(sc_int.ct))
+                    ref_dur = {c: s / 3600.0
+                               for c, s in sc_int.ref_duration.items()}
+                scores = sc.scores()
+                for c, f1 in scores.get("_event_per_class_f1", {}).items():
+                    per_class_curves.setdefault(c, {})[th] = f1
+                row = {k: v for k, v in scores.items()
                        if not k.startswith("_")}
                 row["Segment_Micro_F1"] = segment_f1(
                     cat_p, cat_t, threshold=th)["Segment_Micro_F1"]
                 curve[th] = row
             results["_event_operating_curve"] = curve
             # operating-point guidance: the sweep thresholds that maximize
-            # event / segment F1 (deploy-time `threshold` picks)
+            # event / segment F1 (deploy-time `threshold` picks), plus the
+            # per-class picks (deployments threshold each class on its own
+            # operating point — the psds_eval/DCASE practice)
             if curve:
                 results["_best_event_threshold"] = max(
                     curve, key=lambda t: curve[t]["Event_Micro_F1"])
                 results["_best_segment_threshold"] = max(
                     curve, key=lambda t: curve[t]["Segment_Micro_F1"])
+                results["_best_event_threshold_per_class"] = {
+                    c: max(ths, key=ths.get)
+                    for c, ths in sorted(per_class_curves.items())
+                }
             if psds:
                 from .psds import psds as psds_score
 
                 opts = dict(psds) if isinstance(psds, dict) else {}
+                if opts.get("alpha_ct"):
+                    opts.update(ct_points=ct_points,
+                                ref_duration_hours=ref_dur)
+                else:
+                    opts.pop("alpha_ct", None)
                 results.update(psds_score(
                     psds_points,
                     duration_hours=total_samples / sr / 3600.0,

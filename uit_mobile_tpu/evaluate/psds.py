@@ -10,11 +10,21 @@ normalized area up to ``e_max`` FPs/hour.
 
 Event matching uses the DTC/GTC intersection criterion
 (evaluate.events.EventScorer(criterion='intersection')) — the same rule
-the PSDS paper defines. Simplifications vs the reference implementation,
-stated plainly:
+the PSDS paper defines. The cross-trigger term is supported: with
+``alpha_ct > 0`` an unmatched prediction of class c that covers >= cttc
+of its duration with some reference of class c' counts as a
+cross-trigger CT(c, c'), and the effective FPR becomes
 
-- no cross-trigger term (alpha_ct = 0): FPs are not split by which other
-  class's events they intersect;
+    eFPR_c = FP_c / T_dataset
+             + alpha_ct * mean_{c' != c} CT(c, c') / T_ref(c')
+
+with T_ref(c') the total reference-event duration of class c' (the
+psds_eval normalization). Simplifications vs the reference
+implementation, stated plainly:
+
+- matching is one-to-one bipartite on a per-pair intersection test
+  rather than the paper's summed-intersection DTC/GTC (evaluate.events
+  docstring); the CTTC test is likewise per-reference, not summed;
 - operating points come from the caller's threshold sweep rather than
   from every achievable decision surface — PSDS is monotonically
   non-decreasing in the number of sweep points, so a coarse sweep LOWER-
@@ -35,21 +45,28 @@ OperatingPoint = Mapping[int, Tuple[int, int, int]]  # class -> (tp, fp, fn)
 
 
 def roc_per_class(points: Sequence[OperatingPoint], duration_hours: float,
-                  classes: Sequence[int]) -> Dict[int, np.ndarray]:
+                  classes: Sequence[int],
+                  efpr_extra: Sequence[Mapping[int, float]] | None = None,
+                  ) -> Dict[int, np.ndarray]:
     """Per class: monotone ROC support (eFPR, TPR) from raw counts.
 
     Each operating point contributes (fp / duration_hours, tp / n_ref);
     the ROC is the non-decreasing upper envelope (cummax of TPR along
-    sorted eFPR — the standard staircase construction)."""
+    sorted eFPR — the standard staircase construction). efpr_extra
+    (parallel to points, class -> addend) shifts each point's eFPR right
+    — the cross-trigger penalty term computed by ``psds``."""
     assert duration_hours > 0.0
     curves = {}
     for c in classes:
         pts = []
-        for op in points:
+        for k, op in enumerate(points):
             tp, fp, fn = op.get(c, (0, 0, 0))
             n_ref = tp + fn
             tpr = tp / n_ref if n_ref else 0.0
-            pts.append((fp / duration_hours, tpr))
+            e = fp / duration_hours
+            if efpr_extra is not None:
+                e += efpr_extra[k].get(c, 0.0)
+            pts.append((e, tpr))
         pts.sort()
         arr = np.asarray(pts, dtype=np.float64)
         arr[:, 1] = np.maximum.accumulate(arr[:, 1])
@@ -64,7 +81,9 @@ def _tpr_at(curve: np.ndarray, e: float) -> float:
 
 
 def psds(points: Sequence[OperatingPoint], *, duration_hours: float,
-         alpha_st: float = 0.0, e_max: float = 100.0) -> dict:
+         alpha_st: float = 0.0, alpha_ct: float = 0.0, e_max: float = 100.0,
+         ct_points: Sequence[Mapping[Tuple[int, int], int]] | None = None,
+         ref_duration_hours: Mapping[int, float] | None = None) -> dict:
     """PSDS over per-threshold (tp, fp, fn) counts.
 
     points: one mapping per sweep threshold, class -> (tp, fp, fn) —
@@ -73,6 +92,14 @@ def psds(points: Sequence[OperatingPoint], *, duration_hours: float,
     still shape other classes' curves only through their own, so they
     are excluded, matching the paper).
 
+    alpha_ct: cross-trigger penalty weight. Needs ``ct_points`` (one
+    mapping per threshold, (pred_class, other_class) -> count — exactly
+    ``EventScorer(count_cross_triggers=True).ct``) and
+    ``ref_duration_hours`` (class -> total reference-event hours, from
+    ``EventScorer.ref_duration / 3600``); each class's eFPR gains
+    alpha_ct * mean over OTHER classes of CT(c, c') / T_ref(c')
+    (classes without reference duration contribute nothing).
+
     Returns {'PSDS': float, '_psd_roc': {eFPR: eTPR}, per-class aucs}.
     """
     classes = sorted({
@@ -80,7 +107,22 @@ def psds(points: Sequence[OperatingPoint], *, duration_hours: float,
     })
     if not classes:
         return {"PSDS": 0.0, "_psd_roc": {}, "_per_class_auc": {}}
-    curves = roc_per_class(points, duration_hours, classes)
+    extra = None
+    if alpha_ct and ct_points is not None:
+        assert len(ct_points) == len(points), "one ct mapping per point"
+        durs = dict(ref_duration_hours or {})
+        others = {c: [c2 for c2 in classes if c2 != c and durs.get(c2, 0.0) > 0]
+                  for c in classes}
+        extra = [
+            {
+                c: alpha_ct * float(np.mean([
+                    ct.get((c, c2), 0) / durs[c2] for c2 in others[c]
+                ])) if others[c] else 0.0
+                for c in classes
+            }
+            for ct in ct_points
+        ]
+    curves = roc_per_class(points, duration_hours, classes, efpr_extra=extra)
 
     # support: every eFPR knot below e_max, plus the endpoints
     knots = sorted({0.0, e_max} | {
