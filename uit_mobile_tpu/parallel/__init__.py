@@ -6,6 +6,13 @@ from .mesh import (
     replicate_tree,
     data_parallel_forward,
 )
+from .tp import (
+    make_mesh_2d,
+    tp_param_specs,
+    shard_params,
+    sharded_opt_init,
+    tensor_parallel_forward,
+)
 from . import multihost
 
 __all__ = [
@@ -15,5 +22,10 @@ __all__ = [
     "shard_batch",
     "replicate_tree",
     "data_parallel_forward",
+    "make_mesh_2d",
+    "tp_param_specs",
+    "shard_params",
+    "sharded_opt_init",
+    "tensor_parallel_forward",
     "multihost",
 ]
