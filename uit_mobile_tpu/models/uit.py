@@ -320,10 +320,13 @@ def forward_features(cfg: UITConfig, params, mel, *, train=False, rng=None,
                             token_mask=token_mask)
 
 
-def _finish_features(cfg: UITConfig, params, x, *, train=False, rng=None,
-                     token_mask=None):
-    """(B, fg, tg, D) patch tokens -> (B, N, D) encoded tokens (pos embeds,
-    patch dropout, flatten f-major, cls token, transformer blocks, norm)."""
+def _prepare_tokens(cfg: UITConfig, params, x, *, train=False, rng=None,
+                    token_mask=None):
+    """(B, fg, tg, D) patch tokens -> (B, N, D) block-ready token sequence
+    (pos embeds, patch dropout, flatten f-major, cls token, input dropout,
+    compute-dtype cast). Returns (x, token_mask, rng) — the pre-block half
+    of _finish_features, split out so parallel/pp.py can pipeline the
+    block stack separately."""
     if token_mask is not None and (
         cfg.time_patch_out is not None or cfg.freq_patch_out is not None
     ) and train:
@@ -365,35 +368,56 @@ def _finish_features(cfg: UITConfig, params, x, *, train=False, rng=None,
         x = dropout(r, x, cfg.drop_rate, deterministic=False)
 
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    cast = (lambda t: jax.tree.map(lambda a: a.astype(cdt), t)) if cdt != jnp.float32 else (lambda t: t)
     if cdt != jnp.float32:
         x = x.astype(cdt)
+    return x, token_mask, rng
 
+
+def block_forward(cfg: UITConfig, blk, x, *, dpr_i=0.0, rngs=None,
+                  train=False, token_mask=None):
+    """One pre-LN transformer block (attention + MLP, LayerScale,
+    DropPath): (B, N, D) -> (B, N, D). The loop body of _finish_features;
+    also the scan body parallel/pp.py pipelines over stacked block params.
+    ``rngs`` = (attn, mlp, drop_path1, drop_path2) keys or None (eval)."""
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cast = (lambda t: jax.tree.map(lambda a: a.astype(cdt), t)) if cdt != jnp.float32 else (lambda t: t)
+    r_attn, r_mlp, r_dp1, r_dp2 = rngs if rngs is not None else (None,) * 4
+    # LayerNorm in f32 for stability; matmuls in compute_dtype
+    h = layer_norm(blk["norm1"], x.astype(jnp.float32), eps=1e-6).astype(cdt)
+    h = multihead_attention(
+        cast(blk["attn"]), h,
+        num_heads=cfg.num_heads, scale=cfg.attn_scale,
+        inner_dim=cfg.inner_dim, causal=cfg.causal, key_mask=token_mask,
+        attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
+        rng=r_attn, deterministic=not train,
+    )
+    if "ls1" in blk:
+        h = h * blk["ls1"]["gamma"].astype(cdt)
+    x = x + drop_path(r_dp1, h, dpr_i, deterministic=not train)
+    h = layer_norm(blk["norm2"], x.astype(jnp.float32), eps=1e-6).astype(cdt)
+    h = mlp(cast(blk["mlp"]), h,
+            act=cfg.act, drop=cfg.drop_rate, rng=r_mlp,
+            deterministic=not train)
+    if "ls2" in blk:
+        h = h * blk["ls2"]["gamma"].astype(cdt)
+    return x + drop_path(r_dp2, h, dpr_i, deterministic=not train)
+
+
+def _finish_features(cfg: UITConfig, params, x, *, train=False, rng=None,
+                     token_mask=None):
+    """(B, fg, tg, D) patch tokens -> (B, N, D) encoded tokens (pos embeds,
+    patch dropout, flatten f-major, cls token, transformer blocks, norm)."""
+    x, token_mask, rng = _prepare_tokens(cfg, params, x, train=train,
+                                         rng=rng, token_mask=token_mask)
     dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
     for i, blk in enumerate(params["blocks"]):
         if rng is not None:
             rng, r_attn, r_mlp, r_dp1, r_dp2 = jax.random.split(rng, 5)
+            rngs = (r_attn, r_mlp, r_dp1, r_dp2)
         else:
-            r_attn = r_mlp = r_dp1 = r_dp2 = None
-        # LayerNorm in f32 for stability; matmuls in compute_dtype
-        h = layer_norm(blk["norm1"], x.astype(jnp.float32), eps=1e-6).astype(cdt)
-        h = multihead_attention(
-            cast(blk["attn"]), h,
-            num_heads=cfg.num_heads, scale=cfg.attn_scale,
-            inner_dim=cfg.inner_dim, causal=cfg.causal, key_mask=token_mask,
-            attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
-            rng=r_attn, deterministic=not train,
-        )
-        if "ls1" in blk:
-            h = h * blk["ls1"]["gamma"].astype(cdt)
-        x = x + drop_path(r_dp1, h, float(dpr[i]), deterministic=not train)
-        h = layer_norm(blk["norm2"], x.astype(jnp.float32), eps=1e-6).astype(cdt)
-        h = mlp(cast(blk["mlp"]), h,
-                act=cfg.act, drop=cfg.drop_rate, rng=r_mlp,
-                deterministic=not train)
-        if "ls2" in blk:
-            h = h * blk["ls2"]["gamma"].astype(cdt)
-        x = x + drop_path(r_dp2, h, float(dpr[i]), deterministic=not train)
+            rngs = None
+        x = block_forward(cfg, blk, x, dpr_i=float(dpr[i]), rngs=rngs,
+                          train=train, token_mask=token_mask)
     return layer_norm(params["norm"], x.astype(jnp.float32), eps=1e-6)
 
 

@@ -13,6 +13,11 @@ from .tp import (
     sharded_opt_init,
     tensor_parallel_forward,
 )
+from .pp import (
+    make_pipe_mesh,
+    stack_block_params,
+    pipeline_forward,
+)
 from . import multihost
 
 __all__ = [
@@ -27,5 +32,8 @@ __all__ = [
     "shard_params",
     "sharded_opt_init",
     "tensor_parallel_forward",
+    "make_pipe_mesh",
+    "stack_block_params",
+    "pipeline_forward",
     "multihost",
 ]
