@@ -18,6 +18,10 @@ from .pp import (
     stack_block_params,
     pipeline_forward,
 )
+from .fsdp import (
+    fsdp_param_specs,
+    fsdp_shard_params,
+)
 from . import multihost
 
 __all__ = [
@@ -35,5 +39,7 @@ __all__ = [
     "make_pipe_mesh",
     "stack_block_params",
     "pipeline_forward",
+    "fsdp_param_specs",
+    "fsdp_shard_params",
     "multihost",
 ]

@@ -1,0 +1,67 @@
+"""Fully-sharded data parallelism (ZeRO-3 pattern): parameters and
+optimizer state sharded over the SAME axis the batch is — each chip
+stores 1/N of every large tensor, XLA GSPMD all-gathers weights at use
+and reduce-scatters gradients back to the owning shards.
+
+Same positioning as tp.py/pp.py: plain DP (parallel/mesh.py) is the
+production layout for the shipped <=1.5M-param family — replicating the
+weights costs ~6 MB of HBM, so there is nothing to shard away. FSDP is
+the scaling path for a variant whose params + Adam moments (3x params
+in f32) stop fitting replicated; because the models are pure functions
+over pytrees, it is — like TP — purely a placement decision:
+
+- ``fsdp_param_specs`` shards the largest dim of every tensor >=
+  ``min_size`` elements over the data axis (1-D tensors included:
+  unlike Megatron-TP there is no mathematical pairing between a
+  weight's sharded dim and the matmul, GSPMD re-gathers whatever the
+  compute needs).
+- ``fsdp_shard_params`` fits those specs to a concrete mesh (falling
+  back to replicated where the axis does not divide, tp._fit_spec) and
+  places the weights.
+- Optimizer moments inherit the placement via tp.sharded_opt_init —
+  that is where the ZeRO memory win actually lives (Adam's mu/nu are
+  2x params in f32).
+- The existing train step is then jitted with these in/out shardings +
+  the batch over the same axis; XLA inserts all-gather (params, fwd+bwd
+  remat) and reduce-scatter/psum (grads) on its own schedule.
+
+Composes with tensor parallelism on a ('data','model') mesh: pass the
+TP specs for the Megatron-paired tensors and FSDP specs over 'data' for
+the rest.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .tp import _fit_spec
+
+
+def fsdp_param_specs(params, *, axis: str = "data", min_size: int = 1024):
+    """PartitionSpec tree: largest dim of each tensor >= min_size
+    elements sharded over ``axis``; small tensors replicated (the
+    all-gather latency would exceed their storage)."""
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) == 0 or int(np.prod(shape)) < min_size:
+            return P()
+        entries = [None] * len(shape)
+        entries[int(np.argmax(shape))] = axis
+        return P(*entries)
+
+    return jax.tree.map(spec, params)
+
+
+def fsdp_shard_params(mesh: Mesh, params, *, axis: str = "data",
+                      min_size: int = 1024):
+    """device_put ``params`` per ``fsdp_param_specs`` (non-divisible dims
+    replicated); returns (sharded_params, sharding_tree) — feed the tree
+    to jit in_shardings/out_shardings and tp.sharded_opt_init."""
+    specs = fsdp_param_specs(params, axis=axis, min_size=min_size)
+    shardings = jax.tree.map(
+        lambda leaf, s: NamedSharding(mesh, _fit_spec(s, leaf.shape, mesh)),
+        params, specs, is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, shardings), shardings
