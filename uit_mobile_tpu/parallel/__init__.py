@@ -22,6 +22,10 @@ from .fsdp import (
     fsdp_param_specs,
     fsdp_shard_params,
 )
+from .sp import (
+    make_seq_mesh,
+    sequence_parallel_forward,
+)
 from . import multihost
 
 __all__ = [
@@ -41,5 +45,7 @@ __all__ = [
     "pipeline_forward",
     "fsdp_param_specs",
     "fsdp_shard_params",
+    "make_seq_mesh",
+    "sequence_parallel_forward",
     "multihost",
 ]
