@@ -6,7 +6,8 @@ explicit registry. Factories return immutable config dataclasses; build
 (params, state) with `build(cfg, rng)`.
 """
 
-from . import uit, mobilenetv2
+from . import uit, mobilenetv2, moe
+from .moe import MoEUITConfig, uit_xs_moe
 from .uit import (
     UITConfig,
     PRETRAINED_CHECKPOINTS,
@@ -29,6 +30,7 @@ MODEL_REGISTRY = {
     "audio_transformer_h128_d6_m3": audio_transformer_h128_d6_m3,
     "audio_transformer_h128_d6_m3_relu": audio_transformer_h128_d6_m3_relu,
     "MobileNetV2": MobileNetV2,
+    "uit_xs_moe": uit_xs_moe,
 }
 
 
@@ -44,6 +46,8 @@ def build(cfg, rng):
         return uit.init(cfg, rng)
     if isinstance(cfg, MobileNetV2Config):
         return mobilenetv2.init(cfg, rng)
+    if isinstance(cfg, MoEUITConfig):
+        return moe.init(cfg, rng)
     raise TypeError(f"unknown config type {type(cfg)}")
 
 
@@ -53,6 +57,8 @@ def apply(cfg, params, state, wav, **kwargs):
         return uit.forward(cfg, params, state, wav, **kwargs)
     if isinstance(cfg, MobileNetV2Config):
         return mobilenetv2.forward(cfg, params, state, wav, **kwargs)
+    if isinstance(cfg, MoEUITConfig):
+        return moe.forward(cfg, params, state, wav, **kwargs)
     raise TypeError(f"unknown config type {type(cfg)}")
 
 
@@ -74,4 +80,5 @@ __all__ = [
     "apply_framewise",
     "UITConfig",
     "MobileNetV2Config",
+    "MoEUITConfig",
 ]

@@ -1,0 +1,223 @@
+"""Mixture-of-Experts UiT variant: each block's MLP becomes a routed
+expert bank (GShard/Switch-style top-k token routing with a fixed
+per-expert capacity).
+
+The reference family has no MoE (its MLP is a single fc1/fc2 stack,
+reference uit.py:181-203) — this module exists as the scaling variant
+the expert-parallel layer (parallel/ep.py) shards: parameter count
+grows with n_experts while per-token FLOPs stay at top_k experts, and
+the expert bank's leading axis is the natural mesh axis for expert
+parallelism. Everything outside the MLP (frontend, patch embed, pos
+embeds, attention with the full-dim-scale quirk, pooling, head) is the
+UiT code itself — an MoE checkpoint with n_experts=1 is a dense UiT
+with extra routing weights, and the attention/LN parity quirks carry
+over unchanged.
+
+TPU-first formulation: routing is expressed as two einsums against
+static-shape one-hot dispatch/combine tensors (tokens, E, C) — no
+sorting, no ragged shapes, no data-dependent control flow — so the
+expert computation is one batched (E, C, D) x (E, D, H) matmul that
+GSPMD shards over an 'expert' mesh axis (all_to_all inserted at the
+dispatch/combine boundaries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import uit
+from .common import (
+    ACTIVATIONS,
+    layer_norm,
+    linear,
+    linear_init,
+    multihead_attention,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEUITConfig:
+    """UiT geometry (``base``) + routing hyperparameters."""
+
+    base: uit.UITConfig
+    n_experts: int = 8
+    top_k: int = 2
+    # per-expert slot budget C = ceil(top_k * tokens / n_experts * factor);
+    # tokens routed past an expert's budget are dropped (their residual
+    # passes through unchanged — the standard capacity trade)
+    capacity_factor: float = 2.0
+    # Switch-style load-balancing auxiliary loss weight
+    router_aux_weight: float = 1e-2
+
+    def __post_init__(self):
+        assert self.n_experts >= 1 and 1 <= self.top_k <= self.n_experts
+        assert self.base.pooling == "mean", "MoE factories ship 'mean' pooling"
+
+    # registry-facing conveniences mirror UITConfig
+    @property
+    def outputdim(self) -> int:
+        return self.base.outputdim
+
+    @property
+    def frontend(self):
+        return self.base.frontend
+
+
+def init(cfg: MoEUITConfig, rng) -> tuple[dict, dict]:
+    """(params, state): uit.init params with every block's ``mlp``
+    replaced by ``moe`` = {router, fc1, fc2} — expert banks stacked on a
+    leading (E,) axis, each expert initialized like the dense MLP."""
+    base_rng, moe_rng = jax.random.split(rng)
+    params, state = uit.init(cfg.base, base_rng)
+    D = cfg.base.embed_dim
+    H = int(D * cfg.base.mlp_ratio)
+    E = cfg.n_experts
+    keys = iter(jax.random.split(moe_rng, cfg.base.depth * (2 * E + 1)))
+    for blk in params["blocks"]:
+        del blk["mlp"]
+        fc1 = [linear_init(next(keys), D, H) for _ in range(E)]
+        fc2 = [linear_init(next(keys), H, D) for _ in range(E)]
+        blk["moe"] = {
+            "router": {"kernel": 0.02 * jax.random.normal(next(keys), (D, E))},
+            "fc1": jax.tree.map(lambda *xs: jnp.stack(xs), *fc1),
+            "fc2": jax.tree.map(lambda *xs: jnp.stack(xs), *fc2),
+        }
+    return params, state
+
+
+def moe_mlp(cfg: MoEUITConfig, p, x):
+    """Routed MLP: (B, N, D) -> ((B, N, D), aux_loss).
+
+    Top-k softmax routing, combine weights renormalized over the selected
+    experts, fixed capacity C per expert. Dispatch/combine are dense
+    one-hot tensors so every step is an einsum (static shapes, no sort):
+
+        expert_in  = dispatch^T x          (E, C, D)
+        expert_out = fc2(act(fc1(expert_in)))
+        y          = combine . expert_out  (T, D)
+
+    aux = E * sum_e f_e * P_e  (Switch load-balancing: f = fraction of
+    tokens whose TOP-1 choice is e, P = mean router prob for e)."""
+    B, N, D = x.shape
+    T = B * N
+    E, k = cfg.n_experts, cfg.top_k
+    C = max(1, int(np.ceil(k * T / E * cfg.capacity_factor)))
+    xt = x.reshape(T, D)
+
+    gates = jax.nn.softmax(
+        jnp.einsum("td,de->te", xt.astype(jnp.float32), p["router"]["kernel"]),
+        axis=-1,
+    )  # (T, E)
+    topv, topi = jax.lax.top_k(gates, k)  # (T, k)
+    topv = topv / topv.sum(axis=-1, keepdims=True)
+
+    counts = jnp.zeros((E,), jnp.float32)
+    combine = jnp.zeros((T, E, C), jnp.float32)
+    for j in range(k):
+        oh = jax.nn.one_hot(topi[:, j], E, dtype=jnp.float32)  # (T, E)
+        # slot index each token would take in expert e: tokens before it
+        # this round + slots consumed by earlier rounds
+        pos = jnp.cumsum(oh, axis=0) - oh + counts[None, :]
+        keep = oh * (pos < C)
+        slot = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)
+        combine = combine + topv[:, j, None, None] * keep[..., None] * slot
+        counts = counts + oh.sum(axis=0)
+    dispatch = (combine > 0).astype(jnp.float32)
+
+    expert_in = jnp.einsum("tec,td->ecd", dispatch, xt.astype(jnp.float32))
+    h = ACTIVATIONS[cfg.base.act](
+        jnp.einsum("ecd,edh->ech", expert_in, p["fc1"]["kernel"])
+        + p["fc1"]["bias"][:, None, :]
+    )
+    out_e = (
+        jnp.einsum("ech,ehd->ecd", h, p["fc2"]["kernel"])
+        + p["fc2"]["bias"][:, None, :]
+    )
+    y = jnp.einsum("tec,ecd->td", combine, out_e)
+
+    f = jax.nn.one_hot(topi[:, 0], E, dtype=jnp.float32).mean(axis=0)
+    P = gates.mean(axis=0)
+    aux = E * jnp.sum(f * P)
+    return y.reshape(B, N, D).astype(x.dtype), aux
+
+
+def block_forward(cfg: MoEUITConfig, blk, x):
+    """uit.block_forward's eval math with the MLP routed: returns
+    (tokens, aux_loss)."""
+    b = cfg.base
+    h = layer_norm(blk["norm1"], x.astype(jnp.float32), eps=1e-6)
+    h = multihead_attention(
+        blk["attn"], h, num_heads=b.num_heads, scale=b.attn_scale,
+        inner_dim=b.inner_dim, causal=b.causal,
+    )
+    if "ls1" in blk:
+        h = h * blk["ls1"]["gamma"]
+    x = x + h
+    h = layer_norm(blk["norm2"], x.astype(jnp.float32), eps=1e-6)
+    h, aux = moe_mlp(cfg, blk["moe"], h)
+    if "ls2" in blk:
+        h = h * blk["ls2"]["gamma"]
+    return x + h, aux
+
+
+def _encode(cfg: MoEUITConfig, params, state, mel):
+    """(B, n_mels, T<=target) mel -> ((B, outputdim) probs, mean aux)."""
+    b = cfg.base
+    x = uit.apply_init_bn(b, params, state, mel)
+    x = uit.patch_embed(b, params["patch_embed"], x)
+    x, _, _ = uit._prepare_tokens(b, params, x)
+    aux_total = 0.0
+    for blk in params["blocks"]:
+        x, aux = block_forward(cfg, blk, x)
+        aux_total = aux_total + aux
+    x = layer_norm(params["norm"], x.astype(jnp.float32), eps=1e-6)
+    probs = uit.forward_head(b, params, x)
+    return probs, aux_total / b.depth
+
+
+def forward_with_aux(cfg: MoEUITConfig, params, state, wav, *,
+                     frontend_fn: Optional[Callable] = None):
+    """(B, T_wav) waveform -> ((B, outputdim) probs, aux_loss). Long clips
+    take the reference crop rule (windows fold into batch; aux averages
+    over crops with everything else)."""
+    b = cfg.base
+    assert b.mel_layout == "bft", "MoE forward runs the canonical 'bft' layout"
+    fe = frontend_fn or (lambda w: uit.log_mel_spectrogram(w, b.frontend))
+    mel = fe(wav)
+    if mel.shape[-1] > b.target_length:
+        crops, n_crops = uit.chunk_long_mel(b, mel)
+        probs, aux = _encode(cfg, params, state, crops)
+        probs = probs.reshape(-1, n_crops, b.outputdim)
+        probs = (
+            probs.mean(axis=1) if b.eval_avg == "mean" else probs.max(axis=1)
+        )
+        return probs, aux
+    return _encode(cfg, params, state, mel)
+
+
+def forward(cfg: MoEUITConfig, params, state, wav, *,
+            frontend_fn: Optional[Callable] = None):
+    """Registry-facing eval forward: (B, T_wav) -> (B, outputdim) probs."""
+    return forward_with_aux(cfg, params, state, wav,
+                            frontend_fn=frontend_fn)[0]
+
+
+def uit_xs_moe(outputdim: int = 527, target_length: int = 1012,
+               n_experts: int = 8, top_k: int = 2,
+               capacity_factor: float = 2.0, router_aux_weight: float = 1e-2,
+               **kwargs) -> MoEUITConfig:
+    """uit_xs geometry (D=128, depth 12, bneck attention, ReLU, 'mean'
+    pooling — reference uit.py:581-597) with the block MLPs routed over
+    ``n_experts`` experts."""
+    return MoEUITConfig(
+        base=uit.uit_xs(outputdim=outputdim, target_length=target_length,
+                        **kwargs),
+        n_experts=n_experts, top_k=top_k,
+        capacity_factor=capacity_factor,
+        router_aux_weight=router_aux_weight,
+    )

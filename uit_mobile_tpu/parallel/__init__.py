@@ -26,6 +26,13 @@ from .sp import (
     make_seq_mesh,
     sequence_parallel_forward,
 )
+from .ep import (
+    make_expert_mesh,
+    ep_param_specs,
+    ep_shard_params,
+    expert_parallel_forward,
+    make_moe_train_step,
+)
 from . import multihost
 
 __all__ = [
@@ -47,5 +54,10 @@ __all__ = [
     "fsdp_shard_params",
     "make_seq_mesh",
     "sequence_parallel_forward",
+    "make_expert_mesh",
+    "ep_param_specs",
+    "ep_shard_params",
+    "expert_parallel_forward",
+    "make_moe_train_step",
     "multihost",
 ]
