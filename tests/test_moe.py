@@ -110,6 +110,22 @@ def test_aux_loss_uniform_router_is_one():
     np.testing.assert_allclose(float(aux), 1.0, atol=1e-5)
 
 
+def test_top1_switch_routing():
+    cfg, params, state = _tiny(top_k=1)
+    probs = models.apply(cfg, params, state, _wav(3, seed=8))
+    assert probs.shape == (3, 37)
+    assert np.isfinite(np.asarray(probs)).all()
+
+
+def test_make_train_step_rejects_moe_config():
+    import pytest
+    from uit_mobile_tpu.train.steps import make_train_step
+
+    cfg, _, _ = _tiny()
+    with pytest.raises(TypeError, match="make_moe_train_step"):
+        make_train_step(cfg, optax.adamw(1e-3))
+
+
 def test_expert_parallel_forward_matches_single_device():
     cfg, params, state = _tiny()
     wav = _wav(8, seed=5)

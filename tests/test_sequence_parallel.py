@@ -55,6 +55,16 @@ def test_sequence_composes_with_data_parallel():
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
+def test_ring_bf16_compute_dtype():
+    # the serving bf16 mode casts matmuls, keeps LN/softmax f32 — the ring
+    # must mirror block_forward's casting (looser tolerance: bf16 products)
+    cfg, params, state = _tiny(compute_dtype="bfloat16")
+    wav = _wav(4, seed=4)
+    want = np.asarray(models.apply(cfg, params, state, wav))
+    fwd = sequence_parallel_forward(cfg, params, state, make_seq_mesh(4))
+    np.testing.assert_allclose(np.asarray(fwd(wav)), want, atol=5e-3)
+
+
 def test_rejects_indivisible_tokens():
     # 24 tokens over 5 shards
     cfg, params, state = _tiny()

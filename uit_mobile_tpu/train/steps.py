@@ -173,6 +173,15 @@ def make_train_step(
       ``alpha*teacher + (1-alpha)*ground_truth`` over all classes.
     """
     assert distill_mode in ("psl", "soft"), distill_mode
+    from ..models import MoEUITConfig
+
+    if isinstance(model_cfg, MoEUITConfig):
+        raise TypeError(
+            "the MoE variant trains through its own step (router aux loss, "
+            "no train-mode augment path): build it with "
+            "parallel.make_moe_train_step and jit with ep_shard_params / "
+            "sharded_opt_init shardings for expert parallelism"
+        )
     loss_fn_inner = make_loss(loss_name, **(loss_args or {}))
 
     def train_step(params, state, opt_state, batch, rng,
