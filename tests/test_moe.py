@@ -88,10 +88,10 @@ def test_dispatch_respects_capacity():
     )
     _, aux = moe.moe_mlp(cfg, params["blocks"][0]["moe"], x)
     assert np.isfinite(float(aux))
-    # re-derive the combine tensor shape/capacity from the public config
-    T, E = 2 * 24, cfg.n_experts
-    C = max(1, int(np.ceil(cfg.top_k * T / E * cfg.capacity_factor)))
-    assert C < T  # the test actually constrains capacity
+    # re-derive the per-group capacity from the public config
+    S, E = moe._group_size(cfg, 2, 24), cfg.n_experts
+    C = max(1, int(np.ceil(cfg.top_k * S / E * cfg.capacity_factor)))
+    assert C < S  # the test actually constrains capacity
 
 
 def test_aux_loss_uniform_router_is_one():
@@ -108,6 +108,16 @@ def test_aux_loss_uniform_router_is_one():
     # uniform gates: P_e = 1/E exactly; top-1 ties broken by index keep
     # f summing to 1 -> aux = E * sum(f/E) = 1
     np.testing.assert_allclose(float(aux), 1.0, atol=1e-5)
+
+
+def test_explicit_group_size():
+    cfg, params, state = _tiny(group_size=24)  # one group per clip
+    probs = models.apply(cfg, params, state, _wav(3, seed=9))
+    assert np.isfinite(np.asarray(probs)).all()
+    import pytest
+    cfg_bad, params, state = _tiny(group_size=7)  # does not divide B*24
+    with pytest.raises(AssertionError, match="divide"):
+        models.apply(cfg_bad, params, state, _wav(3, seed=9))
 
 
 def test_top1_switch_routing():

@@ -14,11 +14,12 @@ with extra routing weights, and the attention/LN parity quirks carry
 over unchanged.
 
 TPU-first formulation: routing is expressed as two einsums against
-static-shape one-hot dispatch/combine tensors (tokens, E, C) — no
-sorting, no ragged shapes, no data-dependent control flow — so the
-expert computation is one batched (E, C, D) x (E, D, H) matmul that
-GSPMD shards over an 'expert' mesh axis (all_to_all inserted at the
-dispatch/combine boundaries).
+static-shape one-hot dispatch/combine tensors (G groups, S tokens, E,
+C) — no sorting, no ragged shapes, no data-dependent control flow — so
+the expert computation is one batched (E, G*C, D) x (E, D, H) matmul
+that GSPMD shards over an 'expert' mesh axis (all_to_all inserted at
+the dispatch/combine boundaries). Grouping keeps dispatch memory linear
+in tokens (GShard's G axis).
 """
 
 from __future__ import annotations
@@ -47,12 +48,19 @@ class MoEUITConfig:
     base: uit.UITConfig
     n_experts: int = 8
     top_k: int = 2
-    # per-expert slot budget C = ceil(top_k * tokens / n_experts * factor);
-    # tokens routed past an expert's budget are dropped (their residual
-    # passes through unchanged — the standard capacity trade)
+    # per-expert slot budget C = ceil(top_k * group_tokens / n_experts *
+    # factor); tokens routed past an expert's budget are dropped (their
+    # residual passes through unchanged — the standard capacity trade)
     capacity_factor: float = 2.0
     # Switch-style load-balancing auxiliary loss weight
     router_aux_weight: float = 1e-2
+    # tokens per routing group (GShard 'G' axis): capacity and the one-hot
+    # dispatch/combine tensors are per-group, keeping dispatch memory
+    # LINEAR in total tokens (one global group would be quadratic —
+    # combine is (S, E, C) with C ~ S/E). None = auto: groups of
+    # gcd(B, 8) clips (24-token clips -> 192-token groups at B % 8 == 0).
+    # Must divide the total token count when set.
+    group_size: Optional[int] = None
 
     def __post_init__(self):
         assert self.n_experts >= 1 and 1 <= self.top_k <= self.n_experts
@@ -90,58 +98,78 @@ def init(cfg: MoEUITConfig, rng) -> tuple[dict, dict]:
     return params, state
 
 
+def _group_size(cfg: MoEUITConfig, B: int, N: int) -> int:
+    """Tokens per routing group. Auto: groups of gcd(B, 8) clips — keeps
+    the (S, E, C) dispatch tensors ~4x the activation bytes regardless of
+    batch size (C ~ k*S/E*factor)."""
+    T = B * N
+    if cfg.group_size is not None:
+        assert T % cfg.group_size == 0, (
+            f"group_size {cfg.group_size} must divide {T} tokens"
+        )
+        return cfg.group_size
+    import math
+
+    return N * math.gcd(B, 8)
+
+
 def moe_mlp(cfg: MoEUITConfig, p, x):
     """Routed MLP: (B, N, D) -> ((B, N, D), aux_loss).
 
-    Top-k softmax routing, combine weights renormalized over the selected
-    experts, fixed capacity C per expert. Dispatch/combine are dense
-    one-hot tensors so every step is an einsum (static shapes, no sort):
+    GShard formulation: tokens split into G groups of S; per group, top-k
+    softmax routing with combine weights renormalized over the selected
+    experts and a fixed per-expert capacity C. Dispatch/combine are dense
+    one-hot tensors so every step is an einsum (static shapes, no sort,
+    no ragged anything — the MXU-friendly expression):
 
-        expert_in  = dispatch^T x          (E, C, D)
+        expert_in  = dispatch^T x          (E, G, C, D)
         expert_out = fc2(act(fc1(expert_in)))
-        y          = combine . expert_out  (T, D)
+        y          = combine . expert_out  (G, S, D)
 
     aux = E * sum_e f_e * P_e  (Switch load-balancing: f = fraction of
     tokens whose TOP-1 choice is e, P = mean router prob for e)."""
     B, N, D = x.shape
     T = B * N
     E, k = cfg.n_experts, cfg.top_k
-    C = max(1, int(np.ceil(k * T / E * cfg.capacity_factor)))
-    xt = x.reshape(T, D)
+    S = _group_size(cfg, B, N)
+    G = T // S
+    C = max(1, min(int(np.ceil(k * S / E * cfg.capacity_factor)), k * S))
+    xt = x.reshape(G, S, D)
 
     gates = jax.nn.softmax(
-        jnp.einsum("td,de->te", xt.astype(jnp.float32), p["router"]["kernel"]),
+        jnp.einsum("gsd,de->gse", xt.astype(jnp.float32),
+                   p["router"]["kernel"]),
         axis=-1,
-    )  # (T, E)
-    topv, topi = jax.lax.top_k(gates, k)  # (T, k)
+    )  # (G, S, E)
+    topv, topi = jax.lax.top_k(gates, k)  # (G, S, k)
     topv = topv / topv.sum(axis=-1, keepdims=True)
 
-    counts = jnp.zeros((E,), jnp.float32)
-    combine = jnp.zeros((T, E, C), jnp.float32)
+    counts = jnp.zeros((G, E), jnp.float32)
+    combine = jnp.zeros((G, S, E, C), jnp.float32)
     for j in range(k):
-        oh = jax.nn.one_hot(topi[:, j], E, dtype=jnp.float32)  # (T, E)
-        # slot index each token would take in expert e: tokens before it
-        # this round + slots consumed by earlier rounds
-        pos = jnp.cumsum(oh, axis=0) - oh + counts[None, :]
+        oh = jax.nn.one_hot(topi[:, :, j], E, dtype=jnp.float32)  # (G, S, E)
+        # slot each token would take in expert e: tokens before it in the
+        # group this round + slots consumed by earlier rounds
+        pos = jnp.cumsum(oh, axis=1) - oh + counts[:, None, :]
         keep = oh * (pos < C)
         slot = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)
-        combine = combine + topv[:, j, None, None] * keep[..., None] * slot
-        counts = counts + oh.sum(axis=0)
+        combine = combine + topv[:, :, j, None, None] * keep[..., None] * slot
+        counts = counts + oh.sum(axis=1)
     dispatch = (combine > 0).astype(jnp.float32)
 
-    expert_in = jnp.einsum("tec,td->ecd", dispatch, xt.astype(jnp.float32))
+    expert_in = jnp.einsum("gsec,gsd->egcd", dispatch, xt.astype(jnp.float32))
     h = ACTIVATIONS[cfg.base.act](
-        jnp.einsum("ecd,edh->ech", expert_in, p["fc1"]["kernel"])
-        + p["fc1"]["bias"][:, None, :]
+        jnp.einsum("egcd,edh->egch", expert_in, p["fc1"]["kernel"])
+        + p["fc1"]["bias"][:, None, None, :]
     )
     out_e = (
-        jnp.einsum("ech,ehd->ecd", h, p["fc2"]["kernel"])
-        + p["fc2"]["bias"][:, None, :]
+        jnp.einsum("egch,ehd->egcd", h, p["fc2"]["kernel"])
+        + p["fc2"]["bias"][:, None, None, :]
     )
-    y = jnp.einsum("tec,ecd->td", combine, out_e)
+    y = jnp.einsum("gsec,egcd->gsd", combine, out_e)
 
-    f = jax.nn.one_hot(topi[:, 0], E, dtype=jnp.float32).mean(axis=0)
-    P = gates.mean(axis=0)
+    f = jax.nn.one_hot(topi[:, :, 0], E, dtype=jnp.float32).mean(axis=(0, 1))
+    P = gates.mean(axis=(0, 1))
     aux = E * jnp.sum(f * P)
     return y.reshape(B, N, D).astype(x.dtype), aux
 
@@ -210,6 +238,7 @@ def forward(cfg: MoEUITConfig, params, state, wav, *,
 def uit_xs_moe(outputdim: int = 527, target_length: int = 1012,
                n_experts: int = 8, top_k: int = 2,
                capacity_factor: float = 2.0, router_aux_weight: float = 1e-2,
+               group_size: Optional[int] = None,
                **kwargs) -> MoEUITConfig:
     """uit_xs geometry (D=128, depth 12, bneck attention, ReLU, 'mean'
     pooling — reference uit.py:581-597) with the block MLPs routed over
@@ -220,4 +249,5 @@ def uit_xs_moe(outputdim: int = 527, target_length: int = 1012,
         n_experts=n_experts, top_k=top_k,
         capacity_factor=capacity_factor,
         router_aux_weight=router_aux_weight,
+        group_size=group_size,
     )
