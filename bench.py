@@ -202,11 +202,9 @@ def main():
 
     # K-batch scanned dispatch (the round-3 headline): blocks built ON
     # DEVICE (uploading ~GB blocks through the relay would swamp setup)
-    @jax.jit
-    def mkblock(a, b, s):
-        return jnp.stack([jnp.roll(a if i % 2 == 0 else b, s + i, axis=0)
-                          for i in range(K)])
+    from uit_mobile_tpu.ops.pipeline import make_block_builder
 
+    mkblock = make_block_builder(K)
     blocks = [jax.block_until_ready(mkblock(wavs[0], wavs[1], j * K))
               for j in range(2)]
     scanned = jax.jit(make_scanned_forward(fast_fn))

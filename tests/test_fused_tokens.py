@@ -53,6 +53,22 @@ def test_fused_tokens_match_two_stage(model):
     np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+def test_fused_tokens_nondividing_block_b(model):
+    """block_b that does not divide B picks the largest dividing block
+    instead of crashing (B=6 with block_b=4 -> b_blk=3)."""
+    cfg, params, state = model
+    rng = np.random.default_rng(9)
+    wav = jnp.asarray(rng.standard_normal((6, 16000)).astype(np.float32) * 0.1)
+    fg = cfg.grid_size[0]
+    Kf, bias_f = models.uit._folded_patch_kernel(
+        cfg, params, state, cfg.n_mels, fg, jnp.float32)
+    fe = dataclasses.replace(cfg.frontend, top_db_mode="per_sample")
+    got = np.asarray(pallas_mel_tokens(
+        wav, fe, Kf, bias_f, target_length=cfg.target_length, block_b=4))
+    want = np.asarray(_two_stage_tokens(cfg, params, state, wav))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
 def test_fused_tokens_int16_matches_f32(model):
     cfg, params, state = model
     rng = np.random.default_rng(3)

@@ -287,17 +287,12 @@ def main(argv=None):
 
     clips_per_call = B
     if args.scan:
-        from ..ops.pipeline import make_scanned_forward
+        from ..ops.pipeline import make_block_builder, make_scanned_forward
 
         K = args.scan
         base = fwd
         fwd = jax.jit(make_scanned_forward(lambda w: base(w)))
-
-        @jax.jit
-        def mkblock(a, b, s):
-            return jnp.stack([jnp.roll(a if i % 2 == 0 else b, s + i, axis=0)
-                              for i in range(K)])
-
+        mkblock = make_block_builder(K)
         bufs = [jax.block_until_ready(mkblock(wav, wav2, j * K))
                 for j in range(2)]
         clips_per_call = K * B
@@ -327,8 +322,10 @@ def main(argv=None):
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50)) * 1e3
+    # with --scan each blocking call runs K batches — label accordingly
+    p50_unit = f"ms/dispatch({args.scan} batches)" if args.scan else "ms/batch"
     print(f"{label}: batch={B} clip={args.seconds}s device={dev.platform} "
-          f"pipelined={thr:.0f} clips/s/chip blocking_p50={p50:.2f} ms/batch")
+          f"pipelined={thr:.0f} clips/s/chip blocking_p50={p50:.2f} {p50_unit}")
     if args.profile:
         from ..utils.profiling import trace, device_memory_stats
 

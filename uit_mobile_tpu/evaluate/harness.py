@@ -492,14 +492,17 @@ class Evaluator:
             curve = {}
             psds_points, ct_points, ref_dur = [], [], {}
             per_class_curves: dict = {}  # class -> {threshold: F1}
+            # cross-trigger counting is an O(preds x other-class refs)
+            # scan per clip — only pay for it when alpha_ct will use it
+            want_ct = isinstance(psds, dict) and bool(psds.get("alpha_ct"))
             for th in sorted(float(t) for t in sweep):
                 # PSDS is defined on the intersection (DTC/GTC) criterion;
                 # reuse the sweep scorer when it already is one
                 reuse = bool(psds) and criterion == "intersection"
-                sc = mk_scorer(ct=reuse)
+                sc = mk_scorer(ct=reuse and want_ct)
                 sc_int = sc if reuse else (
                     EventScorer(criterion="intersection", dtc=dtc, gtc=gtc,
-                                count_cross_triggers=True)
+                                count_cross_triggers=want_ct)
                     if psds else None
                 )
                 for pad_to, p, events in clip_records:

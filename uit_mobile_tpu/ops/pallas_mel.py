@@ -482,8 +482,10 @@ def pallas_mel_tokens(wav: jax.Array, config: FrontendConfig,
             + np.arange(n_fft)[None, :]).reshape(-1)
     framesT = wavT[idxT, :].reshape(n_frames, n_fft, B)
 
-    b_blk = min(block_b, B)
-    assert B % b_blk == 0, (B, b_blk)
+    # largest batch block <= block_b that tiles B (prefer lane-aligned
+    # multiples of 128 — batch is this kernel's lane dim)
+    cands = [d for d in range(min(block_b, B), 0, -1) if B % d == 0]
+    b_blk = next((d for d in cands if d % 128 == 0), cands[0])
     grid = (B // b_blk, n_frames)
     kernel = functools.partial(
         _mel_tokens_kernel, n_frames=n_frames, fg=fg, tg=tg, ps=ps,

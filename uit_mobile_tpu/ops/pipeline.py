@@ -20,6 +20,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from .. import models
 from .pallas_mel import make_frontend_fn
@@ -179,3 +180,24 @@ def make_scanned_forward(fwd_fn, unroll: int = 1):
 
     scanned.uses_pallas = bool(getattr(fwd_fn, "uses_pallas", False))
     return scanned
+
+
+def make_block_builder(k: int):
+    """Jitted ``(a, b, offset) -> (K, B, T)`` scan-input block assembled ON
+    DEVICE from two uploaded batches: row-rolls of alternating buffers make
+    every one of the K batches distinct.
+
+    Benchmark plumbing for make_scanned_forward: uploading a (K, B, T)
+    block through a slow link would swamp setup, and the axon relay dedups
+    dispatches with identical (executable, args) — measurements must
+    alternate >=2 distinct buffers (PERF_NOTES 'Measurement caveats').
+    Shared by bench.py and the uit-bench CLI."""
+
+    @jax.jit
+    def mkblock(a, b, offset):
+        return jnp.stack(
+            [jnp.roll(a if i % 2 == 0 else b, offset + i, axis=0)
+             for i in range(k)]
+        )
+
+    return mkblock

@@ -90,7 +90,7 @@ def expert_parallel_forward(cfg, params, state, mesh: Mesh, *,
 
 def make_moe_train_step(cfg, optimizer):
     """BCE + router-aux train step for the MoE variant:
-    ``step(params, opt_state, wav, target, rng) ->
+    ``step(params, state, opt_state, wav, target) ->
     (params, opt_state, metrics)``. Jit it with ep_shard_params /
     sharded_opt_init shardings for expert-parallel training — gradients
     of sharded expert banks reduce-scatter back to their owners."""

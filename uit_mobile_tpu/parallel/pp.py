@@ -52,13 +52,9 @@ from ..models.common import layer_norm
 def make_pipe_mesh(n_stages: int, axis: str = "pipe") -> Mesh:
     """1-D pipeline mesh over the first n_stages devices (consecutive
     devices = ICI neighbours, the layout ppermute wants)."""
-    devices = jax.devices()
-    assert len(devices) >= n_stages, (
-        f"need {n_stages} devices, have {len(devices)}"
-    )
-    import numpy as np
+    from .mesh import make_mesh
 
-    return Mesh(np.asarray(devices[:n_stages]), (axis,))
+    return make_mesh(n_stages, axis=axis)
 
 
 def stack_block_params(params):

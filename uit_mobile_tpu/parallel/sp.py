@@ -42,7 +42,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -53,11 +52,9 @@ from ..models.common import layer_norm, linear, mlp
 def make_seq_mesh(n_shards: int, axis: str = "seq") -> Mesh:
     """1-D sequence mesh over the first n_shards devices (consecutive
     devices = ICI neighbours, the layout the K/V ring wants)."""
-    devices = jax.devices()
-    assert len(devices) >= n_shards, (
-        f"need {n_shards} devices, have {len(devices)}"
-    )
-    return Mesh(np.asarray(devices[:n_shards]), (axis,))
+    from .mesh import make_mesh
+
+    return make_mesh(n_shards, axis=axis)
 
 
 def _ring_attention(p, x_loc, *, num_heads: int, scale: float,
@@ -85,18 +82,21 @@ def _ring_attention(p, x_loc, *, num_heads: int, scale: float,
         v = qkv[..., 2 * inner_dim + i * hd:
                 2 * inner_dim + (i + 1) * hd].astype(jnp.float32)
 
-        def hop(carry, _):
-            k_blk, v_blk, m, l, o = carry
+        def fold(k_blk, v_blk, m, l, o):
             logits = jnp.einsum("bnd,bmd->bnm", q, k_blk) * scale
             m_new = jnp.maximum(m, logits.max(axis=-1))
             c = jnp.exp(m - m_new)
             pexp = jnp.exp(logits - m_new[..., None])
             l = c * l + pexp.sum(axis=-1)
             o = c[..., None] * o + jnp.einsum("bnm,bmd->bnd", pexp, v_blk)
-            if n_shards > 1:
-                k_blk = lax.ppermute(k_blk, axis, perm)
-                v_blk = lax.ppermute(v_blk, axis, perm)
-            return (k_blk, v_blk, m_new, l, o), None
+            return m_new, l, o
+
+        def hop(carry, _):
+            k_blk, v_blk, m, l, o = carry
+            m, l, o = fold(k_blk, v_blk, m, l, o)
+            k_blk = lax.ppermute(k_blk, axis, perm)
+            v_blk = lax.ppermute(v_blk, axis, perm)
+            return (k_blk, v_blk, m, l, o), None
 
         # accumulators become device-varying at hop 0 (derived from the
         # varying q) — declare them so upfront, over EVERY mesh axis the
@@ -109,9 +109,13 @@ def _ring_attention(p, x_loc, *, num_heads: int, scale: float,
         o0 = lax.pcast(
             jnp.zeros((B, n_loc, hd), jnp.float32), va, to="varying"
         )
-        (_, _, _, l, o), _ = lax.scan(
-            hop, (k, v, m0, l0, o0), None, length=n_shards
+        # S-1 (fold, rotate) hops, then one final fold WITHOUT the rotate:
+        # the last rotation's K/V would never be read (n_shards dead
+        # ppermute pairs per head per block otherwise)
+        (k, v, m, l, o), _ = lax.scan(
+            hop, (k, v, m0, l0, o0), None, length=n_shards - 1
         )
+        _, l, o = fold(k, v, m, l, o)
         head_outs.append(o / l[..., None])
     out = head_outs[0] if h == 1 else jnp.concatenate(head_outs, axis=-1)
     return linear(p["proj"], out.astype(x_loc.dtype))
