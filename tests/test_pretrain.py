@@ -42,6 +42,24 @@ def test_mae_forward_and_grads():
     assert g_head == 0.0
 
 
+def test_mae_forward_without_init_bn():
+    """init_bn=False configs (GlobalNormer) must pretrain too — the BN
+    branch used to KeyError on params['init_bn']."""
+    enc = models.get_model_config(
+        "uit_xxxs", outputdim=537, target_length=160, depth=1, init_bn=False
+    )
+    cfg = mae.MAEConfig(encoder=enc, mask_ratio=0.75, decoder_depth=1)
+    params, state = mae.init(cfg, jax.random.key(0))
+    assert "init_bn" not in params
+    wav = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 160 * 160))
+        .astype(np.float32) * 0.1
+    )
+    loss, new_state, _ = mae.forward(cfg, params, state, wav, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    assert new_state == state  # no BN stats to update
+
+
 def test_mae_pretrain_then_finetune_transfer(tmp_path):
     rng = np.random.default_rng(0)
     h5 = tmp_path / "unlab.h5"

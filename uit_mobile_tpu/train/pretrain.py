@@ -119,10 +119,15 @@ def forward(cfg: MAEConfig, params, state, wav, rng):
 
     e = cfg.encoder
     mel = log_mel_spectrogram(wav, e.frontend)
-    x_bn, bn_state = batch_norm_train(
-        params["init_bn"], state["init_bn"], mel, axis=-2, momentum=0.01
-    )
-    new_state = dict(state, init_bn=bn_state)
+    if e.init_bn:
+        x_bn, bn_state = batch_norm_train(
+            params["init_bn"], state["init_bn"], mel, axis=-2, momentum=0.01
+        )
+        new_state = dict(state, init_bn=bn_state)
+    else:
+        # GlobalNormer fallback, same as the supervised path
+        # (models.uit.apply_init_bn: (x+10)/40, reference uit.py:33-41)
+        x_bn, new_state = (mel + 10.0) / 40.0, state
 
     tokens = uit.patch_embed(e, params["patch_embed"], x_bn)  # (B, fg, tg, D)
     fg, tg = tokens.shape[1], tokens.shape[2]
