@@ -21,6 +21,8 @@ from .pp import (
 from .fsdp import (
     fsdp_param_specs,
     fsdp_shard_params,
+    hybrid_param_specs,
+    hybrid_shard_params,
 )
 from .sp import (
     make_seq_mesh,
@@ -52,6 +54,8 @@ __all__ = [
     "pipeline_forward",
     "fsdp_param_specs",
     "fsdp_shard_params",
+    "hybrid_param_specs",
+    "hybrid_shard_params",
     "make_seq_mesh",
     "sequence_parallel_forward",
     "make_expert_mesh",

@@ -25,9 +25,11 @@ over pytrees, it is — like TP — purely a placement decision:
   the batch over the same axis; XLA inserts all-gather (params, fwd+bwd
   remat) and reduce-scatter/psum (grads) on its own schedule.
 
-Composes with tensor parallelism on a ('data','model') mesh: pass the
-TP specs for the Megatron-paired tensors and FSDP specs over 'data' for
-the rest.
+Composes with tensor parallelism on a ('data','model') mesh —
+``hybrid_param_specs`` below builds the combined placement (the
+"FSDP + TP" / hybrid-sharded layout production frameworks default to
+for large models): Megatron pairing over 'model' AND ZeRO-3 sharding
+over 'data' on every large tensor simultaneously.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .tp import _fit_spec
+from .tp import _fit_spec, tp_param_specs
 
 
 def fsdp_param_specs(params, *, axis: str = "data", min_size: int = 1024):
@@ -61,6 +63,54 @@ def fsdp_shard_params(mesh: Mesh, params, *, axis: str = "data",
     replicated); returns (sharded_params, sharding_tree) — feed the tree
     to jit in_shardings/out_shardings and tp.sharded_opt_init."""
     specs = fsdp_param_specs(params, axis=axis, min_size=min_size)
+    shardings = jax.tree.map(
+        lambda leaf, s: NamedSharding(mesh, _fit_spec(s, leaf.shape, mesh)),
+        params, specs, is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, shardings), shardings
+
+
+def hybrid_param_specs(params, *, data_axis: str = "data",
+                       model_axis: str = "model", min_size: int = 1024,
+                       shard_attention: bool = False):
+    """FSDP x TP composition ("hybrid sharded"): start from the Megatron
+    TP pairing (tp.tp_param_specs) over ``model_axis``, then ZeRO-3-shard
+    every large tensor's largest still-unsharded dim over ``data_axis``.
+
+    A TP-paired 2-D kernel ends up sharded on BOTH dims (e.g. mlp.fc1
+    (D, 4D) -> P(data, model)); TP-replicated large tensors (patch embed,
+    qkv/proj when shard_attention=False) get the plain FSDP largest-dim
+    rule; tensors under ``min_size`` elements and TP-paired 1-D biases
+    keep their TP spec. Per-param memory scales 1/(n_data*n_model), and
+    the optimizer moments inherit the same placement via
+    tp.sharded_opt_init. XLA GSPMD inserts the all-gathers (weights, at
+    use) and reduce-scatters/psums (grads) for both axes on its own.
+    """
+    tp_specs = tp_param_specs(params, model_axis=model_axis,
+                              shard_attention=shard_attention)
+
+    def combine(leaf, tspec):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) == 0 or int(np.prod(shape)) < min_size:
+            return tspec
+        entries = list(tspec) + [None] * (len(shape) - len(tspec))
+        free = [i for i, e in enumerate(entries) if e is None]
+        if free:
+            entries[max(free, key=lambda i: shape[i])] = data_axis
+        return P(*entries)
+
+    return jax.tree.map(combine, params, tp_specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def hybrid_shard_params(mesh: Mesh, params, *, data_axis: str = "data",
+                        model_axis: str = "model", min_size: int = 1024,
+                        shard_attention: bool = False):
+    """device_put ``params`` per ``hybrid_param_specs`` fitted to ``mesh``
+    (any dim an axis does not divide falls back to unsharded there);
+    returns (sharded_params, sharding_tree)."""
+    specs = hybrid_param_specs(
+        params, data_axis=data_axis, model_axis=model_axis,
+        min_size=min_size, shard_attention=shard_attention)
     shardings = jax.tree.map(
         lambda leaf, s: NamedSharding(mesh, _fit_spec(s, leaf.shape, mesh)),
         params, specs, is_leaf=lambda x: isinstance(x, P))
