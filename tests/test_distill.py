@@ -88,6 +88,74 @@ def test_psl_mode_unchanged_by_default(student):
     assert np.isfinite(float(m["total_loss"]))
 
 
+def test_preassembled_psl_batch_matches_dict_batch(student):
+    """The Trainer's flat [audioset, kws] batch (psl_split fast path) must
+    produce the same update as the dict-batch path — the speedup is pure
+    assembly placement, not math."""
+    cfg, params, state = student
+    t_cfg = models.get_model_config("MobileNetV2", outputdim=527)
+    t_params, t_state = models.build(t_cfg, jax.random.key(3))
+    opt = optax.adam(1e-3)
+    rng = np.random.default_rng(7)
+    batch = _batch(rng)
+    key = jax.random.key(8)
+    n_as = batch["audioset"]["wav"].shape[0]
+
+    dict_step = make_train_step(cfg, opt, psl_cfg=t_cfg, mixup_alpha=0.3)
+    p_a, _, _, m_a = dict_step(params, state, opt.init(params), batch, key,
+                               t_params, t_state)
+
+    flat = {
+        "wav": jnp.concatenate([batch["audioset"]["wav"],
+                                batch["kws"]["wav"]]),
+        "target": jnp.concatenate([batch["audioset"]["target"],
+                                   batch["kws"]["target"]]),
+    }
+    flat_step = make_train_step(cfg, opt, psl_cfg=t_cfg, mixup_alpha=0.3,
+                                psl_split=n_as)
+    p_b, _, _, m_b = flat_step(params, state, opt.init(params), flat, key,
+                               t_params, t_state)
+    assert float(m_a["total_loss"]) == pytest.approx(float(m_b["total_loss"]),
+                                                     abs=1e-6)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_a),
+        jax.tree_util.tree_leaves_with_path(p_b),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+
+
+def test_preassembled_soft_mode_matches_dict_batch(student):
+    """Soft distillation through the flat path: teacher scores the whole
+    batch, convex mix unchanged."""
+    cfg, params, state = student
+    t_cfg = models.get_model_config("uit_xxxs", outputdim=537,
+                                    target_length=102, depth=1)
+    t_params, t_state = models.build(t_cfg, jax.random.key(9))
+    opt = optax.adam(1e-3)
+    rng = np.random.default_rng(11)
+    batch = _batch(rng)
+    key = jax.random.key(12)
+
+    kw = dict(psl_cfg=t_cfg, distill_mode="soft", distill_alpha=0.5)
+    p_a, _, _, m_a = make_train_step(cfg, opt, **kw)(
+        params, state, opt.init(params), batch, key, t_params, t_state)
+    flat = {
+        "wav": jnp.concatenate([batch["audioset"]["wav"],
+                                batch["kws"]["wav"]]),
+        "target": jnp.concatenate([batch["audioset"]["target"],
+                                   batch["kws"]["target"]]),
+    }
+    p_b, _, _, m_b = make_train_step(cfg, opt, psl_split=4, **kw)(
+        params, state, opt.init(params), flat, key, t_params, t_state)
+    assert float(m_a["total_loss"]) == pytest.approx(float(m_b["total_loss"]),
+                                                     abs=1e-6)
+    for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_trainer_passes_soft_mode(tmp_path):
     """Config plumbing: psl.mode/alpha/outputdim reach the step (smoke via
     train_from_config with an untrained same-family teacher)."""

@@ -266,14 +266,19 @@ _NATIVE_COLLATE_WARNED = False
 def collate(samples):
     """[(wav, target, fname)] -> dict batch (the sequential_pad contract).
 
-    Uses the native C++ batch assembler (uit_mobile_tpu.native) when built;
-    falls back to the numpy path transparently.
+    Uses the native C++ batch assembler (uit_mobile_tpu.native) only in
+    its measured win region — long clips at small/mid batch sizes, where
+    the per-row copies are big enough to amortize the thread-pool fan-out
+    (host sweep, tools/probe_collate.py: 10 s int16 clips B<=256 native
+    wins 1.16-1.29x; 1 s clips or B>=1024 numpy's straight row-memcpy
+    loop wins up to 10x). Falls back to numpy transparently elsewhere.
     """
     waves, targets, fnames = zip(*samples)
     try:
         from .. import native
 
-        if native.available():
+        mean_len = sum(w.shape[-1] for w in waves) / max(len(waves), 1)
+        if native.available() and len(waves) <= 256 and mean_len >= 100_000:
             data, lengths = native.pad_batch_native(waves)
         else:
             data, lengths = pad_batch(waves)

@@ -290,6 +290,8 @@ class Trainer:
             distill_mode=(c.get("psl") or {}).get("mode", "psl"),
             distill_alpha=(c.get("psl") or {}).get("alpha", 1.0),
             distill_classes=(c.get("psl") or {}).get("classes", 527),
+            # Trainer preassembles [audioset, kws] host-side (fast path)
+            psl_split=c.get("as_batch_size", c["batch_size"] // 2),
             wav_augment=parse_wavtransforms(c.get("wavtransforms", {})),
             spec_augment=parse_spectransforms(c.get("spectransforms", {})),
             frontend_fn=frontend,
@@ -372,24 +374,24 @@ class Trainer:
 
         def to_step_batch(batch):
             """Assemble the step's numpy batch on the host (device placement
-            + sharding happens in the prefetch stage)."""
-            if psl_cfg is not None:
-                return {
-                    "audioset": {"wav": batch["audioset"]["wav"],
-                                 "target": batch["audioset"]["target"]},
-                    "kws": {"wav": batch["kws"]["wav"],
-                            "target": batch["kws"]["target"]},
-                }
+            + sharding happens in the prefetch stage). PSL batches flatten
+            to [audioset, kws] rows here — the step's preassembled fast
+            path (psl_split above) then skips the on-device concatenates
+            (+23%/step measured, tools/probe_preassembled.py); the host
+            copies hide behind device_prefetch."""
             if "wav" in batch:
                 return {"wav": batch["wav"], "target": batch["target"]}
-            # dual-loader batch without PSL: right-pad both halves to a
-            # common length before concatenating (full-clip datasets pad
-            # each half to its own batch max — e.g. 10s AudioSet vs 1s KWS)
+            # dual-loader batch: right-pad both halves to a common length
+            # before concatenating (full-clip datasets pad each half to
+            # its own batch max — e.g. 10s AudioSet vs 1s KWS; the PSL
+            # crop path always matches already)
             aw = batch["audioset"]["wav"]
             kw = batch["kws"]["wav"]
             T = max(aw.shape[-1], kw.shape[-1])
-            aw = np.pad(aw, ((0, 0), (0, T - aw.shape[-1])))
-            kw = np.pad(kw, ((0, 0), (0, T - kw.shape[-1])))
+            if aw.shape[-1] != T:
+                aw = np.pad(aw, ((0, 0), (0, T - aw.shape[-1])))
+            if kw.shape[-1] != T:
+                kw = np.pad(kw, ((0, 0), (0, T - kw.shape[-1])))
             return {
                 "wav": np.concatenate([aw, kw]),
                 "target": np.concatenate(

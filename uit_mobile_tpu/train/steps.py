@@ -150,6 +150,7 @@ def make_train_step(
     distill_mode: str = "psl",
     distill_alpha: float = 1.0,
     distill_classes: int = 527,
+    psl_split: Optional[int] = None,
     wav_augment: Optional[Callable] = None,
     spec_augment: Optional[Callable] = None,
     frontend_fn: Optional[Callable] = None,
@@ -161,6 +162,15 @@ def make_train_step(
     ``{'audioset': {'wav','target'}, 'kws': {'wav','target'}}``: the frozen
     MobileNetV2 teacher scores the AudioSet half, its probabilities replace
     the first 527 target columns, and both halves train jointly.
+
+    Preassembled PSL fast path: with ``psl_split=<audioset rows>`` the step
+    ALSO accepts a flat ``{'wav': (B,T), 'target': (B,C)}`` batch whose
+    rows are stacked [audioset, kws] host-side (Trainer does this). The
+    teacher reads ``wav[:psl_split]`` as a slice and its probabilities land
+    via dynamic_update_slice — no on-device wav/target concatenates, one
+    normalization pass. Identical math to the dict path (pinned in
+    tests/test_distill.py); measured +23%/step at B=512 on the v5e
+    (tools/probe_preassembled.py).
 
     Distillation variants (beyond the reference, which has PSL only):
     - distill_mode='psl' (default, reference semantics): the teacher
@@ -189,24 +199,42 @@ def make_train_step(
         rng_mix, rng_fwd = jax.random.split(rng)
 
         if psl_cfg is not None:
-            as_wav = _norm(batch["audioset"]["wav"])
-            as_y = batch["audioset"]["target"]
-            kws_wav = _norm(batch["kws"]["wav"])
-            kws_y = batch["kws"]["target"]
-            wav = jnp.concatenate([as_wav, kws_wav], axis=0)
+            if "wav" in batch:
+                # flat fast path: halves pre-stacked [audioset, kws]
+                wav = _norm(batch["wav"])
+                target = batch["target"]
+                n_as = psl_split
+                if distill_mode == "psl" and not (
+                        n_as is not None and 0 < n_as <= wav.shape[0]):
+                    raise ValueError(
+                        "flat PSL batches need make_train_step(..., "
+                        "psl_split=<audioset rows at the front of the "
+                        f"batch>) in (0, {wav.shape[0]}], got {n_as}"
+                    )
+            else:
+                # dict compatibility path: concatenate on device, then the
+                # same math as the flat path
+                wav = jnp.concatenate(
+                    [_norm(batch["audioset"]["wav"]),
+                     _norm(batch["kws"]["wav"])], axis=0)
+                target = jnp.concatenate(
+                    [batch["audioset"]["target"], batch["kws"]["target"]],
+                    axis=0)
+                n_as = batch["audioset"]["wav"].shape[0]
+            t_in = wav[:n_as] if distill_mode == "psl" else wav
+            y_teacher = jax.lax.stop_gradient(
+                models.apply(psl_cfg, psl_params, psl_state, t_in,
+                             frontend_fn=frontend_fn)
+            )
             if distill_mode == "psl":
-                y_teacher = models.apply(psl_cfg, psl_params, psl_state, as_wav,
-                                         frontend_fn=frontend_fn)
-                y_teacher = jax.lax.stop_gradient(y_teacher)
-                k = distill_classes
-                as_y = as_y.at[:, :k].set(y_teacher[:, :k])
-                target = jnp.concatenate([as_y, kws_y], axis=0)
+                # overwrite the audioset rows' first distill_classes target
+                # columns with the teacher's probabilities (run.py:199-202)
+                target = jax.lax.dynamic_update_slice(
+                    target, y_teacher[:, :distill_classes], (0, 0)
+                )
             else:  # 'soft': teacher scores everything, convex target mix
-                y_teacher = models.apply(psl_cfg, psl_params, psl_state, wav,
-                                         frontend_fn=frontend_fn)
-                y_teacher = jax.lax.stop_gradient(y_teacher)
-                target = jnp.concatenate([as_y, kws_y], axis=0)
-                target = distill_alpha * y_teacher + (1.0 - distill_alpha) * target
+                target = (distill_alpha * y_teacher
+                          + (1.0 - distill_alpha) * target)
         else:
             wav = _norm(batch["wav"])
             target = batch["target"]
