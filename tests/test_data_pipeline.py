@@ -69,6 +69,34 @@ def test_pad_and_collate(synth):
         assert (batch["wav"][i, L:] == 0).all()
 
 
+def test_collate_routes_native_only_in_win_region(monkeypatch):
+    """The C++ assembler engages only for long clips at B<=256 (its
+    measured win region, tools/probe_collate.py); short clips and big
+    batches take numpy's row-memcpy path."""
+    from uit_mobile_tpu import native
+    from uit_mobile_tpu.data import hdf5 as hdf5_mod
+
+    calls = []
+
+    def fake_pad(waves, threads=0):
+        calls.append(len(waves))
+        return hdf5_mod.pad_batch(waves)
+
+    monkeypatch.setattr(native, "available", lambda: True)
+    monkeypatch.setattr(native, "pad_batch_native", fake_pad)
+
+    def mk(n, length):
+        t = np.zeros(537, np.float32)
+        return [(np.ones(length, np.int16), t, f"f{i}") for i in range(n)]
+
+    collate(mk(4, 160_000))  # long clips, small batch -> native
+    assert calls == [4]
+    collate(mk(4, 16_000))  # short clips -> numpy
+    assert calls == [4]
+    collate(mk(257, 160_000))  # big batch -> numpy
+    assert calls == [4]
+
+
 def test_dataloader_order_and_len(synth):
     tsv, _ = synth
     df = read_tsv_data(tsv)
