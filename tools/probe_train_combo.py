@@ -86,14 +86,17 @@ def main():
         params, state, opt_state, step = build(dt, scan)
         key = jax.random.key(7)
         if scan:
-            # (K, ...) stacked batches cycling the same 4 buffers; split keys
+            # (K, ...) stacked batches; stride by j so the two dispatch
+            # blocks differ (relay-dedup hygiene)
             def stack(j):
                 return jax.tree.map(
                     lambda *xs: jnp.stack(xs),
-                    *[data[(j * K + i) % len(data)] for i in range(K)])
+                    *[data[(j + i) % len(data)] for i in range(K)])
 
             blocks = [jax.block_until_ready(stack(j)) for j in range(2)]
-            keys = jax.random.split(key, K)
+            # keys[0] == the per-step variants' first key, so the
+            # first-step losses are comparable across all four variants
+            keys = jnp.stack([key, *jax.random.split(key, K - 1)])
             params, state, opt_state, m = step(params, state, opt_state,
                                                blocks[0], keys,
                                                psl_params, psl_state)
@@ -130,10 +133,14 @@ def main():
     base = results["f32-flat"]
     for name, dt_s in results.items():
         print(f"# {name:16s} speedup vs f32-flat: {base / dt_s:.3f}x")
-    # loss sanity: identical rng => f32 variants match exactly; bf16 close
+    # loss sanity: keys[0] == per-step key, so the f32 scan variant's
+    # first step is the SAME computation — must agree to f32 epsilon;
+    # bf16 differs only by matmul rounding
     d_scan = abs(first_losses["f32-flat"] - first_losses["f32-flat-scan8"])
     d_bf16 = abs(first_losses["f32-flat"] - first_losses["bf16-flat"])
     print(f"# first-step loss drift: scan={d_scan:.6f} bf16={d_bf16:.6f}")
+    assert d_scan < 1e-4, f"scan sequencing changed step math: {d_scan}"
+    assert d_bf16 < 2e-2, f"bf16 drift beyond rounding: {d_bf16}"
 
 
 if __name__ == "__main__":

@@ -36,9 +36,9 @@ from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from .tp import _fit_spec, tp_param_specs
+from .tp import place_params, tp_param_specs
 
 
 def fsdp_param_specs(params, *, axis: str = "data", min_size: int = 1024):
@@ -62,11 +62,9 @@ def fsdp_shard_params(mesh: Mesh, params, *, axis: str = "data",
     """device_put ``params`` per ``fsdp_param_specs`` (non-divisible dims
     replicated); returns (sharded_params, sharding_tree) — feed the tree
     to jit in_shardings/out_shardings and tp.sharded_opt_init."""
-    specs = fsdp_param_specs(params, axis=axis, min_size=min_size)
-    shardings = jax.tree.map(
-        lambda leaf, s: NamedSharding(mesh, _fit_spec(s, leaf.shape, mesh)),
-        params, specs, is_leaf=lambda x: isinstance(x, P))
-    return jax.device_put(params, shardings), shardings
+    return place_params(mesh, params,
+                        fsdp_param_specs(params, axis=axis,
+                                         min_size=min_size))
 
 
 def hybrid_param_specs(params, *, data_axis: str = "data",
@@ -108,10 +106,6 @@ def hybrid_shard_params(mesh: Mesh, params, *, data_axis: str = "data",
     """device_put ``params`` per ``hybrid_param_specs`` fitted to ``mesh``
     (any dim an axis does not divide falls back to unsharded there);
     returns (sharded_params, sharding_tree)."""
-    specs = hybrid_param_specs(
+    return place_params(mesh, params, hybrid_param_specs(
         params, data_axis=data_axis, model_axis=model_axis,
-        min_size=min_size, shard_attention=shard_attention)
-    shardings = jax.tree.map(
-        lambda leaf, s: NamedSharding(mesh, _fit_spec(s, leaf.shape, mesh)),
-        params, specs, is_leaf=lambda x: isinstance(x, P))
-    return jax.device_put(params, shardings), shardings
+        min_size=min_size, shard_attention=shard_attention))

@@ -124,18 +124,23 @@ def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
     return P(*fitted)
 
 
-def shard_params(mesh: Mesh, params, *, model_axis: str = "model",
-                 shard_attention: bool = False):
-    """device_put ``params`` per ``tp_param_specs`` (non-divisible dims
-    replicated, see ``_fit_spec``); returns (sharded_params,
-    sharding_tree) — the sharding tree doubles as the jit in_shardings
-    entry."""
-    specs = tp_param_specs(params, model_axis=model_axis,
-                           shard_attention=shard_attention)
+def place_params(mesh: Mesh, params, specs):
+    """NamedShardings from per-leaf PartitionSpecs (non-divisible dims
+    replicated, see ``_fit_spec``) + device_put; returns
+    (sharded_params, sharding_tree) — the tree doubles as the jit
+    in_shardings entry. Shared by the TP/FSDP/hybrid placers."""
     shardings = jax.tree.map(
         lambda leaf, s: NamedSharding(mesh, _fit_spec(s, leaf.shape, mesh)),
         params, specs, is_leaf=lambda x: isinstance(x, P))
     return jax.device_put(params, shardings), shardings
+
+
+def shard_params(mesh: Mesh, params, *, model_axis: str = "model",
+                 shard_attention: bool = False):
+    """device_put ``params`` per ``tp_param_specs``; see place_params."""
+    return place_params(mesh, params,
+                        tp_param_specs(params, model_axis=model_axis,
+                                       shard_attention=shard_attention))
 
 
 def _path_keys(path) -> tuple[str, ...]:
