@@ -141,6 +141,21 @@ def _train_bench(models, on_tpu):
 
 
 def main():
+    # Device init goes through a remote relay that can stall indefinitely
+    # when the tunnel is down (observed: jax.devices() hanging >10 min).
+    # Bound it: if the backend has not materialized in 10 minutes, exit
+    # nonzero with a diagnostic instead of hanging the caller forever.
+    import threading
+
+    watchdog = threading.Timer(600.0, lambda: (
+        print("# bench watchdog: device init exceeded 600 s — TPU relay "
+              "unreachable; aborting instead of hanging", file=sys.stderr),
+        sys.stderr.flush(),
+        os._exit(3),
+    ))
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     import jax.numpy as jnp
 
@@ -156,6 +171,7 @@ def main():
     enable_compilation_cache()
 
     dev = jax.devices()[0]
+    watchdog.cancel()  # backend is up; long compiles are handled below
     on_tpu = dev.platform == "tpu"
     print(f"# device: {dev} platform={dev.platform}", file=sys.stderr)
 
