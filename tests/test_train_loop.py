@@ -195,6 +195,43 @@ def test_train_smoke_psl_steps_per_dispatch(tmp_path, synth_env):
     assert out.exists()
 
 
+def test_auto_resume_restarts_from_snapshot(tmp_path, synth_env, monkeypatch):
+    """auto_resume: a crash after the first validation restarts the run
+    from last.npz in the SAME output directory and completes."""
+    from uit_mobile_tpu.train import loop as loop_mod
+
+    real_validate = loop_mod.Trainer._validate
+    calls = {"n": 0}
+
+    def flaky_validate(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # epoch-2 eval of the first attempt
+            raise RuntimeError("injected crash")
+        return real_validate(self, *a, **kw)
+
+    monkeypatch.setattr(loop_mod.Trainer, "_validate", flaky_validate)
+    out = loop_mod.train_from_config(
+        base_config(tmp_path, synth_env, auto_resume=1))
+    assert out.exists()
+    assert calls["n"] >= 3  # crashed once, resumed, finished
+    # the resumed run reused the original directory (one run dir total)
+    runs = list((tmp_path / "exp" / "smoke" / "uit_xxxs").iterdir())
+    assert len(runs) == 1 and (runs[0] / "last.npz").exists()
+
+
+def test_auto_resume_reraises_without_snapshot(tmp_path, synth_env, monkeypatch):
+    """A crash before any snapshot exists must surface, not loop."""
+    from uit_mobile_tpu.train import loop as loop_mod
+
+    def always_fail(self, *a, **kw):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(loop_mod.Trainer, "_validate", always_fail)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        loop_mod.train_from_config(
+            base_config(tmp_path, synth_env, auto_resume=2))
+
+
 def test_train_steps_per_dispatch_variable_length_batches(tmp_path, synth_env):
     """Full-clip loaders pad each batch to its own max; a K-group must
     equalize lengths before stacking (regression: jnp.stack used to

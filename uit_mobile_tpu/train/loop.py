@@ -55,11 +55,14 @@ log = get_logger()
 
 
 def _make_outputdir(config: dict) -> Path:
-    stem = config.get("config_stem", "run")
-    outputdir = (
-        Path(config["outputpath"]) / stem / str(config["model"]) /
-        f"{datetime.datetime.now().strftime('%Y-%m-%d_%H-%M')}_{uuid.uuid1().hex}"
-    )
+    if config.get("outputdir"):  # explicit pin (auto-resume restarts
+        outputdir = Path(config["outputdir"])  # must land in the same dir)
+    else:
+        stem = config.get("config_stem", "run")
+        outputdir = (
+            Path(config["outputpath"]) / stem / str(config["model"]) /
+            f"{datetime.datetime.now().strftime('%Y-%m-%d_%H-%M')}_{uuid.uuid1().hex}"
+        )
     outputdir.mkdir(exist_ok=True, parents=True)
     return outputdir
 
@@ -570,4 +573,36 @@ class Trainer:
 
 
 def train_from_config(config: dict) -> Path:
-    return Trainer(config).train()
+    """Build a Trainer and run it; honors ``auto_resume: N`` — on a crash
+    (anything but KeyboardInterrupt) the run restarts up to N times from
+    the lossless ``last.npz`` snapshot in the SAME output directory,
+    losing at most one epoch of work. The reference cannot do this at
+    all (it keeps only best-k weights, no optimizer state — run.py:
+    338-349); here resume restores params + BN state + optimizer moments
+    + step/best-k/patience counters (ckpt/io.save_training_state).
+    """
+    retries = int(config.get("auto_resume") or 0)
+    if not retries:
+        return Trainer(config).train()
+
+    config = dict(config)
+    trainer = Trainer(config)
+    # pin the timestamped outputdir so restarts write (and find last.npz)
+    # in the same place instead of opening a fresh run directory
+    config["outputdir"] = str(trainer.outputdir)
+    for attempt in range(retries + 1):
+        try:
+            return trainer.train()
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            last = Path(config["outputdir"]) / "last.npz"
+            if attempt >= retries or not last.exists():
+                raise
+            log.exception(
+                f"training crashed (attempt {attempt + 1}/{retries + 1}); "
+                f"auto-resuming from {last}"
+            )
+            config["resume"] = str(last)
+            trainer = Trainer(config)
+    raise AssertionError("unreachable")
