@@ -98,3 +98,42 @@ def test_mae_pretrain_then_finetune_transfer(tmp_path):
     assert params["time_pos_embed"].shape == (6, 128)
     probs = models.apply(cfg, params, state, jnp.zeros((1, 16000)))
     assert probs.shape == (1, 537)
+
+
+def test_mae_auto_resume_restarts_from_snapshot(tmp_path, monkeypatch):
+    """auto_resume: a crash at the epoch-2 checkpoint write restarts from
+    the epoch-1 last.npz in the deterministic output dir and completes."""
+    from uit_mobile_tpu.ckpt import io as io_mod
+
+    rng = np.random.default_rng(0)
+    h5 = tmp_path / "unlab.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(6):
+            f[f"u{i}.wav"] = (rng.standard_normal(30000) * 3000).astype(np.int16)
+            rows.append((f"u{i}.wav", "0", str(h5)))
+    tsv = tmp_path / "unlab.tsv"
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+        tsv, sep="\t", index=False
+    )
+
+    real_save = io_mod.save_checkpoint
+    calls = {"n": 0}
+
+    def flaky_save(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        return real_save(*a, **kw)
+
+    monkeypatch.setattr(io_mod, "save_checkpoint", flaky_save)
+    out = mae.pretrain_from_config(dict(
+        outputpath=str(tmp_path / "exp"), train_data=str(tsv),
+        model="uit_xxxs", model_args={"target_length": 160, "depth": 1},
+        mask_ratio=0.75, decoder_depth=1,
+        batch_size=2, epochs=2, epoch_length=1, warmup_iters=1,
+        optimizer_args={"lr": 1e-4}, num_workers=0, seed=0, auto_resume=1,
+    ))
+    assert out.exists()
+    assert calls["n"] >= 3  # crashed once, resumed, finished
+    assert (tmp_path / "exp" / "mae" / "uit_xxxs" / "last.npz").exists()

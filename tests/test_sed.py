@@ -210,3 +210,32 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
     if len(df_ev):
         assert (df_ev["offset"] > df_ev["onset"]).all()
         assert df_ev["event"].between(0, 9).all()
+
+
+def test_sed_auto_resume_restarts_from_snapshot(tmp_path, sed_env, monkeypatch):
+    """auto_resume: a crash in the epoch-2 validation restarts from the
+    epoch-1 last.npz in the SAME run directory and completes."""
+    from uit_mobile_tpu.train import sed as sed_mod
+
+    real_f1 = sed_mod.segment_f1
+    calls = {"n": 0}
+
+    def flaky_f1(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        return real_f1(*a, **kw)
+
+    monkeypatch.setattr(sed_mod, "segment_f1", flaky_f1)
+    out = sed_mod.train_sed_from_config(dict(
+        outputpath=str(tmp_path / "exp"), model="uit_xxxs", num_classes=10,
+        model_args={"target_length": 102, "depth": 1, "init_bn": False},
+        strong_train_data=str(sed_env), basename=False,
+        batch_size=8, epochs=2, epoch_length=2, warmup_iters=1,
+        optimizer="AdamW", optimizer_args={"lr": 2e-3}, num_workers=0,
+        seed=0, config_stem="sed-resume", auto_resume=1,
+    ))
+    assert out.exists()
+    assert calls["n"] >= 3  # crashed once, resumed, finished
+    runs = list((tmp_path / "exp" / "sed-resume" / "uit_xxxs").iterdir())
+    assert len(runs) == 1 and (runs[0] / "last.npz").exists()

@@ -170,12 +170,43 @@ def forward(cfg: MAEConfig, params, state, wav, rng):
     return loss, new_state, {"mask": mask}
 
 
+def _pretrain_outdir(c: dict) -> Path:
+    return (Path(c.get("outputpath", "experiments")) / "mae"
+            / str(c.get("model", "uit_xs")))
+
+
 def pretrain_from_config(config: dict) -> Path:
-    """Run MAE pretraining; returns the snapshot usable as `pretrained:`."""
+    """Run MAE pretraining; returns the snapshot usable as `pretrained:`.
+
+    Honors ``resume: <last.npz>`` (lossless: params + optimizer moments +
+    epoch) and ``auto_resume: N`` — on a crash the run restarts from the
+    latest per-epoch ``last.npz`` in the (deterministic) output dir, up
+    to N times, same semantics as train.loop.train_from_config.
+    """
+    retries = int(config.get("auto_resume") or 0)
+    config = dict(config)
+    for attempt in range(retries + 1):
+        try:
+            return _pretrain_once(config)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            last = _pretrain_outdir(config) / "last.npz"
+            if attempt >= retries or not last.exists():
+                raise
+            log.exception(
+                f"MAE pretraining crashed (attempt {attempt + 1}/"
+                f"{retries + 1}); auto-resuming from {last}"
+            )
+            config["resume"] = str(last)
+    raise AssertionError("unreachable")
+
+
+def _pretrain_once(config: dict) -> Path:
     import optax
     import pandas as pd
 
-    from ..ckpt.io import save_checkpoint
+    from ..ckpt.io import load_training_state, save_checkpoint, save_training_state
     from ..data import DataLoader, UnlabeledRandomChunkedHDF5Dataset, read_tsv_data
     from .schedule import cosine_with_warmup
     from .steps import build_optimizer
@@ -216,11 +247,19 @@ def pretrain_from_config(config: dict) -> Path:
 
     jit_step = jax.jit(step, donate_argnums=(0, 1, 2))
     rng = jax.random.key(c.get("seed", 42))
-    outdir = Path(c.get("outputpath", "experiments")) / "mae" / str(c.get("model", "uit_xs"))
+    outdir = _pretrain_outdir(c)
     outdir.mkdir(parents=True, exist_ok=True)
 
+    start_epoch = 1
+    if c.get("resume"):
+        params, state, opt_state, _, extra = load_training_state(
+            c["resume"], opt_state)
+        start_epoch = int(extra.get("epoch", 0)) + 1
+        rng = jax.random.fold_in(rng, start_epoch)  # fresh mask stream
+        log.info(f"MAE resumed from {c['resume']} at epoch {start_epoch}")
+
     it = iter(loader)
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         losses = []
         t0 = time.time()
         for _ in range(epoch_length):
@@ -238,4 +277,7 @@ def pretrain_from_config(config: dict) -> Path:
                  f"({epoch_length / (time.time() - t0):.1f} it/s)")
         save_checkpoint(outdir / "mae_pretrained.npz", params, state, enc,
                         extra={"epoch": epoch, "mae": True})
+        save_training_state(  # lossless crash-resume point (auto_resume)
+            outdir / "last.npz", params, state, opt_state, enc,
+            extra={"epoch": epoch})
     return outdir / "mae_pretrained.npz"

@@ -51,9 +51,37 @@ def _segment_geometry(cfg):
 
 
 def train_sed_from_config(config: dict) -> Path:
+    """SED training; honors ``resume: <last.npz>`` (lossless) and
+    ``auto_resume: N`` — crash-restart from the per-epoch snapshot in the
+    SAME run directory, same semantics as train.loop.train_from_config."""
+    retries = int(config.get("auto_resume") or 0)
+    if not retries:
+        return _train_sed_once(config)
+    config = dict(config)
+    # pin the timestamped outputdir so restarts land in the same place
+    config["outputdir"] = str(_make_outputdir(config))
+    for attempt in range(retries + 1):
+        try:
+            return _train_sed_once(config)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            last = Path(config["outputdir"]) / "last.npz"
+            if attempt >= retries or not last.exists():
+                raise
+            log.exception(
+                f"SED training crashed (attempt {attempt + 1}/"
+                f"{retries + 1}); auto-resuming from {last}"
+            )
+            config["resume"] = str(last)
+    raise AssertionError("unreachable")
+
+
+def _train_sed_once(config: dict) -> Path:
     import jax
     import jax.numpy as jnp
 
+    from ..ckpt.io import load_training_state, save_training_state
     from ..ops import make_frontend_fn
 
     c = config
@@ -178,9 +206,18 @@ def train_sed_from_config(config: dict) -> Path:
     # ---- loop
     key = jax.random.key(c.get("seed", 42))
     best = -1.0
+    start_epoch = 1
+    if c.get("resume"):
+        params, state, opt_state, _, extra = load_training_state(
+            c["resume"], opt_state)
+        start_epoch = int(extra.get("epoch", 0)) + 1
+        best = float(extra.get("best", -1.0))
+        key = jax.random.fold_in(key, start_epoch)  # fresh augment stream
+        log.info(f"SED resumed from {c['resume']} at epoch {start_epoch} "
+                 f"(best segF1 {best:.4f})")
     best_path = outputdir / "best_sed.npz"
     it = iter(train_loader)
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         losses = []
         for _ in range(epoch_length):
             try:
@@ -206,6 +243,9 @@ def train_sed_from_config(config: dict) -> Path:
             save_checkpoint(best_path, params, state, cfg=cfg,
                             extra={"segment_f1_micro": best, "epoch": epoch,
                                    "run_config": _json_safe_config(c)})
+        save_training_state(  # lossless crash-resume point (auto_resume)
+            outputdir / "last.npz", params, state, opt_state, cfg,
+            extra={"epoch": epoch, "best": best})
     log.info(f"Best segment-F1 micro {best:.4f} -> {best_path}")
     log.removeHandler(handler)
     return best_path
