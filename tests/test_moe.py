@@ -170,10 +170,17 @@ def test_expert_parallel_train_step():
     wav = _wav(8, seed=6)
     tgt = jnp.asarray(
         (np.random.default_rng(7).random((8, 37)) < 0.1).astype(np.float32))
+    rng = jax.random.key(11)
 
-    # replicated single-device reference
+    # replicated single-device reference; train-mode BN must UPDATE the
+    # init_bn running stats (regression: the step used to run the eval
+    # forward, freezing them at random init forever)
     opt_state0 = opt.init(params)
-    _, _, want = jax.jit(step)(params, state, opt_state0, wav, tgt)
+    _, new_state, _, want = jax.jit(step)(
+        params, state, opt_state0, wav, tgt, rng)
+    drift = np.abs(np.asarray(new_state["init_bn"]["mean"])
+                   - np.asarray(state["init_bn"]["mean"])).max()
+    assert drift > 0.0, "train step left BN running stats untouched"
 
     mesh = make_expert_mesh(2, 4)
     ep_params, p_sh = ep_shard_params(mesh, params)
@@ -182,12 +189,13 @@ def test_expert_parallel_train_step():
     data = NamedSharding(mesh, P("data"))
     ep_step = jax.jit(
         step,
-        in_shardings=(p_sh, repl, opt_sh, data, data),
-        out_shardings=(p_sh, opt_sh, repl),
+        in_shardings=(p_sh, repl, opt_sh, data, data, repl),
+        out_shardings=(p_sh, repl, opt_sh, repl),
     )
-    new_params, _, metrics = ep_step(
+    new_params, _, _, metrics = ep_step(
         ep_params, jax.device_put(state, repl), ep_opt,
         jax.device_put(wav, data), jax.device_put(tgt, data),
+        jax.device_put(rng, repl),
     )
     assert float(metrics["grad_norm"]) > 0.0
     np.testing.assert_allclose(
@@ -197,3 +205,30 @@ def test_expert_parallel_train_step():
     if mu is not None:
         leaf = mu["blocks"][0]["moe"]["fc1"]["kernel"]
         assert len(leaf.sharding.device_set) > 1
+
+
+def test_moe_bf16_compute_dtype_engages():
+    """compute_dtype='bfloat16' must actually cast the MoE path (router
+    stays f32): the identical-experts forward still tracks the dense bf16
+    twin (regression: moe.block_forward was a drifted f32-only copy)."""
+    cfg, params, state = _tiny(capacity_factor=8.0,
+                               compute_dtype="bfloat16")
+    E = cfg.n_experts
+    dense_params = jax.tree.map(lambda a: a, params)
+    for blk, dblk in zip(params["blocks"], dense_params["blocks"]):
+        e0 = jax.tree.map(lambda a: a[0], blk["moe"])
+        blk["moe"]["fc1"] = jax.tree.map(
+            lambda a: jnp.stack([a[0]] * E), blk["moe"]["fc1"])
+        blk["moe"]["fc2"] = jax.tree.map(
+            lambda a: jnp.stack([a[0]] * E), blk["moe"]["fc2"])
+        del dblk["moe"]
+        dblk["mlp"] = {"fc1": e0["fc1"], "fc2": e0["fc2"]}
+    wav = _wav(3, seed=4)
+    got = np.asarray(models.apply(cfg, params, state, wav))
+    want = np.asarray(uit.forward(cfg.base, dense_params, state, wav))
+    np.testing.assert_allclose(got, want, atol=5e-3)  # bf16 products
+    # and it must NOT be bit-identical to the f32 MoE (the cast engages)
+    f32_cfg = dataclasses.replace(
+        cfg, base=dataclasses.replace(cfg.base, compute_dtype="float32"))
+    f32 = np.asarray(models.apply(f32_cfg, params, state, wav))
+    assert np.abs(got - f32).max() > 0.0

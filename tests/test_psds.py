@@ -156,3 +156,18 @@ def test_event_scorer_cttc_threshold():
                       cttc=0.2)
     sc2.add_clip(pred, ref)
     assert sc2.ct[(0, 1)] == 1
+
+
+def test_alpha_ct_requires_ct_inputs():
+    """alpha_ct > 0 without cross-trigger counts or reference durations
+    must refuse rather than silently report the unpenalized score."""
+    points = [{0: (10, 0, 0), 1: (10, 0, 0)}]
+    with pytest.raises(ValueError, match="ct_points"):
+        psds(points, duration_hours=1.0, alpha_ct=1.0)
+    with pytest.raises(ValueError, match="ref_duration_hours"):
+        psds(points, duration_hours=1.0, alpha_ct=1.0,
+             ct_points=[{(0, 1): 3}])
+    # fully-specified call still works
+    out = psds(points, duration_hours=1.0, alpha_ct=1.0,
+               ct_points=[{(0, 1): 3}], ref_duration_hours={0: 1.0, 1: 1.0})
+    assert 0.0 <= out["PSDS"] <= 1.0

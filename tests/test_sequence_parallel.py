@@ -75,3 +75,15 @@ def test_rejects_indivisible_tokens():
         assert "shards" in str(e)
     else:
         raise AssertionError("24 tokens over 5 shards should be rejected")
+
+
+def test_ring_short_clip_mean_pool():
+    """A shorter-than-target_length clip yields fewer tokens (16 vs the
+    grid's 24); the psum mean pool must divide by the ACTUAL count to
+    match the dense path (regression: it divided by the config grid N)."""
+    cfg, params, state = _tiny()
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.standard_normal((4, 10240)).astype(np.float32) * 0.1)
+    want = np.asarray(models.apply(cfg, params, state, wav))
+    fwd = sequence_parallel_forward(cfg, params, state, make_seq_mesh(4))
+    np.testing.assert_allclose(np.asarray(fwd(wav)), want, atol=2e-5)

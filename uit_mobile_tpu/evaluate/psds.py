@@ -108,9 +108,22 @@ def psds(points: Sequence[OperatingPoint], *, duration_hours: float,
     if not classes:
         return {"PSDS": 0.0, "_psd_roc": {}, "_per_class_auc": {}}
     extra = None
-    if alpha_ct and ct_points is not None:
+    if alpha_ct:
+        # a silently-dropped penalty would report the unpenalized (higher)
+        # score under the cross-trigger-penalized metric's name — refuse
+        if ct_points is None:
+            raise ValueError(
+                "alpha_ct > 0 needs ct_points (per-threshold cross-trigger "
+                "counts from EventScorer(count_cross_triggers=True).ct)"
+            )
         assert len(ct_points) == len(points), "one ct mapping per point"
         durs = dict(ref_duration_hours or {})
+        if not any(durs.get(c, 0.0) > 0 for c in classes):
+            raise ValueError(
+                "alpha_ct > 0 needs ref_duration_hours with positive "
+                "reference-event durations (EventScorer.ref_duration/3600) "
+                "— without them every cross-trigger term is dropped"
+            )
         others = {c: [c2 for c2 in classes if c2 != c and durs.get(c2, 0.0) > 0]
                   for c in classes}
         extra = [

@@ -32,13 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import uit
-from .common import (
-    ACTIVATIONS,
-    layer_norm,
-    linear,
-    linear_init,
-    multihead_attention,
-)
+from .common import ACTIVATIONS, layer_norm, linear_init
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,7 +60,9 @@ class MoEUITConfig:
         assert self.n_experts >= 1 and 1 <= self.top_k <= self.n_experts
         assert self.base.pooling == "mean", "MoE factories ship 'mean' pooling"
 
-    # registry-facing conveniences mirror UITConfig
+    # registry-facing conveniences mirror UITConfig (harness paths read
+    # these unguarded — e.g. Evaluator.test_sample uses cfg.target_length
+    # and pad_to_target silently no-ops without it)
     @property
     def outputdim(self) -> int:
         return self.base.outputdim
@@ -74,6 +70,18 @@ class MoEUITConfig:
     @property
     def frontend(self):
         return self.base.frontend
+
+    @property
+    def target_length(self) -> int:
+        return self.base.target_length
+
+    @property
+    def mel_layout(self) -> str:
+        return self.base.mel_layout
+
+    @property
+    def compute_dtype(self) -> str:
+        return self.base.compute_dtype
 
 
 def init(cfg: MoEUITConfig, rng) -> tuple[dict, dict]:
@@ -127,10 +135,17 @@ def moe_mlp(cfg: MoEUITConfig, p, x):
         y          = combine . expert_out  (G, S, D)
 
     aux = E * sum_e f_e * P_e  (Switch load-balancing: f = fraction of
-    tokens whose TOP-1 choice is e, P = mean router prob for e)."""
+    tokens whose TOP-1 choice is e, P = mean router prob for e).
+
+    compute_dtype='bfloat16' casts the expert matmuls (the FLOPs) like
+    the dense mlp does; the router softmax/top-k and the combine
+    bookkeeping stay f32 (the GShard/Switch convention — routing
+    decisions are precision-sensitive, expert GEMMs are not)."""
     B, N, D = x.shape
     T = B * N
     E, k = cfg.n_experts, cfg.top_k
+    cdt = (jnp.bfloat16 if cfg.base.compute_dtype == "bfloat16"
+           else jnp.float32)
     S = _group_size(cfg, B, N)
     G = T // S
     C = max(1, min(int(np.ceil(k * S / E * cfg.capacity_factor)), k * S))
@@ -157,16 +172,17 @@ def moe_mlp(cfg: MoEUITConfig, p, x):
         counts = counts + oh.sum(axis=1)
     dispatch = (combine > 0).astype(jnp.float32)
 
-    expert_in = jnp.einsum("gsec,gsd->egcd", dispatch, xt.astype(jnp.float32))
+    expert_in = jnp.einsum("gsec,gsd->egcd", dispatch.astype(cdt),
+                           xt.astype(cdt))
     h = ACTIVATIONS[cfg.base.act](
-        jnp.einsum("egcd,edh->egch", expert_in, p["fc1"]["kernel"])
-        + p["fc1"]["bias"][:, None, None, :]
+        jnp.einsum("egcd,edh->egch", expert_in, p["fc1"]["kernel"].astype(cdt))
+        + p["fc1"]["bias"].astype(cdt)[:, None, None, :]
     )
     out_e = (
-        jnp.einsum("egch,ehd->egcd", h, p["fc2"]["kernel"])
-        + p["fc2"]["bias"][:, None, None, :]
+        jnp.einsum("egch,ehd->egcd", h, p["fc2"]["kernel"].astype(cdt))
+        + p["fc2"]["bias"].astype(cdt)[:, None, None, :]
     )
-    y = jnp.einsum("gsec,egcd->gsd", combine, out_e)
+    y = jnp.einsum("gsec,egcd->gsd", combine.astype(cdt), out_e)
 
     f = jax.nn.one_hot(topi[:, :, 0], E, dtype=jnp.float32).mean(axis=(0, 1))
     P = gates.mean(axis=(0, 1))
@@ -174,58 +190,79 @@ def moe_mlp(cfg: MoEUITConfig, p, x):
     return y.reshape(B, N, D).astype(x.dtype), aux
 
 
-def block_forward(cfg: MoEUITConfig, blk, x):
-    """uit.block_forward's eval math with the MLP routed: returns
-    (tokens, aux_loss)."""
-    b = cfg.base
-    h = layer_norm(blk["norm1"], x.astype(jnp.float32), eps=1e-6)
-    h = multihead_attention(
-        blk["attn"], h, num_heads=b.num_heads, scale=b.attn_scale,
-        inner_dim=b.inner_dim, causal=b.causal,
+def block_forward(cfg: MoEUITConfig, blk, x, *, dpr_i=0.0, rngs=None,
+                  train=False):
+    """uit.block_forward with the MLP routed (via its ``mlp_fn`` hook —
+    the casting/DropPath/LayerScale math is uit's own, not a copy):
+    returns (tokens, aux_loss)."""
+    return uit.block_forward(
+        cfg.base, blk, x, dpr_i=dpr_i, rngs=rngs, train=train,
+        mlp_fn=lambda b_, h: moe_mlp(cfg, b_["moe"], h),
     )
-    if "ls1" in blk:
-        h = h * blk["ls1"]["gamma"]
-    x = x + h
-    h = layer_norm(blk["norm2"], x.astype(jnp.float32), eps=1e-6)
-    h, aux = moe_mlp(cfg, blk["moe"], h)
-    if "ls2" in blk:
-        h = h * blk["ls2"]["gamma"]
-    return x + h, aux
 
 
-def _encode(cfg: MoEUITConfig, params, state, mel):
-    """(B, n_mels, T<=target) mel -> ((B, outputdim) probs, mean aux)."""
+def _encode(cfg: MoEUITConfig, params, state, mel, *, train=False,
+            rng=None):
+    """(B, n_mels, T<=target) mel -> ((B, outputdim) probs, mean aux,
+    new_state). Train mode mirrors uit.forward: batch-stat init_bn with
+    running-stat updates (momentum 0.01), dropout/DropPath streams from
+    ``rng``; eval uses inference BN and new_state is ``state``."""
+    import numpy as _np
+
+    from .common import batch_norm_train
+
     b = cfg.base
-    x = uit.apply_init_bn(b, params, state, mel)
+    new_state = state
+    if train and b.init_bn:
+        x, bn_state = batch_norm_train(
+            params["init_bn"], state["init_bn"], mel, axis=-2, momentum=0.01
+        )
+        new_state = dict(state, init_bn=bn_state)
+    else:
+        x = uit.apply_init_bn(b, params, state, mel)
     x = uit.patch_embed(b, params["patch_embed"], x)
-    x, _, _ = uit._prepare_tokens(b, params, x)
+    x, _, rng = uit._prepare_tokens(b, params, x, train=train, rng=rng)
     aux_total = 0.0
-    for blk in params["blocks"]:
-        x, aux = block_forward(cfg, blk, x)
+    dpr = _np.linspace(0.0, b.drop_path_rate, b.depth)
+    for i, blk in enumerate(params["blocks"]):
+        if rng is not None:
+            rng, r_attn, r_mlp, r_dp1, r_dp2 = jax.random.split(rng, 5)
+            rngs = (r_attn, r_mlp, r_dp1, r_dp2)
+        else:
+            rngs = None
+        x, aux = block_forward(cfg, blk, x, dpr_i=float(dpr[i]), rngs=rngs,
+                               train=train)
         aux_total = aux_total + aux
     x = layer_norm(params["norm"], x.astype(jnp.float32), eps=1e-6)
     probs = uit.forward_head(b, params, x)
-    return probs, aux_total / b.depth
+    return probs, aux_total / b.depth, new_state
 
 
 def forward_with_aux(cfg: MoEUITConfig, params, state, wav, *,
+                     train: bool = False, rng=None,
                      frontend_fn: Optional[Callable] = None):
-    """(B, T_wav) waveform -> ((B, outputdim) probs, aux_loss). Long clips
-    take the reference crop rule (windows fold into batch; aux averages
-    over crops with everything else)."""
+    """(B, T_wav) waveform -> ((B, outputdim) probs, aux_loss, new_state).
+    Eval: long clips take the reference crop rule (windows fold into
+    batch; aux averages over crops with everything else) and new_state
+    is ``state`` unchanged. Train (single-window, like uit.forward's
+    train path): init_bn runs on batch stats and new_state carries the
+    updated running statistics — training through the eval BN would
+    leave the running stats at their random init forever."""
     b = cfg.base
     assert b.mel_layout == "bft", "MoE forward runs the canonical 'bft' layout"
+    if train and rng is None:
+        rng = jax.random.key(0)
     fe = frontend_fn or (lambda w: uit.log_mel_spectrogram(w, b.frontend))
     mel = fe(wav)
-    if mel.shape[-1] > b.target_length:
+    if (not train) and mel.shape[-1] > b.target_length:
         crops, n_crops = uit.chunk_long_mel(b, mel)
-        probs, aux = _encode(cfg, params, state, crops)
+        probs, aux, _ = _encode(cfg, params, state, crops)
         probs = probs.reshape(-1, n_crops, b.outputdim)
         probs = (
             probs.mean(axis=1) if b.eval_avg == "mean" else probs.max(axis=1)
         )
-        return probs, aux
-    return _encode(cfg, params, state, mel)
+        return probs, aux, state
+    return _encode(cfg, params, state, mel, train=train, rng=rng)
 
 
 def forward(cfg: MoEUITConfig, params, state, wav, *,

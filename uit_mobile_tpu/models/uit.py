@@ -374,11 +374,16 @@ def _prepare_tokens(cfg: UITConfig, params, x, *, train=False, rng=None,
 
 
 def block_forward(cfg: UITConfig, blk, x, *, dpr_i=0.0, rngs=None,
-                  train=False, token_mask=None):
+                  train=False, token_mask=None, mlp_fn=None):
     """One pre-LN transformer block (attention + MLP, LayerScale,
     DropPath): (B, N, D) -> (B, N, D). The loop body of _finish_features;
     also the scan body parallel/pp.py pipelines over stacked block params.
-    ``rngs`` = (attn, mlp, drop_path1, drop_path2) keys or None (eval)."""
+    ``rngs`` = (attn, mlp, drop_path1, drop_path2) keys or None (eval).
+
+    ``mlp_fn``: optional MLP replacement hook ``(blk, h) -> (h, aux)``
+    (models/moe.py routes experts through it) — keeps every variant on
+    THIS block's casting/DropPath/LayerScale math instead of a drifting
+    copy. With mlp_fn the return value is ``(tokens, aux)``."""
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     cast = (lambda t: jax.tree.map(lambda a: a.astype(cdt), t)) if cdt != jnp.float32 else (lambda t: t)
     r_attn, r_mlp, r_dp1, r_dp2 = rngs if rngs is not None else (None,) * 4
@@ -395,12 +400,18 @@ def block_forward(cfg: UITConfig, blk, x, *, dpr_i=0.0, rngs=None,
         h = h * blk["ls1"]["gamma"].astype(cdt)
     x = x + drop_path(r_dp1, h, dpr_i, deterministic=not train)
     h = layer_norm(blk["norm2"], x.astype(jnp.float32), eps=1e-6).astype(cdt)
-    h = mlp(cast(blk["mlp"]), h,
-            act=cfg.act, drop=cfg.drop_rate, rng=r_mlp,
-            deterministic=not train)
+    aux = None
+    if mlp_fn is not None:
+        h, aux = mlp_fn(blk, h)
+        h = h.astype(cdt)
+    else:
+        h = mlp(cast(blk["mlp"]), h,
+                act=cfg.act, drop=cfg.drop_rate, rng=r_mlp,
+                deterministic=not train)
     if "ls2" in blk:
         h = h * blk["ls2"]["gamma"].astype(cdt)
-    return x + drop_path(r_dp2, h, dpr_i, deterministic=not train)
+    out = x + drop_path(r_dp2, h, dpr_i, deterministic=not train)
+    return out if mlp_fn is None else (out, aux)
 
 
 def _finish_features(cfg: UITConfig, params, x, *, train=False, rng=None,

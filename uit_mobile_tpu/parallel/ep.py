@@ -35,7 +35,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import moe
-from .tp import _fit_spec, make_mesh_2d, sharded_opt_init  # noqa: F401
+from .tp import make_mesh_2d, place_params, sharded_opt_init  # noqa: F401
 
 
 def make_expert_mesh(n_data: int, n_expert: int,
@@ -63,13 +63,9 @@ def ep_param_specs(params, *, expert_axis: str = "expert"):
 
 def ep_shard_params(mesh: Mesh, params, *, expert_axis: str = "expert"):
     """device_put ``params`` per ``ep_param_specs`` (non-divisible expert
-    counts replicated, tp._fit_spec); returns (sharded_params,
-    sharding_tree)."""
-    specs = ep_param_specs(params, expert_axis=expert_axis)
-    shardings = jax.tree.map(
-        lambda leaf, s: NamedSharding(mesh, _fit_spec(s, leaf.shape, mesh)),
-        params, specs, is_leaf=lambda x: isinstance(x, P))
-    return jax.device_put(params, shardings), shardings
+    counts replicated); returns (sharded_params, sharding_tree)."""
+    return place_params(mesh, params,
+                        ep_param_specs(params, expert_axis=expert_axis))
 
 
 def expert_parallel_forward(cfg, params, state, mesh: Mesh, *,
@@ -90,25 +86,31 @@ def expert_parallel_forward(cfg, params, state, mesh: Mesh, *,
 
 def make_moe_train_step(cfg, optimizer):
     """BCE + router-aux train step for the MoE variant:
-    ``step(params, state, opt_state, wav, target) ->
-    (params, opt_state, metrics)``. Jit it with ep_shard_params /
+    ``step(params, state, opt_state, wav, target, rng) ->
+    (params, state, opt_state, metrics)``. Jit it with ep_shard_params /
     sharded_opt_init shardings for expert-parallel training — gradients
-    of sharded expert banks reduce-scatter back to their owners."""
+    of sharded expert banks reduce-scatter back to their owners.
 
-    def loss_fn(params, state, wav, target):
-        probs, aux = moe.forward_with_aux(cfg, params, state, wav)
-        eps = 1e-7  # reference BCELoss clamps probs (run.py:157-158 semantics)
-        p = jnp.clip(probs, eps, 1.0 - eps)
-        bce = -(target * jnp.log(p) + (1 - target) * jnp.log1p(-p)).mean()
-        return bce + cfg.router_aux_weight * aux, (bce, aux)
+    Runs the TRAIN-mode forward (moe.forward_with_aux train=True): the
+    init_bn normalizes on batch stats and the returned ``state`` carries
+    its updated running statistics (training through the eval forward
+    would freeze them at their random init); ``rng`` drives the
+    dropout/DropPath streams when the config enables them."""
+    from ..train.steps import bce_loss  # the reference-parity clamped BCE
 
-    def step(params, state, opt_state, wav, target):
-        (loss, (bce, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, state, wav, target)
+    def loss_fn(params, state, wav, target, rng):
+        probs, aux, new_state = moe.forward_with_aux(
+            cfg, params, state, wav, train=True, rng=rng)
+        bce = bce_loss(probs, target)
+        return bce + cfg.router_aux_weight * aux, (bce, aux, new_state)
+
+    def step(params, state, opt_state, wav, target, rng):
+        (loss, (bce, aux, state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, wav, target, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
-        return params, opt_state, {
+        return params, state, opt_state, {
             "total_loss": loss, "bce": bce, "aux": aux, "grad_norm": gnorm,
         }
 

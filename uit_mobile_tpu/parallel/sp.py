@@ -74,50 +74,56 @@ def _ring_attention(p, x_loc, *, num_heads: int, scale: float,
     h, hd = num_heads, inner_dim // num_heads
     qkv = linear(p["qkv"], x_loc)  # (B, n_loc, 3*inner)
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    head_outs = []
-    for i in range(h):
-        q = qkv[..., i * hd:(i + 1) * hd].astype(jnp.float32)
-        k = qkv[..., inner_dim + i * hd:
-                inner_dim + (i + 1) * hd].astype(jnp.float32)
-        v = qkv[..., 2 * inner_dim + i * hd:
-                2 * inner_dim + (i + 1) * hd].astype(jnp.float32)
 
-        def fold(k_blk, v_blk, m, l, o):
-            logits = jnp.einsum("bnd,bmd->bnm", q, k_blk) * scale
-            m_new = jnp.maximum(m, logits.max(axis=-1))
-            c = jnp.exp(m - m_new)
-            pexp = jnp.exp(logits - m_new[..., None])
-            l = c * l + pexp.sum(axis=-1)
-            o = c[..., None] * o + jnp.einsum("bnm,bmd->bnd", pexp, v_blk)
-            return m_new, l, o
+    def split_heads(t):  # (B, n_loc, inner) -> (B, h, n_loc, hd); head i
+        # = columns [i*hd:(i+1)*hd], the multihead_attention layout
+        return t.reshape(B, n_loc, h, hd).transpose(0, 2, 1, 3) \
+                .astype(jnp.float32)
 
-        def hop(carry, _):
-            k_blk, v_blk, m, l, o = carry
-            m, l, o = fold(k_blk, v_blk, m, l, o)
-            k_blk = lax.ppermute(k_blk, axis, perm)
-            v_blk = lax.ppermute(v_blk, axis, perm)
-            return (k_blk, v_blk, m, l, o), None
+    q = split_heads(qkv[..., :inner_dim])
+    k = split_heads(qkv[..., inner_dim:2 * inner_dim])
+    v = split_heads(qkv[..., 2 * inner_dim:])
 
-        # accumulators become device-varying at hop 0 (derived from the
-        # varying q) — declare them so upfront, over EVERY mesh axis the
-        # inputs vary on (seq + any data axis), for shard_map's vma typing
-        va = tuple(varying_axes) if varying_axes else (axis,)
-        m0 = lax.pcast(
-            jnp.full((B, n_loc), -jnp.inf, jnp.float32), va, to="varying"
-        )
-        l0 = lax.pcast(jnp.zeros((B, n_loc), jnp.float32), va, to="varying")
-        o0 = lax.pcast(
-            jnp.zeros((B, n_loc, hd), jnp.float32), va, to="varying"
-        )
-        # S-1 (fold, rotate) hops, then one final fold WITHOUT the rotate:
-        # the last rotation's K/V would never be read (n_shards dead
-        # ppermute pairs per head per block otherwise)
-        (k, v, m, l, o), _ = lax.scan(
-            hop, (k, v, m0, l0, o0), None, length=n_shards - 1
-        )
-        _, l, o = fold(k, v, m, l, o)
-        head_outs.append(o / l[..., None])
-    out = head_outs[0] if h == 1 else jnp.concatenate(head_outs, axis=-1)
+    def fold(k_blk, v_blk, m, l, o):
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k_blk) * scale
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        c = jnp.exp(m - m_new)
+        pexp = jnp.exp(logits - m_new[..., None])
+        l = c * l + pexp.sum(axis=-1)
+        o = c[..., None] * o + jnp.einsum("bhnm,bhmd->bhnd", pexp, v_blk)
+        return m_new, l, o
+
+    def hop(carry, _):
+        k_blk, v_blk, m, l, o = carry
+        m, l, o = fold(k_blk, v_blk, m, l, o)
+        k_blk = lax.ppermute(k_blk, axis, perm)
+        v_blk = lax.ppermute(v_blk, axis, perm)
+        return (k_blk, v_blk, m, l, o), None
+
+    # ONE ring for all heads: the full (B, h, n_loc, hd) K/V blocks rotate
+    # together and every head folds inside the hop body — 2*(S-1)
+    # collectives per block instead of 2*h*(S-1) (the per-head rings
+    # serialize on the same mesh axis, so this divides ring latency by h
+    # while moving the same bytes).
+    # Accumulators become device-varying at hop 0 (derived from the
+    # varying q) — declare them so upfront, over EVERY mesh axis the
+    # inputs vary on (seq + any data axis), for shard_map's vma typing.
+    va = tuple(varying_axes) if varying_axes else (axis,)
+    m0 = lax.pcast(
+        jnp.full((B, h, n_loc), -jnp.inf, jnp.float32), va, to="varying"
+    )
+    l0 = lax.pcast(jnp.zeros((B, h, n_loc), jnp.float32), va, to="varying")
+    o0 = lax.pcast(
+        jnp.zeros((B, h, n_loc, hd), jnp.float32), va, to="varying"
+    )
+    # S-1 (fold, rotate) hops, then one final fold WITHOUT the rotate:
+    # the last rotation's K/V would never be read (n_shards dead
+    # ppermute pairs per block otherwise)
+    (k, v, m, l, o), _ = lax.scan(
+        hop, (k, v, m0, l0, o0), None, length=n_shards - 1
+    )
+    _, l, o = fold(k, v, m, l, o)
+    out = (o / l[..., None]).transpose(0, 2, 1, 3).reshape(B, n_loc, inner_dim)
     return linear(p["proj"], out.astype(x_loc.dtype))
 
 
@@ -184,8 +190,11 @@ def sequence_parallel_forward(cfg, params, state, mesh: Mesh, *,
             x = _sp_block(cfg, blk, x, axis=seq_axis, n_shards=S,
                           varying_axes=va)
         x = layer_norm(prms["norm"], x.astype(jnp.float32), eps=1e-6)
-        # mean pool = one psum of local sums (replicates over the ring)
-        return lax.psum(x.sum(axis=1), seq_axis) / N
+        # mean pool = one psum of local sums (replicates over the ring);
+        # divide by the ACTUAL token count (local x S), not the config
+        # grid N — a shorter-than-target_length clip yields fewer tokens
+        # and must match the dense path's x.mean(axis=1)
+        return lax.psum(x.sum(axis=1), seq_axis) / (x.shape[1] * S)
 
     sp_encoder = jax.shard_map(
         encoder, mesh=mesh, in_specs=(P(), tok_spec), out_specs=out_spec
