@@ -61,9 +61,17 @@ def stack_block_params(params):
     """List-of-block-dicts -> one pytree with a leading depth axis.
 
     Valid because every block has the same structure (init gives all
-    blocks LayerScale or none — models/uit.init)."""
+    blocks LayerScale or none — models/uit.init). Stacks on the HOST
+    (np.stack): the whole point of the pipeline layout is weights too
+    big for one chip, so the stacked tree must never materialize on a
+    single device — device_put with the P('pipe') sharding then uploads
+    each stage's slice straight to its owner."""
+    import numpy as np
+
     blocks = list(params["blocks"])
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks
+    )
 
 
 def _gpipe_encoder(cfg, pipe_axis: str, n_stages: int, n_microbatches: int):
@@ -170,7 +178,16 @@ def pipeline_forward(cfg, params, state, mesh: Mesh, *,
         x = uit.patch_embed(cfg, rest["patch_embed"], x)
         x, _, _ = uit._prepare_tokens(cfg, rest, x)
         B, N, D = x.shape
-        assert B % M == 0, f"batch {B} must divide {M} microbatches"
+        assert B % M == 0, (
+            f"microbatch count {M} must divide the batch ({B})"
+        )
+        if data_axis:
+            nd = int(mesh.shape[data_axis])
+            assert (B // M) % nd == 0, (
+                f"microbatch rows {B // M} (batch {B} / {M} microbatches) "
+                f"must divide the '{data_axis}' axis ({nd}) — raise the "
+                f"batch or lower the microbatch count"
+            )
         xs = x.reshape(M, B // M, N, D)
         xs = pp_blocks(stacked, xs)
         x = xs.reshape(B, N, D)

@@ -48,7 +48,6 @@ ICI, which is the layout the collectives want.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np
@@ -103,11 +102,10 @@ def tp_param_specs(params, *, model_axis: str = "model",
     checkpoint layout byte-stable and replicate)."""
 
     def walk(path, leaf):
-        keys = tuple(
-            k.key if hasattr(k, "key") else str(getattr(k, "idx", k))
-            for k in path
-        )
-        return _spec_for(keys, leaf, model_axis, shard_attention)
+        # same extractor as sharded_opt_init's suffix matching — the two
+        # MUST agree or moments silently fall back to replicated
+        return _spec_for(_path_keys(path), leaf, model_axis,
+                         shard_attention)
 
     return jax.tree_util.tree_map_with_path(walk, params)
 
@@ -207,7 +205,8 @@ def tensor_parallel_forward(apply_fn, mesh: Mesh, params, state, *,
 
     def fn(wav):
         assert wav.shape[0] % n_batch == 0, (
-            f"batch {wav.shape[0]} must divide the data axis ({n_batch})"
+            f"the '{data_axis}' axis ({n_batch}) must divide the batch "
+            f"({wav.shape[0]})"
         )
         return jitted(params, state, wav)
 
