@@ -336,3 +336,27 @@ def test_trainer_validate_buckets_shapes(tmp_path):
     tr.config["valid_bucket_seconds"] = None
     tr._validate(fake_eval_step, None, None, loader, epoch=2)
     assert len(set(seen_shapes)) == 4, seen_shapes
+
+
+def test_make_loss_ce_weight_plus_smoothing_matches_torch():
+    """weight AND label_smoothing together: torch divides by sum(w[y_n])
+    with smoothing kept OUT of the denominator (regression: the smoothed
+    target mass leaked in, silently rescaling the loss)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(5)
+    p = rng.uniform(0.01, 0.99, (8, 5)).astype(np.float32)
+    idx = rng.integers(0, 5, size=8)
+    onehot = np.eye(5, dtype=np.float32)[idx]
+    w = rng.uniform(0.2, 2.0, (5,)).astype(np.float32)
+    got = float(
+        make_loss("CrossEntropyLoss", weight=w, label_smoothing=0.1)(
+            jnp.asarray(p), jnp.asarray(onehot)
+        )
+    )
+    want = float(
+        torch.nn.CrossEntropyLoss(weight=torch.from_numpy(w),
+                                  label_smoothing=0.1)(
+            torch.from_numpy(np.log(p)), torch.from_numpy(idx)
+        )
+    )
+    assert abs(got - want) < 1e-5

@@ -52,8 +52,16 @@ def test_service_rejects_too_long(model):
     cfg, params, state = model
     with TaggingService(cfg, params, state,
                         ServiceConfig(batch_size=2, max_seconds=1, warmup=False)) as svc:
-        with pytest.raises(AssertionError, match="max_seconds"):
+        # ValueError, not assert: must still reject under python -O (an
+        # unchecked overlong clip would kill the worker thread downstream)
+        with pytest.raises(ValueError, match="max_seconds"):
             svc.submit(np.zeros(32000, np.float32))
+        # multichannel audio must be rejected, not silently flattened into
+        # a channel-concatenated mono stream
+        with pytest.raises(ValueError, match="mono"):
+            svc.submit(np.zeros((2, 8000), np.float32))
+        # (1, T) from data.read_wav is accepted
+        assert svc.submit(np.zeros((1, 8000), np.float32)) is not None
 
 
 def test_service_dispatch_does_not_block_on_results(model):
@@ -304,3 +312,34 @@ def test_service_full_batch_never_waits_for_scan_company(model):
         dt = time.perf_counter() - t0
     # well under the 5 s window (CPU forward takes ~tens of ms)
     assert dt < 2.0, f"full batch waited {dt:.2f}s for scan company"
+
+
+def test_service_survives_dispatch_failure(model):
+    """A host-side dispatch failure fails THOSE futures and leaves the
+    worker alive for subsequent requests (regression: an unguarded
+    exception killed the thread, stranding every later Future)."""
+    cfg, params, state = model
+    with TaggingService(cfg, params, state,
+                        ServiceConfig(batch_size=2, max_seconds=1,
+                                      warmup=False, max_wait_ms=10.0)) as svc:
+        real_fwd = svc._fwd
+
+        def boom(x):
+            raise RuntimeError("injected dispatch failure")
+
+        svc._fwd = boom
+        f1 = svc.submit(np.zeros(16000, np.float32))
+        with pytest.raises(RuntimeError, match="injected"):
+            f1.result(timeout=30)
+        svc._fwd = real_fwd
+        f2 = svc.submit(np.zeros(16000, np.float32))
+        assert f2.result(timeout=60).shape == (537,)
+
+
+def test_service_close_without_started_worker(model):
+    """close() on a never-started service must not raise."""
+    cfg, params, state = model
+    svc = TaggingService(cfg, params, state,
+                         ServiceConfig(batch_size=2, max_seconds=1,
+                                       warmup=False), _start_worker=False)
+    svc.close()

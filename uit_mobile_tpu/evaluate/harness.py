@@ -195,6 +195,19 @@ class Evaluator:
 
     # -------------------------------------------------------------- inference
 
+    @staticmethod
+    def _pad_wav_to_target(cfg, wav):
+        """The reference's eval pad rule (evaluate.py:253-260): pad the
+        waveform until the mel reaches target_length-1 frames. The
+        fractional frame count and the int() truncation are pinned parity
+        quirks — this is the ONE copy both eval paths share."""
+        t_len = cfg.target_length - 1
+        n_frames = wav.shape[-1] / cfg.frontend.hop_length
+        if n_frames < t_len:
+            diff = int((t_len - n_frames) * cfg.frontend.hop_length)
+            wav = np.pad(wav, ((0, 0), (0, diff)))
+        return wav
+
     def _run_epoch(self, df, num_classes: int, pad_to_target: bool = False):
         cfg, params, state = self._setup()
         ds = WeakHDF5Dataset(df, num_classes=num_classes, dtype=self.dtype)
@@ -237,11 +250,7 @@ class Evaluator:
         for batch in loader:
             wav = batch["wav"]
             if pad_to_target and hasattr(cfg, "target_length"):
-                t_len = cfg.target_length - 1
-                n_frames = wav.shape[-1] / cfg.frontend.hop_length
-                if n_frames < t_len:
-                    diff = int((t_len - n_frames) * cfg.frontend.hop_length)
-                    wav = np.pad(wav, ((0, 0), (0, diff)))
+                wav = self._pad_wav_to_target(cfg, wav)
             if self.bucket_seconds:
                 step = int(self.bucket_seconds * cfg.frontend.sample_rate)
                 target_len = -(-wav.shape[-1] // step) * step
@@ -256,6 +265,14 @@ class Evaluator:
             if len(buf) == scan_k:
                 flush_buf()
         flush_buf()
+        if not preds:
+            raise ValueError(
+                f"evaluation produced zero batches from {len(df)} manifest "
+                f"rows — check the manifest path and the basename setting "
+                f"(a basename mismatch between manifest filenames and HDF5 "
+                f"keys filters every row; gsc() reads it from the "
+                f"checkpoint's run_config)"
+            )
         preds = [np.asarray(p) for p in preds]
         return np.concatenate(preds), np.concatenate(targets)
 
@@ -576,12 +593,7 @@ class Evaluator:
         cfg, params, state = self._setup(experiment_path)
         wav, sr = read_wav(sample)
         assert sr == cfg.frontend.sample_rate
-        wav = wav[:1]
-        t_len = cfg.target_length - 1
-        n_frames = wav.shape[-1] / cfg.frontend.hop_length
-        if n_frames < t_len:
-            diff = int((t_len - n_frames) * cfg.frontend.hop_length)
-            wav = np.pad(wav, ((0, 0), (0, diff)))
+        wav = self._pad_wav_to_target(cfg, wav[:1])
         pred = self._fwd(wav)[0]
         top = np.argsort(pred)[::-1][:topk]
         for idx in top:

@@ -173,13 +173,26 @@ class TaggingService:
         both directions for int16-sourced audio)."""
         from ..frontend import normalize_pcm16, quantize_pcm16
 
-        wav = np.asarray(wav).reshape(-1)
+        wav = np.asarray(wav)
+        if wav.ndim == 2 and wav.shape[0] == 1:
+            wav = wav[0]  # (1, T) from data.read_wav
+        if wav.ndim != 1:
+            raise ValueError(
+                f"submit takes one mono clip shaped (T,) or (1, T); got "
+                f"{wav.shape} — downmix or split multichannel audio first "
+                f"(a flattened (C, T) would score channel-concatenated "
+                f"garbage)"
+            )
         if wav.dtype != self._np_dtype:
             wav = (quantize_pcm16(wav) if self._np_dtype == np.int16
                    else normalize_pcm16(wav))
-        assert wav.shape[0] <= self.cfg.max_seconds * self.cfg.sample_rate, (
-            f"clip longer than max_seconds={self.cfg.max_seconds}"
-        )
+        if wav.shape[0] > self.cfg.max_seconds * self.cfg.sample_rate:
+            # a real raise (not assert): under python -O a too-long clip
+            # would otherwise kill the worker thread in _bucket_of
+            raise ValueError(
+                f"clip of {wav.shape[0]} samples exceeds max_seconds="
+                f"{self.cfg.max_seconds}"
+            )
         fut: Future = Future()
         # the closed-check and enqueue must be atomic against close()'s
         # sentinel put: otherwise a submit preempted between them can land
@@ -200,11 +213,18 @@ class TaggingService:
                 return
             self._closed = True
             self._q.put(None)  # FIFO: everything submitted before is ahead
-        self._worker.join(timeout=60)
-        self._completer.join(timeout=60)
-        # A submit() racing with close() can land behind the worker's final
-        # drain; never strand its Future — cancel it so result() raises
-        # instead of hanging.
+        if self._worker.ident is not None:  # never started: nothing to join
+            self._worker.join(timeout=60)
+        if self._completer.ident is not None:
+            self._completer.join(timeout=60)
+        if self._worker.is_alive():
+            # join timed out but the worker is still draining (e.g. a slow
+            # remote compile): the queued pre-close requests are ITS to
+            # resolve — cancelling them here would fail legitimately
+            # submitted work the worker will still complete
+            return
+        # worker is gone; anything still queued can never be served —
+        # cancel so result() raises instead of hanging forever
         while True:
             try:
                 item = self._q.get_nowait()
@@ -231,6 +251,25 @@ class TaggingService:
         raise ValueError(n)
 
     def _run(self):
+        # the completer must ALWAYS get its sentinel — a worker that dies
+        # without it leaves _complete (and close()) hanging forever
+        try:
+            self._run_loop()
+        finally:
+            self._done_q.put(None)
+
+    def _guarded_dispatch(self, pending, jnp):
+        """_dispatch with a last-resort guard: a host-side failure fails
+        THESE futures instead of killing the worker thread (which would
+        strand every pending and future request)."""
+        try:
+            self._dispatch(pending, jnp)
+        except Exception as e:
+            for _, fut in pending:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def _run_loop(self):
         import time
 
         jnp = self._jnp
@@ -267,7 +306,7 @@ class TaggingService:
                     shutdown = True
                     break
                 pending.append(nxt)
-            self._dispatch(pending, jnp)
+            self._guarded_dispatch(pending, jnp)
         # sentinel received: drain requests that were already queued behind
         # it (submitted concurrently with close()) so their Futures resolve
         leftovers = []
@@ -279,18 +318,24 @@ class TaggingService:
             if nxt is not None:
                 leftovers.append(nxt)
         if leftovers:
-            self._dispatch(leftovers, jnp)
-        self._done_q.put(None)
+            self._guarded_dispatch(leftovers, jnp)
 
     def _dispatch(self, pending, jnp):
         """Group into buckets and ENQUEUE device work; never blocks on
         results (only on the in-flight bound)."""
-        groups: dict[int, list] = {}
+        groups: dict[tuple[int, int], list] = {}
         for wav, fut in pending:
-            length, bs = self._bucket_of(wav.shape[0])
-            groups.setdefault(length, []).append((wav, fut))
-        for length, items in groups.items():
-            bs = dict(self._buckets)[length]
+            try:
+                key = self._bucket_of(wav.shape[0])
+            except Exception as e:
+                # fail THIS request, not the worker thread (submit()
+                # validates length, but never let one bad item take down
+                # the whole service)
+                if not fut.done():
+                    fut.set_exception(e)
+                continue
+            groups.setdefault(key, []).append((wav, fut))
+        for (length, bs), items in groups.items():
             i = 0
             K = self._scan_k
             # sustained load: fold K full batches into one scanned dispatch

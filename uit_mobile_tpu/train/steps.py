@@ -82,13 +82,17 @@ def _make_ce(weight=None, reduction: str = "mean", label_smoothing: float = 0.0,
         logp = jnp.log(jnp.clip(probs, eps, 1.0))
         logp = logp - jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
         t = targets / jnp.maximum(targets.sum(-1, keepdims=True), eps)
+        ww = w if w is not None else jnp.ones((C,), jnp.float32)
+        # torch's weighted-mean denominator is sum_n w[y_n] — the UNsmoothed
+        # target mass (one-hot rows reproduce it exactly; label_smoothing
+        # must not leak into the denominator). Genuinely-soft targets use
+        # the same weighted-mass rule (documented deviation: torch's
+        # prob-format CE divides by N and ignores weight in the denom).
+        denom = jnp.maximum((t * ww).sum(), eps)
         if label_smoothing > 0.0:
             t = (1.0 - label_smoothing) * t + label_smoothing / C
-        ww = w if w is not None else jnp.ones((C,), jnp.float32)
         per_sample = -(t * ww * logp).sum(-1)
         if reduction == "mean":
-            # torch CE normalizes by the summed weight of the targets
-            denom = jnp.maximum((t * ww).sum(), eps)
             return per_sample.sum() / denom
         return _reduce(per_sample, reduction)
 
@@ -221,6 +225,11 @@ def make_train_step(
                     [batch["audioset"]["target"], batch["kws"]["target"]],
                     axis=0)
                 n_as = batch["audioset"]["wav"].shape[0]
+            # The teacher scores the RAW (unaugmented) waveform ON PURPOSE:
+            # in the reference, wavtransforms live inside the STUDENT's
+            # train-mode forward (reference uit.py:453-454) while the
+            # eval-mode teacher scores the pre-augment as_x
+            # (run.py:199-202) — "fixing" this would break parity.
             t_in = wav[:n_as] if distill_mode == "psl" else wav
             y_teacher = jax.lax.stop_gradient(
                 models.apply(psl_cfg, psl_params, psl_state, t_in,
