@@ -215,3 +215,26 @@ def test_intersection_no_overlap_never_matches():
     # zero-length intersection is negative here; even dtc=gtc=0 must not
     # match disjoint events
     assert s["Event_Micro_F1"] == 0.0
+
+
+def test_median_filter_applies_in_time_order():
+    """Window-major (unsorted) rows must be smoothed in TIME order: with
+    rows stored [late, early, mid], a kernel-3 filter at the time-middle
+    segment must see its time neighbours, not its index neighbours."""
+    # three segments stored [t0, t2, t1]: index neighbours are NOT time
+    # neighbours. Time-ordered probs are 1, 0, 1 -> kernel-3 medians
+    # (edge-replicated) are 1, 1, 1 -> ONE event [0, 3). Filtering in
+    # index order ([1, 1, 0] -> [1, 1, 0]) would leave t1 inactive and
+    # split the event into [0,1) + [2,3).
+    times = np.array([[0.0, 1.0], [2.0, 3.0], [1.0, 2.0]])
+    probs = np.array([[1.0], [1.0], [0.0]])
+    ev = extract_events(times, probs, threshold=0.5, median_kernel=3)
+    assert ev == [(0, 0.0, 3.0)], ev
+
+
+def test_extract_events_empty_clip():
+    """Zero segments (e.g. an empty probs caller) contributes zero events
+    instead of crashing the sweep, even with a median kernel."""
+    ev = extract_events(np.zeros((0, 2)), np.zeros((0, 3)),
+                        threshold=0.5, median_kernel=3)
+    assert ev == []

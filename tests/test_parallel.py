@@ -157,3 +157,44 @@ def test_dp_tfb_serving_forward_matches_single_device():
     want = np.asarray(fwd(wav))
     got = np.asarray(data_parallel_forward(fwd)(wav))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_data_parallel_forward_multi_axis_mesh():
+    """On a ('data','model') mesh only the 'data' axis size must divide
+    the batch (regression: the guard demanded total-device divisibility)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from uit_mobile_tpu import models
+    from uit_mobile_tpu.parallel.mesh import data_parallel_forward
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=37,
+                                  target_length=102, depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    fwd = data_parallel_forward(
+        lambda w: models.apply(cfg, params, state, w), mesh=mesh)
+    wav = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((4, 16000)).astype(np.float32) * 0.1)
+    got = fwd(wav)  # batch 4 divides data=4 (total devices = 8)
+    want = models.apply(cfg, params, state, wav)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_data_parallel_forward_refuses_torch_clamp_on_manual_route():
+    """A Pallas forward with torch-mode (batch-global) top_db must refuse
+    the shard_map route loudly instead of silently clamping per-shard."""
+    import pytest
+
+    from uit_mobile_tpu import models
+    from uit_mobile_tpu.ops.pipeline import make_forward_fn
+    from uit_mobile_tpu.parallel.mesh import data_parallel_forward
+
+    cfg = models.get_model_config("uit_xxxs", outputdim=37,
+                                  target_length=102, depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    fwd_fn = make_forward_fn(cfg, params, state, use_pallas=True,
+                             top_db_mode="torch")
+    with pytest.raises(ValueError, match="batch-global"):
+        data_parallel_forward(fwd_fn)

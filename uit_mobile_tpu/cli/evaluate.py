@@ -79,6 +79,10 @@ def main(argv=None):
     p_strong.add_argument("--gtc", type=float, default=0.5,
                           help="min intersection/reference ratio "
                           "(--criterion intersection)")
+    p_strong.add_argument("--cttc", type=float, default=None,
+                          help="cross-trigger tolerance for --psds "
+                          "alpha_ct (default 0.3, the psds_eval "
+                          "cttc_threshold convention)")
     p_strong.add_argument("--batch-size", type=int, default=32)
     p_strong.add_argument("--dtype", default="float32",
                           choices=["float32", "int16"],
@@ -163,7 +167,7 @@ def main(argv=None):
                             merge_gap=args.merge_gap,
                             dump_events=args.dump_events,
                             criterion=args.criterion, dtc=args.dtc,
-                            gtc=args.gtc,
+                            gtc=args.gtc, cttc=args.cttc,
                             sweep=((args.sweep or
                                     (0.1, 0.2, 0.3, 0.5, 0.7, 0.9))
                                    if args.sweep is not None else None),

@@ -65,8 +65,8 @@ def median_filter_probs(probs: np.ndarray, kernel_size: int) -> np.ndarray:
     kernel_size=1 is the identity.
     """
     p = np.asarray(probs)
-    if kernel_size <= 1:
-        return p
+    if kernel_size <= 1 or p.shape[-2] == 0:
+        return p  # identity; S=0 would crash sliding_window_view
     assert kernel_size % 2 == 1, "median kernel must be odd"
     pad = kernel_size // 2
     padded = np.concatenate(
@@ -96,14 +96,18 @@ def extract_events(times: np.ndarray, probs: np.ndarray, *,
     times = np.asarray(times, dtype=np.float64)
     probs = np.asarray(probs)
     assert times.shape == (probs.shape[0], 2), (times.shape, probs.shape)
-    active = median_filter_probs(probs, median_kernel) >= threshold
     order = np.argsort(times[:, 0], kind="stable")
+    # filter AFTER the time sort: dm-mode framewise_times emits
+    # window-major rows where the tail window rewinds behind the previous
+    # one — smoothing in raw index order would mix segments up to a full
+    # window apart in time at that boundary
+    active = median_filter_probs(probs[order], median_kernel) >= threshold
     t = times[order]
     eps = 1e-9
     events: List[Event] = []
     for c in (range(active.shape[1]) if classes is None else classes):
         runs: List[List[float]] = []
-        for i in np.flatnonzero(active[order, int(c)]):
+        for i in np.flatnonzero(active[:, int(c)]):
             s, e = t[i]
             if runs and s <= runs[-1][1] + merge_gap + eps:
                 runs[-1][1] = max(runs[-1][1], e)
@@ -155,9 +159,11 @@ class EventScorer:
         self.gtc = float(gtc)
         # cross-trigger tolerance (PSDS CTTC): an UNMATCHED prediction of
         # class c cross-triggers class c' when some class-c' reference
-        # covers >= cttc of the prediction's duration. Defaults to dtc
-        # (the psds_eval convention when no separate value is given).
-        self.cttc = float(dtc if cttc is None else cttc)
+        # covers >= cttc of the prediction's duration. Defaults to 0.3 —
+        # psds_eval's cttc_threshold default, an INDEPENDENT parameter
+        # (not tied to dtc): reproducing psds_eval reference numbers
+        # needs 0.3 unless the caller overrides.
+        self.cttc = float(0.3 if cttc is None else cttc)
         self.count_cross_triggers = bool(count_cross_triggers)
         self.tp: Counter = Counter()
         self.fp: Counter = Counter()
@@ -216,9 +222,6 @@ class EventScorer:
             for c, on_r, off_r in ((int(e[0]), float(e[1]), float(e[2]))
                                    for e in ref_events):
                 self.ref_duration[c] += off_r - on_r
-
-    def _match_count(self, preds: list, refs: list) -> int:
-        return len(self._match_preds(preds, refs))
 
     def _match_preds(self, preds: list, refs: list) -> set:
         """Maximum-cardinality matching between admissible (pred, ref)

@@ -344,7 +344,7 @@ class Evaluator:
                offset_collar_rate: float = 0.2, min_duration: float = 0.0,
                merge_gap: float = 0.0, dump_events: Optional[str] = None,
                criterion: str = "collar", dtc: float = 0.5, gtc: float = 0.5,
-               sweep=None, psds=None):
+               cttc: Optional[float] = None, sweep=None, psds=None):
         """Strong-label (SED) evaluation: framewise probabilities over FULL
         clips scored against event intervals — DCASE-style segment
         F1/precision/recall (evaluate.metrics.segment_f1) PLUS collar-based
@@ -451,7 +451,7 @@ class Evaluator:
             return EventScorer(t_collar=event_collar,
                                offset_collar_rate=offset_collar_rate,
                                criterion=criterion, dtc=dtc, gtc=gtc,
-                               count_cross_triggers=ct)
+                               cttc=cttc, count_cross_triggers=ct)
 
         scorer = mk_scorer()
         if psds and sweep is None:
@@ -519,7 +519,7 @@ class Evaluator:
                 sc = mk_scorer(ct=reuse and want_ct)
                 sc_int = sc if reuse else (
                     EventScorer(criterion="intersection", dtc=dtc, gtc=gtc,
-                                count_cross_triggers=want_ct)
+                                cttc=cttc, count_cross_triggers=want_ct)
                     if psds else None
                 )
                 for pad_to, p, events in clip_records:

@@ -55,8 +55,14 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
     fe_cfg = getattr(cfg, "frontend", None)
     if top_db_mode is not None and fe_cfg is not None:
         fe_cfg = dataclasses.replace(fe_cfg, top_db_mode=top_db_mode)
-    run_cfg = (dataclasses.replace(cfg, mel_layout=layout)
-               if use_fast_layout else cfg)
+    # ALWAYS pin cfg.mel_layout to the frontend's actual layout: a config
+    # preset to 'btf'/'tfb' whose fast path does not engage here would
+    # otherwise pair a bft frontend with a tfb/btf model branch and
+    # misread (B, F, T) as (B, T, F)
+    if isinstance(cfg, models.UITConfig):
+        run_cfg = dataclasses.replace(cfg, mel_layout=layout)
+    else:
+        run_cfg = cfg  # non-UiT configs have no mel_layout branching
     frontend = make_frontend_fn(
         fe_cfg, use_pallas=use_pallas, precision=precision, layout=layout,
     )
@@ -65,8 +71,11 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
         return models.apply(run_cfg, params, state, wav, frontend_fn=frontend)
 
     # consumed by parallel/mesh.data_parallel_forward: Mosaic kernels need
-    # the shard_map (manual) route, which it selects from this flag
+    # the shard_map (manual) route, which it selects from this flag, and
+    # torch-mode batch-GLOBAL dB clamping must refuse the per-shard route
+    # (checked there via top_db_mode)
     fn.uses_pallas = use_pallas
+    fn.top_db_mode = getattr(fe_cfg, "top_db_mode", None)
     return fn
 
 
@@ -80,8 +89,6 @@ def make_fused_token_forward(cfg, params, state, block_b: int = 256,
     The BN-folded patch-embed matrices are computed from (params, state)
     inside the traced function, so converted/updated checkpoints work
     unmodified."""
-    import jax.numpy as jnp
-
     from ..models import uit as uit_mod
 
     assert isinstance(cfg, models.UITConfig), "fused token path is UiT-only"
@@ -117,8 +124,6 @@ def make_fused_encoder_forward(cfg, params, state, precision: str = "bf16",
     than XLA on v5e — kept for study; PERF_NOTES round 3).
     mode='hybrid': XLA attention + fused-MLP-sublayer kernels.
     Returns fn(wav)->probs, not yet jitted."""
-    import jax.numpy as jnp
-
     from ..models import uit as uit_mod
     from .pallas_encoder_tfb import encoder_forward, encoder_hybrid
 
@@ -133,10 +138,9 @@ def make_fused_encoder_forward(cfg, params, state, precision: str = "bf16",
         mel = frontend(wav)                                  # (T, F, B)
         assert mel.shape[0] <= cfg.target_length, "single-window only"
         tokens = uit_mod.patch_embed_tfb(run_cfg, params, state, mel)
-        tg = tokens.shape[2]
-        x = tokens + params["time_pos_embed"][None, None, :tg, :]
-        x = x + params["freq_pos_embed"][None, :, None, :]
-        x = x.reshape(x.shape[0], -1, cfg.embed_dim)
+        # pos embeds + f-major flatten: the models/uit.py code itself
+        # (eval mode), not a copy that could drift
+        x, _, _ = uit_mod._prepare_tokens(run_cfg, params, tokens)
         if mode == "full":
             x = encoder_forward(cfg, params, x, precision=precision,
                                 block_b=block_b, interpret=interpret)

@@ -80,6 +80,18 @@ def data_parallel_forward(forward_fn, mesh: Mesh | None = None, axis: str = "dat
     mesh = mesh or make_mesh()
     if manual is None:
         manual = bool(getattr(forward_fn, "uses_pallas", False))
+    if manual and getattr(forward_fn, "top_db_mode", None) == "torch":
+        # the torch-mode dB clamp is batch-GLOBAL (a pinned parity quirk);
+        # under shard_map it would silently become per-shard. Refuse here
+        # — the ONE policy point — instead of trusting every caller to
+        # re-implement the guard (harness/service route torch+DP through
+        # the XLA frontend, where GSPMD inserts the cross-shard max).
+        raise ValueError(
+            "torch-mode top_db clamping is batch-global and cannot take "
+            "the shard_map (manual) route — build the forward with "
+            "use_pallas=False (XLA frontend, GSPMD inserts the collective) "
+            "or top_db_mode='per_sample'"
+        )
     if manual:
         jitted = jax.jit(
             jax.shard_map(
@@ -94,9 +106,14 @@ def data_parallel_forward(forward_fn, mesh: Mesh | None = None, axis: str = "dat
             out_shardings=batch_sharded(mesh, axis),
         )
 
+    n_axis = int(mesh.shape[axis])
+
     def fn(wav):
-        assert wav.shape[0] % mesh.devices.size == 0, (
-            f"batch {wav.shape[0]} must divide the {mesh.devices.size}-device mesh"
+        # only the SHARDED axis's size must divide the batch — on a
+        # multi-axis mesh (e.g. ('data','model')) the other axes replicate
+        assert wav.shape[0] % n_axis == 0, (
+            f"the '{axis}' mesh axis ({n_axis}) must divide the batch "
+            f"({wav.shape[0]})"
         )
         return jitted(wav)
 
