@@ -100,3 +100,18 @@ def test_schedule_warmup_and_decay():
     assert float(s(50)) == pytest.approx(5e-4, rel=1e-2)
     assert float(s(100)) == pytest.approx(1e-3, rel=1e-2)
     assert float(s(1100)) == pytest.approx(1e-5, rel=0.1)  # 1% floor
+
+
+def test_masking_boundaries_are_integer_bins():
+    """torchaudio floors both mask draws (.long()): boundaries must land
+    on whole bins — a half-masked bin means fractional boundaries."""
+    spec = jnp.ones((16, 8, 50))
+    out = np.asarray(time_masking(jax.random.key(3), spec,
+                                  time_mask_param=20))
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    for b in range(16):
+        row = out[b, 0]
+        masked = np.flatnonzero(row == 0.0)
+        if masked.size:  # contiguous whole bins
+            assert np.array_equal(masked,
+                                  np.arange(masked[0], masked[-1] + 1))

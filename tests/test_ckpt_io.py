@@ -62,3 +62,26 @@ def test_partial_pretrained_load():
         np.asarray(merged["head"]["kernel"]), np.asarray(pb["head"]["kernel"])
     )
     assert n > 10
+
+
+def test_checkpoint_write_is_atomic_and_guards_nested_empties(tmp_path):
+    """save_* writes via temp + os.replace (a crash mid-write must never
+    truncate the previous good last.npz); nested empty containers refuse
+    loudly (they would vanish and shift sibling list indices on load);
+    an empty ROOT state round-trips (init_bn=False models)."""
+    import pytest
+
+    from uit_mobile_tpu.ckpt.io import load_checkpoint, save_checkpoint
+
+    p = tmp_path / "ck.npz"
+    params = {"blocks": [{"w": np.ones((2, 2))}, {"w": np.zeros((2, 2))}]}
+    save_checkpoint(p, params, {})  # empty root state: fine
+    lp, ls, _, _ = load_checkpoint(p)
+    assert ls == {} and len(lp["blocks"]) == 2
+    assert not list(tmp_path.glob(".*tmp*")), "temp file left behind"
+
+    with pytest.raises(ValueError, match="empty container"):
+        save_checkpoint(tmp_path / "bad.npz",
+                        {"blocks": [{}, {"w": np.ones(2)}]}, {})
+    # the refused write must not have clobbered anything
+    assert not (tmp_path / "bad.npz").exists()

@@ -2,8 +2,11 @@
 
 Reference parses TimeMasking/FrequencyMasking configs (utils.py:267-283,
 train_uit_xs.yaml:29-39) applied on the dB-scale mel inside model.forward
-(uit.py:458-459). torchaudio semantics: mask width ~ U[0, param), start ~
-U[0, length - width), masked bins set to 0.0, iid per sample when
+(uit.py:458-459). torchaudio semantics (mask_along_axis_iid): draw
+value ~ U[0, param) and min_value ~ U[0, length - value), then FLOOR
+both — the mask covers integer bins [floor(min_value),
+floor(min_value) + floor(value)), so widths are whole bins and
+P(no mask) = 1/param. Masked bins set to 0.0, iid per sample when
 ``iid_masks``. Implemented as static-shape `where` masks.
 """
 
@@ -19,10 +22,17 @@ import jax.numpy as jnp
 def _axis_mask(rng, batch, length, mask_param, iid):
     n = batch if iid else 1
     r_w, r_s = jax.random.split(rng)
-    width = jax.random.uniform(r_w, (n,), minval=0.0, maxval=float(mask_param))
-    start = jax.random.uniform(r_s, (n,)) * (length - width)
+    # torchaudio floors BOTH continuous draws (.long()): integer mask
+    # boundaries, integer widths in [0, param) — fractional boundaries
+    # would shift every mask by up to one bin and change the masked-bin
+    # distribution (including P(no mask) = 1/param)
+    value = jax.random.uniform(r_w, (n,), minval=0.0,
+                               maxval=float(mask_param))
+    min_value = jax.random.uniform(r_s, (n,)) * (length - value)
+    start = jnp.floor(min_value)
+    end = start + jnp.floor(value)
     pos = jnp.arange(length)[None, :]
-    mask = (pos >= start[:, None]) & (pos < (start + width)[:, None])
+    mask = (pos >= start[:, None]) & (pos < end[:, None])
     return mask  # (n, length) True where masked
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from pathlib import Path
 
 import jax
@@ -21,6 +22,15 @@ _SEP = "/"
 
 def _flatten(tree, prefix=""):
     out = {}
+    if isinstance(tree, (dict, list, tuple)) and not tree and prefix:
+        # a NESTED empty container would simply vanish from the flat form
+        # and _unflatten could never rebuild it (sibling list indices
+        # would shift, dict keys would silently disappear) — refuse
+        # loudly. An empty ROOT tree (e.g. the stateless init_bn=False
+        # models' state={}) round-trips fine: no entries -> {} on load.
+        raise ValueError(
+            f"cannot serialize empty container at '{prefix[:-1]}'"
+        )
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
@@ -46,6 +56,12 @@ def _unflatten(flat: dict):
             return node
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
+            idx = sorted(int(k) for k in keys)
+            if idx != list(range(len(idx))):
+                raise ValueError(
+                    f"non-contiguous list indices {idx} in checkpoint — "
+                    f"the file is corrupt or held an empty container"
+                )
             return [listify(node[str(i)]) for i in range(len(keys))]
         return {k: listify(v) for k, v in node.items()}
 
@@ -72,17 +88,35 @@ def config_from_dict(d: dict):
     return cls(**d)
 
 
-def save_checkpoint(path, params, state, cfg=None, extra: dict | None = None):
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
+def _checkpoint_blobs(params, state, cfg, extra, **meta_extra):
+    """The one flatten-to-npz-blobs serializer both checkpoint kinds share."""
     blobs = {}
     for name, tree in (("params", params), ("state", state)):
         for k, v in _flatten(tree).items():
             blobs[f"{name}{_SEP}{k}"] = v
     meta = {"config": config_to_dict(cfg) if cfg is not None else None,
-            "extra": extra or {}}
+            "extra": extra or {}, **meta_extra}
     blobs["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **blobs)
+    return blobs
+
+
+def _write_npz(path: Path, blobs: dict) -> None:
+    """ATOMIC write: savez to a sibling temp file, then os.replace — a
+    crash mid-write must never replace the previous good snapshot with a
+    truncated zip (auto-resume depends on last.npz staying loadable)."""
+    if not str(path).endswith(".npz"):  # mirror np.savez's appending
+        path = Path(str(path) + ".npz")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(f".{path.name}.tmp-{os.getpid()}.npz")
+    try:
+        np.savez(tmp, **blobs)
+        os.replace(tmp, path)
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def save_checkpoint(path, params, state, cfg=None, extra: dict | None = None):
+    _write_npz(Path(path), _checkpoint_blobs(params, state, cfg, extra))
 
 
 def load_checkpoint(path):
@@ -138,18 +172,11 @@ def save_training_state(path, params, state, opt_state, cfg=None,
     recreated from `optimizer.init(params)` at load time.
     """
     leaves = jax.tree.leaves(opt_state)
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    blobs = {}
-    for name, tree in (("params", params), ("state", state)):
-        for k, v in _flatten(tree).items():
-            blobs[f"{name}{_SEP}{k}"] = v
+    blobs = _checkpoint_blobs(params, state, cfg, extra,
+                              n_opt_leaves=len(leaves))
     for i, leaf in enumerate(leaves):
         blobs[f"opt{_SEP}{i}"] = np.asarray(leaf)
-    meta = {"config": config_to_dict(cfg) if cfg is not None else None,
-            "extra": extra or {}, "n_opt_leaves": len(leaves)}
-    blobs["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **blobs)
+    _write_npz(Path(path), blobs)
 
 
 def load_training_state(path, opt_state_template):

@@ -32,7 +32,10 @@ except ImportError:  # pragma: no cover
 
 def _to_float32(data: np.ndarray) -> np.ndarray:
     if np.issubdtype(data.dtype, np.integer):
-        return (data / 32768.0).astype(np.float32)
+        # THE conversion pair (frontend.mel): never inline the formula
+        from ..frontend import normalize_pcm16
+
+        return normalize_pcm16(data)
     return np.asarray(data, dtype=np.float32)
 
 
@@ -144,8 +147,17 @@ class WeakChunkedHDF5Dataset(WeakHDF5Dataset):
         row = self._dataframe.iloc[index]
         target = multihot(row["labels"], self._num_classes)
         node = self._file(row["hdf5path"])[row["filename"]]
-        lo = int(float(row["from"]) * self._sr)
+        # clamp BOTH ends into the clip: an annotation overrun with
+        # from >= len would slice empty (silence with positive labels);
+        # a negative 'from' would h5py-wrap and read the clip's TAIL
         hi = min(int(float(row["to"]) * self._sr), node.shape[-1])
+        lo = min(max(int(float(row["from"]) * self._sr), 0), hi)
+        if lo >= hi:
+            raise ValueError(
+                f"{row['filename']}: event interval [{row['from']}, "
+                f"{row['to']})s lies outside the {node.shape[-1]}-sample "
+                f"clip — fix the manifest row"
+            )
         L = self._fixed
         if L is None:
             data = node[lo:hi]
@@ -274,27 +286,36 @@ def collate(samples):
     loop wins up to 10x). Falls back to numpy transparently elsewhere.
     """
     waves, targets, fnames = zip(*samples)
+    use_native = False
     try:
         from .. import native
 
         mean_len = sum(w.shape[-1] for w in waves) / max(len(waves), 1)
-        if native.available() and len(waves) <= 256 and mean_len >= 100_000:
-            data, lengths = native.pad_batch_native(waves)
-        else:
-            data, lengths = pad_batch(waves)
+        use_native = (native.available() and len(waves) <= 256
+                      and mean_len >= 100_000)
     except Exception:
-        # a FAILING native assembler (not merely an unbuilt one — that is
-        # the clean native.available() branch) must not be silently
-        # masked forever: warn once, then keep serving via numpy
-        global _NATIVE_COLLATE_WARNED
-        if not _NATIVE_COLLATE_WARNED:
-            _NATIVE_COLLATE_WARNED = True
-            import logging
+        pass
+    if use_native:
+        # only the NATIVE call sits in the guarded block: a numpy-path
+        # failure must surface as itself, not masquerade as 'native
+        # failed' (and burn the one-shot warning)
+        try:
+            data, lengths = native.pad_batch_native(waves)
+        except Exception:
+            # a FAILING native assembler (not merely an unbuilt one —
+            # that is the clean native.available() branch) must not be
+            # silently masked forever: warn once, keep serving via numpy
+            global _NATIVE_COLLATE_WARNED
+            if not _NATIVE_COLLATE_WARNED:
+                _NATIVE_COLLATE_WARNED = True
+                import logging
 
-            logging.getLogger("uit_mobile_tpu").warning(
-                "native pad_batch failed; falling back to numpy collate",
-                exc_info=True,
-            )
+                logging.getLogger("uit_mobile_tpu").warning(
+                    "native pad_batch failed; falling back to numpy "
+                    "collate", exc_info=True,
+                )
+            data, lengths = pad_batch(waves)
+    else:
         data, lengths = pad_batch(waves)
     return {
         "wav": data,
@@ -433,7 +454,16 @@ class MultiDataLoader:
                     out[key] = next(self._iters[key])
                 except StopIteration:
                     self._iters[key] = iter(self.loaders[key])
-                    out[key] = next(self._iters[key])
+                    try:
+                        out[key] = next(self._iters[key])
+                    except StopIteration:
+                        # PEP 479 would surface this as an opaque
+                        # 'generator raised StopIteration' mid-training
+                        raise ValueError(
+                            f"MultiDataLoader child '{key}' yields zero "
+                            f"batches (dataset smaller than batch_size "
+                            f"with drop_last, or an empty manifest)"
+                        ) from None
             yield out
 
 
