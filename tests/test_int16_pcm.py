@@ -140,9 +140,11 @@ def test_pad_batch_rejects_mixed_dtypes():
     from uit_mobile_tpu import native
 
     waves = [np.zeros(8, np.int16), np.zeros(5, np.float32)]
-    with pytest.raises(AssertionError, match="mixed"):
+    # ValueError, not assert: the guard must survive python -O (a silent
+    # mix would truncate the float clips to ~all-zeros)
+    with pytest.raises(ValueError, match="mixed"):
         pad_batch(waves)
-    with pytest.raises(AssertionError, match="mixed"):
+    with pytest.raises(ValueError, match="mixed"):
         native.pad_batch_native(waves)
 
 

@@ -259,12 +259,14 @@ class UnlabeledRandomChunkedHDF5Dataset(WeakRandomCropHDF5Dataset):
 def pad_batch(waves: Sequence[np.ndarray], padding_value: float = 0.0):
     """Right-pad to batch max -> ((B, T), lengths). reference dataset.py:183-197.
     Batch dtype follows the waves' (int16 PCM stays int16)."""
+    if not waves:
+        raise ValueError("pad_batch: empty batch")
     lengths = np.asarray([w.shape[-1] for w in waves], dtype=np.int32)
-    pcm16 = bool(waves) and waves[0].dtype == np.int16
-    # a silent int16/float mix would truncate the floats to ~all-zeros
-    assert all((w.dtype == np.int16) == pcm16 for w in waves), (
-        "pad_batch: mixed int16/float waveforms in one batch"
-    )
+    pcm16 = waves[0].dtype == np.int16
+    # a silent int16/float mix would truncate the floats to ~all-zeros —
+    # a real raise (not assert): must survive python -O
+    if not all((w.dtype == np.int16) == pcm16 for w in waves):
+        raise ValueError("pad_batch: mixed int16/float waveforms in one batch")
     out = np.full((len(waves), int(lengths.max())), padding_value,
                   dtype=np.int16 if pcm16 else np.float32)
     for i, w in enumerate(waves):

@@ -62,7 +62,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.uit_pad_batch_pcm16.restype = None
     lib.uit_pad_batch_f32.restype = None
     lib.uit_pad_batch_i16.restype = None
-    lib.uit_crop_or_pad_pcm16.restype = None
     lib.uit_multihot.restype = None
     lib.uit_version.restype = ctypes.c_int32
     _lib = lib
@@ -88,8 +87,10 @@ def read_wav_native(path) -> tuple[np.ndarray, int]:
     rc = lib.uit_parse_wav16(buf, len(buf), ctypes.byref(data_ptr),
                              ctypes.byref(frames), ctypes.byref(channels),
                              ctypes.byref(sr))
-    if rc != 0:
-        from ..data.audio_io import read_wav  # non-16-bit formats
+    if rc != 0 or channels.value <= 0 or frames.value <= 0:
+        # non-16-bit formats, or a malformed header (channels/frames 0)
+        # that parses but would reshape to nothing — same clean fallback
+        from ..data.audio_io import read_wav
 
         return read_wav(path)
     n = frames.value * channels.value
@@ -109,21 +110,34 @@ def pad_batch_native(waves: Sequence[np.ndarray], threads: int = 4):
     Batch dtype follows the waves': int16 clips assemble into an int16
     batch (raw-PCM fast path, no conversion), anything else into f32."""
     lib = _load()
+    if not waves:
+        raise ValueError("pad_batch_native: empty batch")
+    if any(w.ndim != 1 for w in waves):
+        # the C copy reads lengths[i] CONTIGUOUS samples — a (C, T) clip
+        # would silently keep only channel 0 (the numpy path would raise
+        # a broadcast error); reject both paths identically
+        raise ValueError(
+            "pad_batch_native: clips must be 1-D (T,) mono waveforms"
+        )
+    pcm16 = waves[0].dtype == np.int16
+    # a silent int16/float mix would truncate the floats to ~all-zeros —
+    # a real raise (not assert): must survive python -O
+    if not all((w.dtype == np.int16) == pcm16 for w in waves):
+        raise ValueError(
+            "pad_batch_native: mixed int16/float waveforms in one batch"
+        )
+    if lib is None:
+        # the ONE numpy pad lives in data.hdf5 (no import cycle: hdf5
+        # imports native only inside collate)
+        from ..data.hdf5 import pad_batch
+
+        data, lengths32 = pad_batch(waves)
+        return data, lengths32
     lengths = np.asarray([w.shape[-1] for w in waves], dtype=np.int64)
     max_len = int(lengths.max())
     b = len(waves)
-    pcm16 = bool(waves) and waves[0].dtype == np.int16
-    # a silent int16/float mix would truncate the floats to ~all-zeros
-    assert all((w.dtype == np.int16) == pcm16 for w in waves), (
-        "pad_batch_native: mixed int16/float waveforms in one batch"
-    )
     dtype = np.int16 if pcm16 else np.float32
     out = np.empty((b, max_len), dtype=dtype)
-    if lib is None:
-        out.fill(0)
-        for i, w in enumerate(waves):
-            out[i, : w.shape[-1]] = w
-        return out, lengths.astype(np.int32)
     ctype = ctypes.c_int16 if pcm16 else ctypes.c_float
     contig = [np.ascontiguousarray(w, dtype=dtype) for w in waves]
     ptrs = (ctypes.POINTER(ctype) * b)(

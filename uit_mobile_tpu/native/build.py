@@ -17,11 +17,21 @@ OUT = HERE / "libuitdata.so"
 def build(force: bool = False) -> Path:
     if OUT.exists() and not force and OUT.stat().st_mtime >= SRC.stat().st_mtime:
         return OUT
+    # compile to a per-process temp name, then os.replace: concurrent lazy
+    # builds (e.g. two dataloader workers racing _load) must never dlopen
+    # a half-written .so
+    import os
+
+    tmp = OUT.with_name(f".{OUT.name}.tmp-{os.getpid()}")
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-pthread", str(SRC), "-o", str(OUT),
+        "-pthread", str(SRC), "-o", str(tmp),
     ]
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True)
+        os.replace(tmp, OUT)
+    finally:
+        tmp.unlink(missing_ok=True)
     return OUT
 
 

@@ -149,19 +149,6 @@ void uit_pad_batch_i16(const int16_t** clips, const int64_t* lengths,
                      });
 }
 
-// Random-crop (long clips) or offset-insert (short clips) into a fixed
-// chunk, int16 in -> float32 out. `start` is precomputed by the caller's
-// RNG (keeps randomness policy in Python, hot copy loop native).
-void uit_crop_or_pad_pcm16(const int16_t* src, int64_t n, float* dst,
-                           int64_t chunk_len, int64_t start) {
-  if (n > chunk_len) {  // crop src[start : start+chunk_len]
-    uit_pcm16_to_f32(src + start, dst, chunk_len);
-  } else {  // zero-pad, insert at start
-    std::memset(dst, 0, sizeof(float) * chunk_len);
-    uit_pcm16_to_f32(src, dst + start, n);
-  }
-}
-
 // ---------------------------------------------------------------- multi-hot
 
 // Scatter label index lists into a zeroed multi-hot matrix (b x n_classes).

@@ -8,4 +8,5 @@ __all__ = [
     "parse_override",
     "get_logger",
     "add_file_sink",
+    "enable_compilation_cache",
 ]

@@ -13,12 +13,15 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-_DEFAULT = Path(
-    os.environ.get(
-        "UIT_MOBILE_TPU_COMPILE_CACHE",
-        Path.home() / ".cache" / "uit_mobile_tpu" / "xla_cache",
+def _default_dir() -> Path:
+    # read the env var at CALL time, not import time — setting it after
+    # `import uit_mobile_tpu` must still take effect
+    return Path(
+        os.environ.get(
+            "UIT_MOBILE_TPU_COMPILE_CACHE",
+            Path.home() / ".cache" / "uit_mobile_tpu" / "xla_cache",
+        )
     )
-)
 
 
 def enable_compilation_cache(path: str | os.PathLike | None = None) -> bool:
@@ -29,7 +32,7 @@ def enable_compilation_cache(path: str | os.PathLike | None = None) -> bool:
         return False
     import jax
 
-    target = Path(path or _DEFAULT)
+    target = Path(path) if path else _default_dir()
     try:
         target.mkdir(parents=True, exist_ok=True)
         # JAX binds the cache object on first use; re-pointing the dir

@@ -15,13 +15,12 @@ _FMT = "[\x1b[32m%(asctime)s\x1b[0m] %(message)s"
 _FILE_FMT = "[%(levelname)s %(asctime)s] %(message)s"
 _DATEFMT = "%Y-%m-%d %H:%M:%S"
 
-_configured = False
-
-
 def get_logger(name: str = "uit_mobile_tpu") -> logging.Logger:
-    global _configured
     logger = logging.getLogger(name)
-    if not _configured:
+    # PER-LOGGER setup marker (a module-global flag would leave every
+    # logger name after the first with no handler — its .info() output
+    # silently vanishing into the WARNING-level root)
+    if not getattr(logger, "_uit_console_sink", False):
         handler = logging.StreamHandler(sys.stdout)
         use_color = hasattr(sys.stdout, "isatty") and sys.stdout.isatty()
         fmt = _FMT if use_color else _FILE_FMT.replace("%(levelname)s ", "")
@@ -29,7 +28,7 @@ def get_logger(name: str = "uit_mobile_tpu") -> logging.Logger:
         logger.addHandler(handler)
         logger.setLevel(logging.DEBUG)
         logger.propagate = False
-        _configured = True
+        logger._uit_console_sink = True
     return logger
 
 
