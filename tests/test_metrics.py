@@ -127,3 +127,31 @@ def test_lwlrap_perfect():
     t = np.array([[1, 0, 0], [0, 1, 1]], dtype=np.float32)
     p = np.array([[0.9, 0.1, 0.0], [0.1, 0.8, 0.9]], dtype=np.float32)
     assert lwlrap(p, t) == pytest.approx(1.0)
+
+
+def test_map_skips_absent_classes():
+    """Classes with zero positives in the split must be SKIPPED (the
+    reference's nanmean intent), not averaged in as sklearn>=1.4's 0.0 —
+    a perfect detector on the present classes scores mAP 1.0."""
+    t = np.zeros((6, 5), np.float32)
+    t[:3, 0] = 1.0
+    t[3:, 2] = 1.0
+    p = t * 0.9 + 0.01
+    out = compute_metrics(["mAP", "AP"], p, t)
+    assert out["mAP"] == pytest.approx(1.0)
+    ap = np.asarray(out["AP"])
+    assert np.isnan(ap[1]) and np.isnan(ap[3]) and np.isnan(ap[4])
+
+
+def test_metrics_survive_all_negative_targets():
+    """An all-negative eval slice must neither crash (lwlrap, positive
+    accuracy) nor report perfect recall (Micro_Recall zero_division)."""
+    t = np.zeros((4, 5), np.float32)
+    p = np.random.default_rng(0).uniform(0.0, 0.1, (4, 5)).astype(np.float32)
+    out = compute_metrics(
+        ["Micro_Recall", "Macro_Recall", "lwlwrap", "lwlrap",
+         "PositiveMultiClass_Accuracy"], p, t)
+    assert out["Micro_Recall"] == 0.0
+    assert out["Macro_Recall"] == 0.0
+    assert out["lwlwrap"] == 0.0 and out["lwlrap"] == 0.0
+    assert out["PositiveMultiClass_Accuracy"] == 0.0

@@ -53,7 +53,6 @@ def main(argv=None):
                         help="concurrent streams for --stream")
     parser.add_argument("--hop", type=float, default=0.25,
                         help="re-score cadence in seconds for --stream")
-    parser.add_argument("--random-weights", action="store_true", default=True)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "int16"],
                         help="feed raw int16 PCM (half the transfer/gather "
@@ -99,8 +98,6 @@ def main(argv=None):
 
             return quantize_pcm16(w)
         return w
-
-    wav = jnp.asarray(mk_wav(np.random.default_rng(0), (B, T)))
 
     if args.serve:
         import threading
@@ -270,6 +267,9 @@ def main(argv=None):
 
     # two distinct buffers, alternated: remote-TPU relays can dedup
     # dispatches with identical (executable, args)
+    # device uploads AFTER the --serve/--stream/--train early returns:
+    # a dead (B, T) upload costs ~131 MB through the relay at defaults
+    wav = jnp.asarray(mk_wav(np.random.default_rng(0), (B, T)))
     wav2 = jnp.asarray(mk_wav(np.random.default_rng(1), (B, T)))
     bufs = [wav, wav2]
     if args.frontend_only:

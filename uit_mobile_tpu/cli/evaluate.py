@@ -119,7 +119,7 @@ def main(argv=None):
 
     for sp in (p_as, p_gsc, p_all):
         sp.add_argument("--fast", action="store_true",
-                        help="serving-grade speed: 3-pass bf16 DFT + btf "
+                        help="serving-grade speed: 3-pass bf16 DFT + tfb "
                         "layout on TPU (<=3e-4 prob drift); omit for "
                         "bit-parity gates")
         sp.add_argument("--data-parallel", action="store_true",

@@ -80,6 +80,10 @@ def main(argv=None):
 
     label_maps = load_label_map(args.labels)
     cfg, params, state = resolve_model(args.model)
+    if getattr(cfg, "outputdim", len(label_maps)) != len(label_maps):
+        # custom-head checkpoint: the bundled AudioSet table would print
+        # unrelated names (or KeyError past 537) — index names instead
+        label_maps = {i: f"class_{i}" for i in range(cfg.outputdim)}
 
     wavs = []
     for wavpath in args.input_wav:

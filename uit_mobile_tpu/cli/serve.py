@@ -63,7 +63,29 @@ def main(argv=None):
     )
     print("ready", file=sys.stderr, flush=True)
 
-    pending = []
+    if getattr(cfg, "outputdim", len(labels)) != len(labels):
+        # custom-head checkpoint: the bundled AudioSet table would print
+        # unrelated names (or KeyError past 537) — index names instead
+        labels = {i: f"class_{i}" for i in range(cfg.outputdim)}
+
+    from collections import deque
+
+    pending: deque = deque()
+
+    def emit(path, probs):
+        top = np.argsort(probs)[::-1][: args.topk]
+        out = {
+            "path": path,
+            "top": [
+                [
+                    f"Keyword: {labels[int(i)]}" if i > 526 else labels[int(i)],
+                    round(float(probs[i]), 4),
+                ]
+                for i in top
+            ],
+        }
+        print(json.dumps(out), flush=True)
+
     with service:
         for line in sys.stdin:
             path = line.strip()
@@ -72,20 +94,14 @@ def main(argv=None):
             wav, sr = read_wav(path)
             assert sr == cfg.frontend.sample_rate, f"{path}: expected 16 kHz"
             pending.append((path, service.submit(wav[0])))
+            # drain completed results INCREMENTALLY (in submit order): a
+            # long-running producer must see output before stdin EOF, and
+            # pending futures must not grow without bound
+            while pending and pending[0][1].done():
+                p, fut = pending.popleft()
+                emit(p, fut.result())
         for path, fut in pending:
-            probs = fut.result()
-            top = np.argsort(probs)[::-1][: args.topk]
-            out = {
-                "path": path,
-                "top": [
-                    [
-                        f"Keyword: {labels[int(i)]}" if i > 526 else labels[int(i)],
-                        round(float(probs[i]), 4),
-                    ]
-                    for i in top
-                ],
-            }
-            print(json.dumps(out), flush=True)
+            emit(path, fut.result())
     return 0
 
 

@@ -34,10 +34,23 @@ def _binarize(y_pred):
     return (y_pred > THRESHOLD).astype(np.float32)
 
 
+def _ap_per_class(y_pred: np.ndarray, y_true: np.ndarray) -> np.ndarray:
+    """Per-class AP with NaN (not sklearn>=1.4's 0.0) for classes absent
+    from the split — the reference's np.nanmean (utils.py:136-141) means
+    SKIP absent classes; averaging in zeros would silently deflate mAP on
+    any eval subset missing some of the 527 classes."""
+    ap = np.asarray(average_precision_score(y_true, y_pred, average=None),
+                    dtype=np.float64)
+    ap[np.asarray(y_true).sum(axis=0) == 0] = np.nan
+    return ap
+
+
 def lwlrap(y_pred: np.ndarray, y_true: np.ndarray) -> float:
     """Label-weighted label-ranking AP (reference utils.py:42-54)."""
     sample_weight = np.sum(y_true > 0, axis=1)
     nz = np.flatnonzero(sample_weight > 0)
+    if nz.size == 0:  # no positive rows: score is undefined, not a crash
+        return 0.0
     return float(
         label_ranking_average_precision_score(
             y_true[nz, :] > 0, y_pred[nz, :], sample_weight=sample_weight[nz]
@@ -56,6 +69,8 @@ def positive_multiclass_accuracy(y_pred, y_true) -> float:
     """Argmax accuracy over samples that have at least one positive label
     (reference utils.py:68-73)."""
     valid = y_true.max(-1) > 0
+    if not valid.any():  # no positive rows: undefined, not a crash after
+        return 0.0       # the whole (expensive) inference epoch
     return float(
         accuracy_score(y_true[valid].argmax(-1), y_pred[valid].argmax(-1))
     )
@@ -87,15 +102,14 @@ def error_rate(y_pred, y_true) -> float:
 
 
 ALL_EVAL_METRICS: Dict[str, Callable[[np.ndarray, np.ndarray], float | np.ndarray]] = {
-    "mAP": lambda p, t: float(np.nanmean(average_precision_score(t, p, average=None))),
-    "AP": lambda p, t: average_precision_score(t, p, average=None),
-    "mAPAudioset": lambda p, t: float(
-        np.nanmean(average_precision_score(t, p, average=None)[:527])
-    ),
-    "mAPKWS": lambda p, t: float(
-        np.nanmean(average_precision_score(t, p, average=None)[527:])
-    ),
+    "mAP": lambda p, t: float(np.nanmean(_ap_per_class(p, t))),
+    "AP": lambda p, t: _ap_per_class(p, t),
+    "mAPAudioset": lambda p, t: float(np.nanmean(_ap_per_class(p, t)[:527])),
+    "mAPKWS": lambda p, t: float(np.nanmean(_ap_per_class(p, t)[527:])),
+    # the reference registry spells it 'lwlwrap' (utils.py:153 — its own
+    # typo, kept for config compatibility); 'lwlrap' is the real name
     "lwlwrap": lwlrap,
+    "lwlrap": lwlrap,
     "AUC": roc_auc,
     "PositiveMultiClass_Accuracy": positive_multiclass_accuracy,
     "Precision": lambda p, t: precision_score(t, _binarize(p), average=None, zero_division=0),
@@ -110,7 +124,7 @@ ALL_EVAL_METRICS: Dict[str, Callable[[np.ndarray, np.ndarray], float | np.ndarra
         precision_score(t, _binarize(p), average="micro", zero_division=0)
     ),
     "Micro_Recall": lambda p, t: float(
-        recall_score(t, _binarize(p), average="micro", zero_division=1)
+        recall_score(t, _binarize(p), average="micro", zero_division=0)
     ),
     "Macro_F1": lambda p, t: float(f1_score(t, _binarize(p), average="macro", zero_division=0)),
     "Micro_F1": lambda p, t: float(f1_score(t, _binarize(p), average="micro", zero_division=0)),

@@ -152,9 +152,13 @@ def amplitude_to_db(power: jax.Array, config: FrontendConfig) -> jax.Array:
     if config.top_db is not None:
         if config.top_db_mode == "torch":
             # torchaudio packs (B, F, T) as (1, B, F, T) and maxes over
-            # (-3,-2,-1): the clamp reference is a single global max over the
-            # whole batch. (For 4-D (B, C, F, T) inputs it is per-sample.)
-            ref = jnp.max(x_db)
+            # (-3,-2,-1): the clamp reference is a single global max over
+            # the whole batch. 4-D (B, C, F, T) inputs reduce the SAME
+            # last three dims — per-sample, matching torchaudio exactly.
+            if power.ndim <= 3:
+                ref = jnp.max(x_db)
+            else:
+                ref = jnp.max(x_db, axis=(-3, -2, -1), keepdims=True)
         elif config.top_db_mode == "per_sample":
             red = tuple(range(power.ndim))[-2:]
             ref = jnp.max(x_db, axis=red, keepdims=True)
