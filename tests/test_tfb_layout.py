@@ -114,7 +114,8 @@ def test_tfb_requires_eval_mode_and_frontend():
     with pytest.raises(ValueError, match="tfb"):
         models.apply(cfg, params, state, jnp.zeros((2, 16000)), train=True,
                      rng=jax.random.key(1), frontend_fn=fe)
-    with pytest.raises(AssertionError, match="tfb"):
+    # ValueError, not assert: the guard must survive python -O
+    with pytest.raises(ValueError, match="tfb"):
         models.apply(cfg, params, state, jnp.zeros((2, 16000)))
 
 

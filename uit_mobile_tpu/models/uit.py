@@ -95,13 +95,33 @@ class UITConfig:
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
 
     def __post_init__(self):
-        assert self.pooling in ("mean", "token", "dm")
-        assert self.attention_type in ("Attention", "BNeckAttention")
-        assert self.embed_dim % self.num_heads == 0
-        # reference raises ValueError for unknown eval_avg (uit.py:483-488);
-        # without this check anything != 'mean' silently behaves as 'max'
-        assert self.eval_avg in ("mean", "max"), f"unknown eval_avg {self.eval_avg!r}"
-        assert self.mel_layout in ("bft", "btf", "tfb")
+        # real raises, not asserts: under python -O a typo'd eval_avg
+        # would silently score as 'max' (the reference raises too,
+        # uit.py:483-488) and a bad pooling/layout would fail far away
+        def check(ok, msg):
+            if not ok:
+                raise ValueError(msg)
+
+        check(self.pooling in ("mean", "token", "dm"),
+              f"unknown pooling {self.pooling!r}")
+        check(self.attention_type in ("Attention", "BNeckAttention"),
+              f"unknown attention_type {self.attention_type!r}")
+        check(self.embed_dim % self.num_heads == 0,
+              f"embed_dim {self.embed_dim} % num_heads {self.num_heads}")
+        check(self.eval_avg in ("mean", "max"),
+              f"unknown eval_avg {self.eval_avg!r}")
+        check(self.mel_layout in ("bft", "btf", "tfb"),
+              f"unknown mel_layout {self.mel_layout!r}")
+        check(self.patch_stride == self.patch_size,
+              f"patch_stride {self.patch_stride} != patch_size "
+              f"{self.patch_size}: the reshape patch embed cannot express "
+              f"overlapping patches — grid_size/pos-embeds/framewise times "
+              f"would silently desynchronize from the actual token grid")
+        check(not (self.pooling == "dm" and self.freq_patch_out),
+              "pooling='dm' is incompatible with freq_patch_out: the head's "
+              "(B, fg, tg, D) reshape uses the config grid, but freq patch "
+              "dropout shrinks the actual freq-patch count in training — "
+              "tokens would interleave wrongly (or the reshape fail)")
 
     @property
     def grid_size(self):  # (freq, time) patch grid
@@ -453,7 +473,14 @@ def forward_head(cfg: UITConfig, params, x, token_mask=None):
     fg = cfg.grid_size[0]
     B, N, D = x.shape
     x = x.reshape(B, fg, N // fg, D).mean(axis=1)  # (B, tg, D)
-    return head(x).mean(axis=1)
+    probs_t = head(x)  # (B, tg, C)
+    if token_mask is not None:
+        # padded time patches must not dilute the time-mean (mask is
+        # time-derived, so every freq patch of a time column agrees)
+        tmask = token_mask.reshape(B, fg, N // fg)[:, 0, :]
+        w = tmask.astype(probs_t.dtype)[:, :, None]
+        return (probs_t * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
+    return probs_t.mean(axis=1)
 
 
 def encode_window(cfg: UITConfig, params, state, mel, *, train=False, rng=None):
@@ -500,14 +527,11 @@ def chunk_long_mel_btf(cfg: UITConfig, mel):
     time-major layout — slices ride the sublane axis, no transposes."""
     B, T, F = mel.shape
     L = cfg.target_length
-    n_crops = -(-T // L)
-    starts = [i * L for i in range(n_crops)]
-    if T % L != 0:
-        starts[-1] = T - L
+    starts = _window_starts(T, L)  # the ONE copy of the tail-window rule
     crops = jnp.stack(
         [jax.lax.slice_in_dim(mel, s, s + L, axis=1) for s in starts], axis=1
     )
-    return crops.reshape(B * n_crops, L, F), n_crops
+    return crops.reshape(B * len(starts), L, F), len(starts)
 
 
 def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
@@ -518,8 +542,17 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
     In training mode returns (probs, new_state) with updated BN statistics.
     `frontend_fn` lets callers swap in the fused Pallas mel kernel.
     With cfg.use_length_mask and `lengths` (samples per clip), padded-region
-    patches are excluded from attention and pooling (single-window path).
+    patches are excluded from attention and pooling (single-window 'bft'
+    path only — the serving layouts and the long-clip crop path raise
+    rather than silently ignore the lengths).
     """
+    if cfg.use_length_mask and lengths is not None \
+            and cfg.mel_layout != "bft":
+        raise ValueError(
+            f"use_length_mask is only implemented on the canonical 'bft' "
+            f"layout; the {cfg.mel_layout!r} serving layout would silently "
+            f"score padding as audio — drop lengths or use 'bft'"
+        )
     if cfg.mel_layout == "tfb":
         # fastest serving path: (T, F, B) mel straight from the TRANSPOSED
         # Pallas kernel (the framing gather's native layout — no relayout
@@ -530,10 +563,11 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
                 "with the default 'bft' layout (BN stat updates cannot be "
                 "folded into the patch embed)"
             )
-        assert frontend_fn is not None, (
-            "mel_layout='tfb' needs a frontend_fn built with "
-            "make_frontend_fn(..., layout='tfb')"
-        )
+        if frontend_fn is None:  # raise, not assert: survive python -O
+            raise ValueError(
+                "mel_layout='tfb' needs a frontend_fn built with "
+                "make_frontend_fn(..., layout='tfb')"
+            )
         mel = frontend_fn(wav)  # (T, F, B)
         T = mel.shape[0]
         if T > cfg.target_length:
@@ -558,10 +592,11 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
                 "with the default 'bft' layout (BN stat updates cannot be "
                 "folded into the patch embed)"
             )
-        assert frontend_fn is not None, (
-            "mel_layout='btf' needs a frontend_fn built with "
-            "make_frontend_fn(..., layout='btf')"
-        )
+        if frontend_fn is None:  # raise, not assert: survive python -O
+            raise ValueError(
+                "mel_layout='btf' needs a frontend_fn built with "
+                "make_frontend_fn(..., layout='btf')"
+            )
         mel = frontend_fn(wav)  # (B, T, F)
         T = mel.shape[1]
         if T > cfg.target_length:
@@ -609,6 +644,13 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
 
     T = x.shape[-1]
     if (not train) and T > cfg.target_length:
+        if cfg.use_length_mask and lengths is not None:
+            raise ValueError(
+                "use_length_mask is not supported on the long-clip crop "
+                "path (per-window masks are not built) — score windows "
+                "upstream or drop lengths; silently ignoring them would "
+                "average padded windows into the clip score"
+            )
         crops, n_crops = chunk_long_mel(cfg, x)
         feats = forward_features(cfg, params, crops, train=False)
         probs = forward_head(cfg, params, feats)
@@ -621,6 +663,14 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
             r = None
         token_mask = None
         if cfg.use_length_mask and lengths is not None:
+            if train and mixup_lamb is not None:
+                raise ValueError(
+                    "use_length_mask is incompatible with mixup: the mask "
+                    "is built from the PRIMARY clip's length, but mixup "
+                    "mixes in a partner whose audio (and labels) extend "
+                    "past it — the model would be supervised on labels "
+                    "whose acoustic evidence was masked out"
+                )
             tg = min(x.shape[-1], cfg.target_length) // cfg.patch_stride
             token_mask = token_validity_mask(cfg, jnp.asarray(lengths), tg)
         feats = forward_features(cfg, params, x, train=train, rng=r,

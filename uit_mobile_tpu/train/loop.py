@@ -522,8 +522,11 @@ class Trainer:
             save_checkpoint(output_model, avg_p, avg_s, avg_cfg,
                             extra={"averaged_from": [str(p) for _, p in saved],
                                    "run_config": self.run_config})
-            final_score = self._validate(eval_step, avg_p, avg_s, test_loader, "avg")
-            log.info(f"Averaged model mAP: {final_score:.4f}")
+            # score the deliverable on the SAME metric the run optimized
+            final_score = self._validate(eval_step, avg_p, avg_s,
+                                         test_loader, "avg",
+                                         metric=score_name)
+            log.info(f"Averaged model {score_name}: {final_score:.4f}")
         elif saved:
             output_model = saved[0][1]
         else:
@@ -559,9 +562,9 @@ class Trainer:
             targets.append(batch["target"])
         preds = np.concatenate(preds)
         targets = np.concatenate(targets)
-        names = [metric] if metric != "mAP" else ["mAP"]
+        names = [metric]
         if "mAP" not in names:
-            names.append("mAP")
+            names.append("mAP")  # always report mAP alongside
         if preds.shape[1] > 527:
             names += ["mAPAudioset", "mAPKWS"]
         m = compute_metrics(names, preds, targets)
@@ -596,6 +599,10 @@ def train_from_config(config: dict) -> Path:
         except KeyboardInterrupt:
             raise
         except Exception:
+            # the crashed Trainer never reached its removeHandler: detach
+            # its file sink or every retry would duplicate log lines (and
+            # leak a handle) into the SAME pinned train.log
+            log.removeHandler(trainer._file_handler)
             last = Path(config["outputdir"]) / "last.npz"
             if attempt >= retries or not last.exists():
                 raise

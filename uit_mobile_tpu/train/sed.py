@@ -102,6 +102,21 @@ def _train_sed_once(config: dict) -> Path:
             )
     outputdir = _make_outputdir(c)
     handler = add_file_sink(log, outputdir / c.get("logfile", "train.log"))
+    try:
+        return _train_sed_body(c, outputdir)
+    finally:
+        # also on crash: an auto_resume retry re-adds a sink to the SAME
+        # pinned train.log — a leaked handler would duplicate every line
+        log.removeHandler(handler)
+
+
+def _train_sed_body(c: dict, outputdir) -> Path:
+    import jax
+    import jax.numpy as jnp
+
+    from ..ckpt.io import load_training_state, save_training_state
+    from ..ops import make_frontend_fn
+
     log.info(f"SED training -> {outputdir}")
     for k, v in sorted(c.items()):
         log.info(f"{k} : {v}")
@@ -247,5 +262,4 @@ def _train_sed_once(config: dict) -> Path:
             outputdir / "last.npz", params, state, opt_state, cfg,
             extra={"epoch": epoch, "best": best})
     log.info(f"Best segment-F1 micro {best:.4f} -> {best_path}")
-    log.removeHandler(handler)
     return best_path
