@@ -88,39 +88,53 @@ def _train_bench(models, on_tpu):
     """Fused PSL train step (student uit_xs + MobileNetV2 teacher + mixup
     + grad clip + AdamW in one program), device-resident batches —
     measures device+dispatch throughput; loader-transfer economics are in
-    PERF_NOTES (int16 loaders ~halve real-loop step time on this relay)."""
+    PERF_NOTES (int16 loaders ~halve real-loop step time on this relay).
+
+    Two records: the parity-grade f32 per-step mode (train_*) and the
+    fastest known mode (train_fast_*) — bfloat16 encoder + K=8 optimizer
+    updates per dispatch (train.steps.make_multi_step), both opt-in
+    production levers (`compute_dtype` model arg, `steps_per_dispatch`
+    config key)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from uit_mobile_tpu.ops import make_frontend_fn
-    from uit_mobile_tpu.train.steps import make_train_step
+    from uit_mobile_tpu.train.steps import make_multi_step, make_train_step
 
     B = 512 if on_tpu else 8
-    cfg = models.get_model_config("uit_xs", outputdim=537, target_length=102)
+    K = 8  # multi-step scan depth for the fast record
     psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
-    params, state = models.build(cfg, jax.random.key(0))
     psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
     frontend = make_frontend_fn(None, use_pallas=on_tpu, precision="fast")
-    opt = optax.adamw(1e-3)
-    opt_state = opt.init(params)
-    # flat [audioset, kws] batch: the Trainer's preassembled fast path
-    # (psl_split) — no on-device concatenates (+23%/step measured,
-    # tools/probe_preassembled.py)
-    step = jax.jit(
-        make_train_step(cfg, opt, mixup_alpha=0.3, max_grad_norm=1.0,
-                        psl_cfg=psl_cfg, psl_split=B // 2,
-                        frontend_fn=frontend),
-        donate_argnums=(0, 1, 2),
-    )
     rng = np.random.default_rng(0)
 
+    # flat [audioset, kws] batches: the Trainer's preassembled fast path
+    # (psl_split) — no on-device concatenates (+23%/step measured,
+    # tools/probe_preassembled.py)
     batches = [{
         "wav": jnp.asarray(rng.standard_normal((B, 16000))
                            .astype(np.float32) * 0.1),
         "target": jnp.asarray((rng.uniform(size=(B, 537)) > 0.95)
                               .astype(np.float32)),
     } for _ in range(2)]
+
+    def build(compute_dtype):
+        cfg = models.get_model_config("uit_xs", outputdim=537,
+                                      target_length=102,
+                                      compute_dtype=compute_dtype)
+        params, state = models.build(cfg, jax.random.key(0))
+        opt = optax.adamw(1e-3)
+        return cfg, params, state, opt, opt.init(params)
+
+    # --- parity-grade record: f32, one optimizer update per dispatch
+    cfg, params, state, opt, opt_state = build("float32")
+    step = jax.jit(
+        make_train_step(cfg, opt, mixup_alpha=0.3, max_grad_norm=1.0,
+                        psl_cfg=psl_cfg, psl_split=B // 2,
+                        frontend_fn=frontend),
+        donate_argnums=(0, 1, 2),
+    )
     key = jax.random.key(7)
     params, state, opt_state, m = step(params, state, opt_state, batches[0],
                                        key, psl_params, psl_state)
@@ -135,9 +149,45 @@ def _train_bench(models, on_tpu):
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / steps
     assert np.isfinite(float(m["total_loss"]))
-    return {"train_step_ms": round(dt * 1e3, 2),
-            "train_clips_per_s": round(B / dt, 1),
-            "train_batch": B}
+    record = {"train_step_ms": round(dt * 1e3, 2),
+              "train_clips_per_s": round(B / dt, 1),
+              "train_batch": B}
+
+    # --- fastest known mode: bf16 encoder + K updates per dispatch
+    try:
+        cfg, params, state, opt, opt_state = build("bfloat16")
+        multi = jax.jit(
+            make_multi_step(
+                make_train_step(cfg, opt, mixup_alpha=0.3, max_grad_norm=1.0,
+                                psl_cfg=psl_cfg, psl_split=B // 2,
+                                frontend_fn=frontend),
+                psl=True),
+            donate_argnums=(0, 1, 2),
+        )
+        stack = [jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[batches[(j + i) % 2] for i in range(K)])
+                 for j in range(2)]
+        keys = jax.random.split(jax.random.key(9), K)
+        params, state, opt_state, m = multi(params, state, opt_state,
+                                            stack[0], keys,
+                                            psl_params, psl_state)
+        jax.block_until_ready(m)  # compile
+        n_disp = 2 if on_tpu else 1
+        t0 = time.perf_counter()
+        for i in range(n_disp):
+            keys = jax.random.split(jax.random.key(100 + i), K)
+            params, state, opt_state, m = multi(params, state, opt_state,
+                                                stack[i % 2], keys,
+                                                psl_params, psl_state)
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / (n_disp * K)
+        assert np.isfinite(float(np.asarray(m["total_loss"])[-1]))
+        record.update(train_fast_step_ms=round(dt * 1e3, 2),
+                      train_fast_clips_per_s=round(B / dt, 1),
+                      train_fast_mode=f"bfloat16+scan{K}")
+    except Exception as e:  # never let the fast record sink the headline
+        print(f"# train fast record unavailable: {e}", file=sys.stderr)
+    return record
 
 
 def main():
