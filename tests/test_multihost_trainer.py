@@ -1,0 +1,176 @@
+"""Multi-host TRAINING end-to-end: the full Trainer (PSL distillation,
+mixup, validation, top-k checkpoints, averaging, early-stop bookkeeping)
+run as a real 2-process ``jax.distributed`` job on the CPU backend
+(2 virtual devices per process -> a 4-device global mesh) — the idiomatic
+stand-in for a 2-host TPU slice.
+
+What this pins:
+- ``multihost:`` config key -> distributed init before any backend touch;
+- per-host loaders produce 1/n_proc of the GLOBAL batch and
+  device_prefetch assembles the globally sharded batch
+  (make_array_from_process_local_data);
+- PSL batches stay in DICT form so the in-step concatenate restores the
+  [all audioset, all kws] global row order (the flat psl_split slice
+  would mix halves under process-interleaved assembly);
+- every rank takes identical control decisions (validation scores are
+  collective results over identical data -> bitwise-equal across ranks);
+- rank 0 is the only writer: checkpoints/averaged.npz/last.npz exist in
+  rank 0's outputdir and nowhere else.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = textwrap.dedent(
+    """
+    import json, sys
+    rank, nproc, port, datadir, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+        sys.argv[5])
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+
+    env = json.loads((os.path.join(datadir, "env.json") and
+                      open(os.path.join(datadir, "env.json")).read()))
+    config = dict(
+        multihost=dict(coordinator_address=f"127.0.0.1:{{port}}",
+                       num_processes=nproc, process_id=rank),
+        outputpath=outdir,
+        num_classes=537,
+        model="uit_xxxs",
+        model_args={{"target_length": 102, "depth": 1}},
+        batch_size=8,
+        epochs=2,
+        epoch_length=2,
+        warmup_iters=2,
+        chunk_length=1.0,
+        mixup=0.2,
+        psl={{"model": "MobileNetV2", "pretrained": "/nonexistent.npz",
+             "allow_untrained": True, "outputdim": 527}},
+        optimizer="AdamW",
+        optimizer_args={{"lr": 1e-3, "weight_decay": 1e-8}},
+        early_stop=10,
+        n_saved=2,
+        num_workers=1,
+        eval_batch_size=8,
+        valid_every=1,
+        seed=0,
+        config_stem="mh",
+        **env,
+    )
+    from uit_mobile_tpu.train.loop import train_from_config
+
+    out = train_from_config(config)
+    assert jax.process_count() == nproc, jax.process_count()
+    print(f"DONE {{rank}} {{out}}", flush=True)
+    """
+).format(repo=str(REPO))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _make_world(tmp_path: Path) -> dict:
+    """Tiny shared synthetic AudioSet+KWS world (both ranks read it)."""
+    rng = np.random.default_rng(0)
+
+    def make(name, n, label_pool):
+        h5 = tmp_path / f"{name}.h5"
+        rows = []
+        with h5py.File(h5, "w") as f:
+            for i in range(n):
+                L = int(rng.integers(12000, 17000))
+                f[f"{name}_{i}.wav"] = (
+                    rng.standard_normal(L) * 3000).astype(np.int16)
+                lab = ";".join(
+                    map(str, rng.choice(label_pool, size=2, replace=False)))
+                rows.append((f"{name}_{i}.wav", lab, str(h5)))
+        tsv = tmp_path / f"{name}.tsv"
+        pd.DataFrame(
+            rows, columns=["filename", "labels", "hdf5path"]
+        ).to_csv(tsv, sep="\t", index=False)
+        return str(tsv)
+
+    return dict(
+        audioset_train_data=make("astrain", 12, np.arange(0, 527)),
+        audioset_eval_data=make("aseval", 6, np.arange(0, 527)),
+        kws_train_data=make("kwstrain", 12, np.arange(527, 537)),
+        kws_test_data=make("kwseval", 6, np.arange(527, 537)),
+    )
+
+
+def test_two_process_trainer(tmp_path):
+    import json
+
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    env = _make_world(datadir)
+    (datadir / "env.json").write_text(json.dumps(env))
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    outdirs = [tmp_path / f"exp{r}" for r in range(2)]
+    child_env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(r), "2", str(port),
+             str(datadir), str(outdirs[r])],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=child_env,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"DONE {r}" in out, out
+
+    # both ranks saw the 4-device global mesh and announced their rank
+    assert "data-parallel over 4 devices" in outs[0]
+    assert re.search(r"multi-host: process 1/2", outs[1]), outs[1]
+
+    # identical control flow: per-epoch validation scores match bitwise
+    # (same eval data, same global params -> same collective result)
+    def scores(text):
+        return re.findall(r"Validation Results - Epoch : (\S+)\s+.*?mAP (\d\.\d+)",
+                          text)
+
+    s0, s1 = scores(outs[0]), scores(outs[1])
+    assert s0 and len(s0) >= 2, outs[0]
+    # rank 1 skips the rank-0-only averaged-model validation
+    assert s1 == s0[: len(s1)], (s0, s1)
+
+    # rank 0 is the only writer
+    rank0_npz = sorted(outdirs[0].rglob("*.npz"))
+    assert any(p.name == "averaged.npz" for p in rank0_npz), rank0_npz
+    assert any(p.name == "last.npz" for p in rank0_npz), rank0_npz
+    assert sorted(outdirs[1].rglob("*.npz")) == []
+    # ... but rank 1 still logged the run into its own sink
+    rank1_logs = sorted(outdirs[1].rglob("train.rank1.log"))
+    assert rank1_logs, sorted(outdirs[1].rglob("*"))

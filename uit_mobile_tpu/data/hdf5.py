@@ -469,10 +469,16 @@ class MultiDataLoader:
             yield out
 
 
-def device_prefetch(iterator, size: int = 2, sharding=None):
+def device_prefetch(iterator, size: int = 2, sharding=None,
+                    process_local: bool = False):
     """Move batches to device ahead of consumption on a background thread.
 
     With a NamedSharding this doubles as the host->mesh distribution stage.
+    With ``process_local=True`` (multi-host training) each array is this
+    process's SLICE of the global batch: the stage assembles the globally
+    sharded array via ``jax.make_array_from_process_local_data`` — host p's
+    rows land on host p's devices, no cross-host data movement (the
+    scaling-book multihost input recipe; see parallel/multihost.py).
 
     The producer thread TERMINATES when the consumer drops or closes the
     generator (generator.close() / GC raises GeneratorExit here): without
@@ -482,6 +488,9 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     """
     import jax
 
+    if process_local and sharding is None:
+        raise ValueError("process_local=True needs the global NamedSharding")
+
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
     _ERR = object()
@@ -489,6 +498,8 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
 
     def put(x):
         if isinstance(x, np.ndarray) and x.dtype != object:
+            if process_local:
+                return jax.make_array_from_process_local_data(sharding, x)
             return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
         if isinstance(x, dict):
             return {k: put(v) for k, v in x.items()}

@@ -46,6 +46,27 @@ def initialize(coordinator_address: str | None = None,
         raise
 
 
+def initialize_from_config(multihost_cfg) -> None:
+    """Config-key entry point (``multihost: true`` or a dict with
+    ``coordinator_address`` / ``num_processes`` / ``process_id``).
+
+    ``true`` defers to the runtime's cluster autodetection (the normal TPU
+    pod case — every host runs the same command and the TPU metadata
+    supplies the topology); the explicit dict form is for CPU simulation
+    and bespoke clusters. Must run before any backend use — the training
+    entry points call this before constructing a Trainer.
+    """
+    if not multihost_cfg:
+        return
+    kwargs = multihost_cfg if isinstance(multihost_cfg, dict) else {}
+    allowed = {"coordinator_address", "num_processes", "process_id"}
+    unknown = set(kwargs) - allowed
+    if unknown:
+        raise ValueError(f"unknown multihost config keys {sorted(unknown)}; "
+                         f"allowed: {sorted(allowed)}")
+    initialize(**kwargs)
+
+
 def host_local_batch_slice(global_batch: int) -> slice:
     """Rows of the global batch this host should load."""
     n = jax.process_count()

@@ -108,16 +108,30 @@ def _json_safe_config(c: dict) -> dict:
 
 class Trainer:
     def __init__(self, config: dict):
+        import jax
+
         self.config = config
         self.run_config = _json_safe_config(config)
+        # Multi-host: every process runs the identical control flow (the
+        # train step and validation are collective programs over the global
+        # mesh); only process 0 touches the filesystem (checkpoints,
+        # averaging, last.npz). parallel.multihost.initialize must have run
+        # already — train_from_config does it from the `multihost:` key.
+        self.rank = jax.process_index()
+        self.n_proc = jax.process_count()
+        self.is_main = self.rank == 0
         self.outputdir = _make_outputdir(config)
-        self._file_handler = add_file_sink(
-            log, self.outputdir / config.get("logfile", "train.log")
-        )
-        import jax
+        logfile = config.get("logfile", "train.log")
+        if self.rank > 0:  # keep per-host logs from interleaving on shared fs
+            logfile = f"{Path(logfile).stem}.rank{self.rank}{Path(logfile).suffix}"
+        self._file_handler = add_file_sink(log, self.outputdir / logfile)
 
         log.info(f"Storing output in {self.outputdir}")
         log.info(f"devices: {jax.devices()}")
+        if self.n_proc > 1:
+            log.info(f"multi-host: process {self.rank}/{self.n_proc}, "
+                     f"{jax.local_device_count()} local of "
+                     f"{jax.device_count()} global devices")
         for k, v in sorted(config.items()):
             log.info(f"{k} : {v}")
 
@@ -166,9 +180,15 @@ class Trainer:
         import random as _random
 
         ds_counter = iter(range(1000))
+        # per-host sampling stream: rank-offset seeds make each host draw
+        # DIFFERENT training samples (the multi-host analogue of one big
+        # shuffled stream); rank 0 == the single-host seed, so single-host
+        # runs are unchanged. Validation stays rank-identical (shuffle=False
+        # + no rng) — every host must score the same data in lockstep.
+        data_seed = c.get("seed", 42) + self.rank * 7919
 
         def make_ds(df):
-            rng = _random.Random(c.get("seed", 42) * 1000 + next(ds_counter))
+            rng = _random.Random(data_seed * 1000 + next(ds_counter))
             if "from" in df.columns and "to" in df.columns:
                 # strong-label manifest (one labeled event interval per
                 # row): crop/pad WITHIN the interval — the reference ships
@@ -214,23 +234,35 @@ class Trainer:
         batch_size = c["batch_size"]
         kws_bs = c.get("kws_batch_size", batch_size // 2)
         as_bs = c.get("as_batch_size", batch_size // 2)
+        if self.n_proc > 1:
+            # config batch sizes are GLOBAL; each host loads its slice
+            # (rows assemble into the globally sharded batch in
+            # device_prefetch via make_array_from_process_local_data)
+            for name, bs in (("kws_batch_size", kws_bs),
+                             ("as_batch_size", as_bs)):
+                if bs % self.n_proc:
+                    raise ValueError(
+                        f"multi-host training needs {name} ({bs}) divisible "
+                        f"by the process count ({self.n_proc})")
+            kws_bs //= self.n_proc
+            as_bs //= self.n_proc
         num_workers = c.get("num_workers", 2)
 
         def sampler_for(which, df):
             if c.get(which) == "balanced":
-                return BalancedSampler(df["labels"], random_state=c.get("seed", 42))
+                return BalancedSampler(df["labels"], random_state=data_seed)
             return None
 
         train_loader = MultiDataLoader(
             kws=DataLoader(
                 make_ds(kws_train), batch_size=kws_bs, num_workers=num_workers,
                 sampler=sampler_for("kws_sampler", kws_train),
-                shuffle=True, drop_last=True, seed=c.get("seed", 42),
+                shuffle=True, drop_last=True, seed=data_seed,
             ),
             audioset=DataLoader(
                 make_ds(as_train), batch_size=as_bs, num_workers=num_workers,
                 sampler=sampler_for("as_sampler", as_train),
-                shuffle=True, drop_last=True, seed=c.get("seed", 42),
+                shuffle=True, drop_last=True, seed=data_seed,
             ),
         )
         import pandas as pd
@@ -254,6 +286,7 @@ class Trainer:
         from ..parallel import make_mesh
 
         c = self.config
+        multihost = self.n_proc > 1
         cfg, params, state = self._build_model()
         psl_cfg, psl_params, psl_state = _load_psl(c)
         train_loader, test_loader = self._build_data()
@@ -293,8 +326,15 @@ class Trainer:
             distill_mode=(c.get("psl") or {}).get("mode", "psl"),
             distill_alpha=(c.get("psl") or {}).get("alpha", 1.0),
             distill_classes=(c.get("psl") or {}).get("classes", 527),
-            # Trainer preassembles [audioset, kws] host-side (fast path)
-            psl_split=c.get("as_batch_size", c["batch_size"] // 2),
+            # Trainer preassembles [audioset, kws] host-side (fast path).
+            # Multi-host keeps the DICT batch form instead: the global
+            # row order of an assembled flat batch is process-interleaved
+            # ([p0_as, p0_kws, p1_as, ...]), so the flat path's global
+            # `wav[:psl_split]` teacher slice would mix halves — the
+            # in-step concatenate of two per-half global arrays restores
+            # the [all audioset, all kws] order exactly.
+            psl_split=(None if multihost
+                       else c.get("as_batch_size", c["batch_size"] // 2)),
             wav_augment=parse_wavtransforms(c.get("wavtransforms", {})),
             spec_augment=parse_spectransforms(c.get("spectransforms", {})),
             frontend_fn=frontend,
@@ -302,14 +342,24 @@ class Trainer:
         eval_step = jax.jit(make_eval_step(cfg, frontend_fn=frontend))
 
         # DP mesh over the largest device count that divides every batch
-        # axis the step sees (each PSL half shards independently)
+        # axis the step sees (each PSL half shards independently). Multi-
+        # host cannot shrink the mesh (every process's devices must
+        # participate in the collective program), so divisibility by the
+        # FULL global device count is required there.
         c_batch = c["batch_size"]
         halves = [c.get("kws_batch_size", c_batch // 2),
                   c.get("as_batch_size", c_batch // 2)]
         shard_dims = halves if psl_cfg is not None else [sum(halves)]
         n_dev = jax.device_count()
-        while n_dev > 1 and any(d % n_dev for d in shard_dims):
-            n_dev -= 1
+        if multihost:
+            bad = [d for d in shard_dims if d % n_dev]
+            if bad:
+                raise ValueError(
+                    f"multi-host training needs every batch axis {shard_dims} "
+                    f"divisible by the global device count ({n_dev})")
+        else:
+            while n_dev > 1 and any(d % n_dev for d in shard_dims):
+                n_dev -= 1
         mesh = make_mesh(n_dev) if n_dev > 1 else None
         if mesh is not None:
             log.info(f"data-parallel over {n_dev} devices")
@@ -336,6 +386,12 @@ class Trainer:
         # coarsens to K (metrics surface after each group)
         steps_per_dispatch = int(c.get("steps_per_dispatch", 1))
         jit_multi = None
+        if steps_per_dispatch > 1 and multihost:
+            raise ValueError(
+                "steps_per_dispatch > 1 is a single-host dispatch-"
+                "amortization lever (the host-side K-batch stacking is not "
+                "wired for process-local global arrays); drop it from "
+                "multi-host configs")
         if steps_per_dispatch > 1:
             from .steps import make_multi_step
 
@@ -381,7 +437,17 @@ class Trainer:
             to [audioset, kws] rows here — the step's preassembled fast
             path (psl_split above) then skips the on-device concatenates
             (+23%/step measured, tools/probe_preassembled.py); the host
-            copies hide behind device_prefetch."""
+            copies hide behind device_prefetch.
+
+            Multi-host PSL keeps the halves as a dict (see the psl_split
+            note above): each half assembles into its own global array and
+            the step concatenates them in [all audioset, all kws] order."""
+            if multihost and psl_cfg is not None and "wav" not in batch:
+                return {
+                    half: {"wav": batch[half]["wav"],
+                           "target": batch[half]["target"]}
+                    for half in ("audioset", "kws")
+                }
             if "wav" in batch:
                 return {"wav": batch["wav"], "target": batch["target"]}
             # dual-loader batch: right-pad both halves to a common length
@@ -423,7 +489,8 @@ class Trainer:
         # host stays ahead of the device even at steps_per_dispatch > 1
         train_iter = device_prefetch(step_batches(),
                                      size=max(2, steps_per_dispatch + 1),
-                                     sharding=data_sh)
+                                     sharding=data_sh,
+                                     process_local=multihost)
         stop = False
         for epoch in range(start_epoch, epochs + 1):
             if stop:
@@ -488,12 +555,16 @@ class Trainer:
                 ckpt_path = self.outputdir / f"best_model_{step_count}_mAP={score:.4f}.npz"
                 saved.append((score, ckpt_path))
                 saved.sort(key=lambda x: -x[0])
-                if (score, ckpt_path) in saved[:n_saved]:
+                # multi-host: identical bookkeeping/decisions on every rank
+                # (scores are identical — same eval data, same global
+                # params), filesystem writes on rank 0 only
+                if (score, ckpt_path) in saved[:n_saved] and self.is_main:
                     save_checkpoint(ckpt_path, params, state, cfg,
                                     extra={"step": step_count, "mAP": score,
                                            "run_config": self.run_config})
                 for s, p in saved[n_saved:]:
-                    p.unlink(missing_ok=True)
+                    if self.is_main:
+                        p.unlink(missing_ok=True)
                 saved = saved[:n_saved]
                 if score > best_score:
                     best_score = score
@@ -503,37 +574,50 @@ class Trainer:
                     if bad_evals >= patience:
                         log.info(f"Early stopping at epoch {epoch}")
                         stop = True
-                save_training_state(  # lossless mid-training resume point
-                    self.outputdir / "last.npz", params, state, opt_state, cfg,
-                    extra={
-                        "epoch": epoch, "step": step_count, score_name: score,
-                        "best_score": best_score, "bad_evals": bad_evals,
-                        "saved": [[s, str(p)] for s, p in saved],
-                    },
-                )
+                if self.is_main:
+                    save_training_state(  # lossless mid-training resume point
+                        self.outputdir / "last.npz", params, state, opt_state,
+                        cfg,
+                        extra={
+                            "epoch": epoch, "step": step_count,
+                            score_name: score,
+                            "best_score": best_score, "bad_evals": bad_evals,
+                            "saved": [[s, str(p)] for s, p in saved],
+                        },
+                    )
 
         train_iter.close()  # stop the prefetch producer (infinite stream)
 
-        # average the kept best checkpoints -> the deliverable
+        # average the kept best checkpoints -> the deliverable. Multi-host:
+        # rank 0 holds the checkpoint files and produces the deliverable;
+        # the other ranks' training work is already inside those weights
+        # (every update was a collective over the global mesh), so they
+        # only report where rank 0's artifact lives.
         if c.get("average", True) and saved:
-            log.info("Averaging best models ...")
-            avg_p, avg_s, avg_cfg, _ = average_checkpoints([p for _, p in saved])
             output_model = self.outputdir / "averaged.npz"
-            save_checkpoint(output_model, avg_p, avg_s, avg_cfg,
-                            extra={"averaged_from": [str(p) for _, p in saved],
-                                   "run_config": self.run_config})
-            # score the deliverable on the SAME metric the run optimized
-            final_score = self._validate(eval_step, avg_p, avg_s,
-                                         test_loader, "avg",
-                                         metric=score_name)
-            log.info(f"Averaged model {score_name}: {final_score:.4f}")
+            if self.is_main:
+                log.info("Averaging best models ...")
+                avg_p, avg_s, avg_cfg, _ = average_checkpoints(
+                    [p for _, p in saved])
+                save_checkpoint(output_model, avg_p, avg_s, avg_cfg,
+                                extra={"averaged_from":
+                                       [str(p) for _, p in saved],
+                                       "run_config": self.run_config})
+                # score the deliverable on the SAME metric the run optimized
+                # (plain host arrays -> a process-local computation, safe to
+                # run on rank 0 alone)
+                final_score = self._validate(eval_step, avg_p, avg_s,
+                                             test_loader, "avg",
+                                             metric=score_name)
+                log.info(f"Averaged model {score_name}: {final_score:.4f}")
         elif saved:
             output_model = saved[0][1]
         else:
             output_model = self.outputdir / "final.npz"
-            save_checkpoint(output_model, params, state, cfg,
-                            extra={"step": step_count,
-                                   "run_config": self.run_config})
+            if self.is_main:
+                save_checkpoint(output_model, params, state, cfg,
+                                extra={"step": step_count,
+                                       "run_config": self.run_config})
         log.info(f"Results can be found at {self.outputdir}")
         log.info(f"Final model is at {output_model}")
         log.removeHandler(self._file_handler)
@@ -583,7 +667,26 @@ def train_from_config(config: dict) -> Path:
     all (it keeps only best-k weights, no optimizer state — run.py:
     338-349); here resume restores params + BN state + optimizer moments
     + step/best-k/patience counters (ckpt/io.save_training_state).
+
+    ``multihost: true`` (TPU pod — topology autodetected) or
+    ``multihost: {coordinator_address, num_processes, process_id}``
+    initializes the distributed runtime BEFORE the Trainer touches the
+    backend; every host then runs this same function and the train step
+    compiles once over the global device mesh (per-host data loading,
+    rank-0 checkpointing — see Trainer).
     """
+    if config.get("multihost"):
+        from ..parallel.multihost import initialize_from_config
+
+        initialize_from_config(config["multihost"])
+        import jax
+
+        if jax.process_count() > 1 and config.get("auto_resume"):
+            raise ValueError(
+                "auto_resume is single-host (a per-process retry would "
+                "desynchronize the collective program across ranks); use "
+                "an external restarter that relaunches ALL hosts, with "
+                "resume: <last.npz>")
     retries = int(config.get("auto_resume") or 0)
     if not retries:
         return Trainer(config).train()
