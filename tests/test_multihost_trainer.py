@@ -88,6 +88,53 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+PRELUDE = textwrap.dedent(
+    """
+    import json, sys
+    rank, nproc, port, datadir, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+        sys.argv[5])
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    multihost = dict(coordinator_address=f"127.0.0.1:{{port}}",
+                     num_processes=nproc, process_id=rank)
+    """
+).format(repo=str(REPO))
+
+
+def _spawn(tmp_path, worker_src, datadir, outdirs, timeout=600):
+    worker = tmp_path / "worker.py"
+    worker.write_text(worker_src)
+    port = _free_port()
+    child_env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(r), "2", str(port),
+             str(datadir), str(outdirs[r])],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=child_env,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"DONE {r}" in out, out
+    return outs
+
+
 def _make_world(tmp_path: Path) -> dict:
     """Tiny shared synthetic AudioSet+KWS world (both ranks read it)."""
     rng = np.random.default_rng(0)
@@ -124,32 +171,8 @@ def test_two_process_trainer(tmp_path):
     datadir.mkdir()
     env = _make_world(datadir)
     (datadir / "env.json").write_text(json.dumps(env))
-    worker = tmp_path / "worker.py"
-    worker.write_text(WORKER)
-    port = _free_port()
     outdirs = [tmp_path / f"exp{r}" for r in range(2)]
-    child_env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(r), "2", str(port),
-             str(datadir), str(outdirs[r])],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=child_env,
-        )
-        for r in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
-    for r, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {r} failed:\n{out}"
-        assert f"DONE {r}" in out, out
+    outs = _spawn(tmp_path, WORKER, datadir, outdirs)
 
     # both ranks saw the 4-device global mesh and announced their rank
     assert "data-parallel over 4 devices" in outs[0]
@@ -174,3 +197,125 @@ def test_two_process_trainer(tmp_path):
     # ... but rank 1 still logged the run into its own sink
     rank1_logs = sorted(outdirs[1].rglob("train.rank1.log"))
     assert rank1_logs, sorted(outdirs[1].rglob("*"))
+
+
+SED_WORKER = PRELUDE + textwrap.dedent(
+    """
+    from uit_mobile_tpu.train.sed import train_sed_from_config
+
+    out = train_sed_from_config(dict(
+        multihost=multihost,
+        outputpath=outdir,
+        num_classes=10,
+        model="uit_xxxs",
+        model_args={"target_length": 102, "depth": 1},
+        strong_train_data=os.path.join(datadir, "sed.tsv"),
+        strong_eval_data=os.path.join(datadir, "sed.tsv"),
+        basename=False,
+        batch_size=8,
+        epochs=2,
+        epoch_length=2,
+        warmup_iters=2,
+        optimizer="AdamW",
+        optimizer_args={"lr": 1e-3},
+        num_workers=1,
+        seed=0,
+        config_stem="mhsed",
+    ))
+    print(f"DONE {rank} {out}", flush=True)
+    """
+)
+
+
+def _make_sed_world(datadir: Path) -> None:
+    """Tiny strong-label world (tone bursts in one half of each clip)."""
+    rng = np.random.default_rng(0)
+    sr = 16000
+    h5 = datadir / "sed.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(16):
+            cls = i % 2
+            half = (i // 2) % 2
+            clip = (rng.standard_normal(sr) * 120).astype(np.int16)
+            t = np.arange(sr // 2) / sr
+            tone = np.sin(2 * np.pi * (600 + 2400 * cls) * t) * 12000
+            lo = half * (sr // 2)
+            clip[lo:lo + sr // 2] += tone.astype(np.int16)
+            f[f"c_{i}.wav"] = clip
+            rows.append((f"c_{i}.wav", str(cls), str(h5),
+                         lo / sr, (lo + sr // 2) / sr))
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path",
+                                "from", "to"]).to_csv(
+        datadir / "sed.tsv", sep="\t", index=False)
+
+
+def test_two_process_sed(tmp_path):
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    _make_sed_world(datadir)
+    outdirs = [tmp_path / f"exp{r}" for r in range(2)]
+    outs = _spawn(tmp_path, SED_WORKER, datadir, outdirs)
+
+    assert "data-parallel over 4 devices" in outs[0]
+    # identical per-epoch scores across ranks (collective validation)
+    def scores(text):
+        return re.findall(r"segF1 micro (\d\.\d+) macro (\d\.\d+)", text)
+
+    assert scores(outs[0]) and scores(outs[0]) == scores(outs[1])
+    # rank 0 is the only writer
+    assert sorted(p.name for p in outdirs[0].rglob("*.npz")) and \
+        sorted(outdirs[1].rglob("*.npz")) == []
+
+
+PRETRAIN_WORKER = PRELUDE + textwrap.dedent(
+    """
+    from uit_mobile_tpu.train.pretrain import pretrain_from_config
+
+    out = pretrain_from_config(dict(
+        multihost=multihost,
+        outputpath=outdir,
+        model="uit_xxxs",
+        model_args={"target_length": 102, "depth": 1},
+        decoder_depth=1,
+        train_data=os.path.join(datadir, "unlabeled.tsv"),
+        chunk_length=1.0,
+        batch_size=8,
+        epochs=2,
+        epoch_length=2,
+        warmup_iters=2,
+        num_workers=1,
+        seed=0,
+    ))
+    assert os.path.exists(out) == (rank == 0), (rank, out)
+    print(f"DONE {rank} {out}", flush=True)
+    """
+)
+
+
+def test_two_process_pretrain(tmp_path):
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    rng = np.random.default_rng(0)
+    h5 = datadir / "unlab.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(16):
+            L = int(rng.integers(12000, 17000))
+            f[f"u_{i}.wav"] = (rng.standard_normal(L) * 3000).astype(np.int16)
+            rows.append((f"u_{i}.wav", "0", str(h5)))
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+        datadir / "unlabeled.tsv", sep="\t", index=False)
+
+    outdirs = [tmp_path / f"exp{r}" for r in range(2)]
+    outs = _spawn(tmp_path, PRETRAIN_WORKER, datadir, outdirs)
+
+    assert "data-parallel over 4 devices" in outs[0]
+    # identical per-epoch losses across ranks (one collective program)
+    def losses(text):
+        return re.findall(r"MAE epoch \d+: loss (\d\.\d+)", text)
+
+    assert len(losses(outs[0])) == 2 and losses(outs[0]) == losses(outs[1])
+    # rank 0 is the only writer
+    assert (outdirs[0] / "mae" / "uit_xxxs" / "mae_pretrained.npz").exists()
+    assert sorted(outdirs[1].rglob("*.npz")) == []

@@ -1,5 +1,6 @@
 from .mesh import (
     make_mesh,
+    dp_placement,
     replicated,
     batch_sharded,
     shard_batch,
@@ -39,6 +40,7 @@ from . import multihost
 
 __all__ = [
     "make_mesh",
+    "dp_placement",
     "replicated",
     "batch_sharded",
     "shard_batch",

@@ -53,6 +53,35 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def dp_placement(shard_dims, axis: str = "data"):
+    """DP mesh policy shared by the training loops (train/sed/pretrain).
+
+    ``shard_dims`` are the batch-axis sizes the step shards (each PSL half
+    shards independently). Single-host: use the largest device count that
+    divides every one of them (1 device -> no mesh, plain jit). Multi-host:
+    the FULL global mesh is mandatory — every process's devices must
+    participate in the collective program, so indivisible batch axes are a
+    loud error instead of a silently shrunk mesh.
+
+    Returns ``(mesh, batch_sharding, replicated_sharding)`` — all ``None``
+    when a single device is the right placement.
+    """
+    n_dev = jax.device_count()
+    if jax.process_count() > 1:
+        bad = [d for d in shard_dims if d % n_dev]
+        if bad:
+            raise ValueError(
+                f"multi-host training needs every batch axis {list(shard_dims)} "
+                f"divisible by the global device count ({n_dev})")
+    else:
+        while n_dev > 1 and any(d % n_dev for d in shard_dims):
+            n_dev -= 1
+    if n_dev <= 1:
+        return None, None, None
+    mesh = make_mesh(n_dev, axis=axis)
+    return mesh, batch_sharded(mesh, axis), replicated(mesh)
+
+
 def data_parallel_forward(forward_fn, mesh: Mesh | None = None, axis: str = "data",
                           manual: bool | None = None):
     """Wrap an eval forward (wav -> probs) for batch-sharded execution.

@@ -283,7 +283,6 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..ops import make_frontend_fn
-        from ..parallel import make_mesh
 
         c = self.config
         multihost = self.n_proc > 1
@@ -341,31 +340,20 @@ class Trainer:
         )
         eval_step = jax.jit(make_eval_step(cfg, frontend_fn=frontend))
 
-        # DP mesh over the largest device count that divides every batch
-        # axis the step sees (each PSL half shards independently). Multi-
-        # host cannot shrink the mesh (every process's devices must
-        # participate in the collective program), so divisibility by the
-        # FULL global device count is required there.
+        # DP mesh policy (shared with sed/pretrain): single-host uses the
+        # largest device count that divides every batch axis the step sees
+        # (each PSL half shards independently); multi-host requires the
+        # full global mesh (parallel.mesh.dp_placement)
+        from ..parallel import dp_placement
+
         c_batch = c["batch_size"]
         halves = [c.get("kws_batch_size", c_batch // 2),
                   c.get("as_batch_size", c_batch // 2)]
         shard_dims = halves if psl_cfg is not None else [sum(halves)]
-        n_dev = jax.device_count()
-        if multihost:
-            bad = [d for d in shard_dims if d % n_dev]
-            if bad:
-                raise ValueError(
-                    f"multi-host training needs every batch axis {shard_dims} "
-                    f"divisible by the global device count ({n_dev})")
-        else:
-            while n_dev > 1 and any(d % n_dev for d in shard_dims):
-                n_dev -= 1
-        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        mesh, data_sh, repl = dp_placement(shard_dims)
         if mesh is not None:
-            log.info(f"data-parallel over {n_dev} devices")
+            log.info(f"data-parallel over {mesh.size} devices")
         if mesh is not None:
-            repl = NamedSharding(mesh, P())
-            data_sh = NamedSharding(mesh, P("data"))
             jit_step = jax.jit(
                 train_step,
                 in_shardings=(repl, repl, repl, data_sh, repl, repl, repl),

@@ -182,7 +182,21 @@ def pretrain_from_config(config: dict) -> Path:
     epoch) and ``auto_resume: N`` — on a crash the run restarts from the
     latest per-epoch ``last.npz`` in the (deterministic) output dir, up
     to N times, same semantics as train.loop.train_from_config.
+
+    ``multihost:`` scales pretraining across hosts (the realistic pod
+    workload — MAE is the big-unlabeled-data phase): per-host loaders,
+    one collective step over the global mesh, rank-0 writes.
     """
+    if config.get("multihost"):
+        from ..parallel.multihost import initialize_from_config
+
+        initialize_from_config(config["multihost"])
+        if jax.process_count() > 1 and config.get("auto_resume"):
+            raise ValueError(
+                "auto_resume is single-host (a per-process retry would "
+                "desynchronize the collective program across ranks); use "
+                "an external restarter that relaunches ALL hosts, with "
+                "resume: <last.npz>")
     retries = int(config.get("auto_resume") or 0)
     config = dict(config)
     for attempt in range(retries + 1):
@@ -222,11 +236,31 @@ def _pretrain_once(config: dict) -> Path:
                     decoder_depth=c.get("decoder_depth", 2))
     params, state = init(cfg, jax.random.key(c.get("seed", 42)))
 
+    # multi-host: identical collective control flow per rank, rank-0 writes
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+    data_seed = c.get("seed", 42) + jax.process_index() * 7919
+    if n_proc > 1:
+        log.info(f"multi-host MAE: process {jax.process_index()}/{n_proc}")
+
     df = read_tsv_data(c["train_data"]) if str(c["train_data"]).endswith((".tsv", ".csv")) else pd.read_csv(c["train_data"], sep=r"\s+")
     chunk_seconds = model_args["target_length"] * enc.frontend.hop_length / enc.frontend.sample_rate
-    ds = UnlabeledRandomChunkedHDF5Dataset(df, chunk_length=c.get("chunk_length", chunk_seconds))
-    loader = DataLoader(ds, batch_size=c.get("batch_size", 64), shuffle=True,
-                        num_workers=c.get("num_workers", 2), drop_last=True)
+    import random as _random
+
+    ds = UnlabeledRandomChunkedHDF5Dataset(
+        df, chunk_length=c.get("chunk_length", chunk_seconds),
+        rng=_random.Random(data_seed * 1000))
+    global_bs = c.get("batch_size", 64)
+    local_bs = global_bs
+    if n_proc > 1:
+        if global_bs % n_proc:
+            raise ValueError(
+                f"multi-host MAE pretraining needs batch_size ({global_bs}) "
+                f"divisible by the process count ({n_proc})")
+        local_bs //= n_proc
+    loader = DataLoader(ds, batch_size=local_bs, shuffle=True,
+                        num_workers=c.get("num_workers", 2), drop_last=True,
+                        seed=data_seed)
 
     epochs = c.get("epochs", 10)
     epoch_length = c.get("epoch_length") or len(loader)
@@ -245,7 +279,23 @@ def _pretrain_once(config: dict) -> Path:
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_state, opt_state, loss
 
-    jit_step = jax.jit(step, donate_argnums=(0, 1, 2))
+    # DP mesh (same policy as the supervised loops: largest dividing
+    # submesh single-host, full global mesh multi-host)
+    from ..parallel import dp_placement
+
+    mesh, data_sh, repl = dp_placement([global_bs])
+    if mesh is not None:
+        log.info(f"data-parallel over {mesh.size} devices")
+        jit_step = jax.jit(
+            step,
+            in_shardings=(repl, repl, repl, data_sh, repl),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
+        )
+        put = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
+        params, state, opt_state = put((params, state, opt_state))
+    else:
+        jit_step = jax.jit(step, donate_argnums=(0, 1, 2))
     rng = jax.random.key(c.get("seed", 42))
     outdir = _pretrain_outdir(c)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -269,15 +319,24 @@ def _pretrain_once(config: dict) -> Path:
                 it = iter(loader)
                 batch = next(it)
             rng, r = jax.random.split(rng)
+            wav = batch["wav"]
+            if n_proc > 1:
+                # assemble each host's rows into the globally sharded batch
+                from ..parallel.multihost import global_batch_from_host_local
+
+                wav = global_batch_from_host_local(mesh, wav)
+            else:
+                wav = jnp.asarray(wav)
             params, state, opt_state, loss = jit_step(
-                params, state, opt_state, jnp.asarray(batch["wav"]), r
+                params, state, opt_state, wav, r
             )
             losses.append(loss)
         log.info(f"MAE epoch {epoch}: loss {float(np.mean([float(l) for l in losses])):.4f} "
                  f"({epoch_length / (time.time() - t0):.1f} it/s)")
-        save_checkpoint(outdir / "mae_pretrained.npz", params, state, enc,
-                        extra={"epoch": epoch, "mae": True})
-        save_training_state(  # lossless crash-resume point (auto_resume)
-            outdir / "last.npz", params, state, opt_state, enc,
-            extra={"epoch": epoch})
+        if is_main:  # multi-host: rank 0 is the only writer
+            save_checkpoint(outdir / "mae_pretrained.npz", params, state, enc,
+                            extra={"epoch": epoch, "mae": True})
+            save_training_state(  # lossless crash-resume point (auto_resume)
+                outdir / "last.npz", params, state, opt_state, enc,
+                extra={"epoch": epoch})
     return outdir / "mae_pretrained.npz"

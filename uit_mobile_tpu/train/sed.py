@@ -53,7 +53,21 @@ def _segment_geometry(cfg):
 def train_sed_from_config(config: dict) -> Path:
     """SED training; honors ``resume: <last.npz>`` (lossless) and
     ``auto_resume: N`` — crash-restart from the per-epoch snapshot in the
-    SAME run directory, same semantics as train.loop.train_from_config."""
+    SAME run directory, same semantics as train.loop.train_from_config.
+    ``multihost:`` scales the loop across hosts exactly like the weak
+    trainer (per-host loaders, global-mesh step, rank-0 writes)."""
+    if config.get("multihost"):
+        import jax
+
+        from ..parallel.multihost import initialize_from_config
+
+        initialize_from_config(config["multihost"])
+        if jax.process_count() > 1 and config.get("auto_resume"):
+            raise ValueError(
+                "auto_resume is single-host (a per-process retry would "
+                "desynchronize the collective program across ranks); use "
+                "an external restarter that relaunches ALL hosts, with "
+                "resume: <last.npz>")
     retries = int(config.get("auto_resume") or 0)
     if not retries:
         return _train_sed_once(config)
@@ -117,7 +131,17 @@ def _train_sed_body(c: dict, outputdir) -> Path:
     from ..ckpt.io import load_training_state, save_training_state
     from ..ops import make_frontend_fn
 
+    # multi-host: same contract as the weak Trainer — identical control
+    # flow on every rank (the step and validation are collective programs
+    # over the global mesh), rank 0 is the only filesystem writer
+    n_proc = jax.process_count()
+    rank = jax.process_index()
+    is_main = rank == 0
+    data_seed = c.get("seed", 42) + rank * 7919
+
     log.info(f"SED training -> {outputdir}")
+    if n_proc > 1:
+        log.info(f"multi-host: process {rank}/{n_proc}")
     for k, v in sorted(c.items()):
         log.info(f"{k} : {v}")
 
@@ -141,20 +165,30 @@ def _train_sed_body(c: dict, outputdir) -> Path:
         return StrongFramewiseHDF5Dataset(
             df, num_classes=num_classes, n_segments=n_seg, seg_seconds=seg_s,
             chunk_length=chunk_length, min_overlap=c.get("min_overlap", 0.5),
-            rng=_random.Random(c.get("seed", 42) * 1000),
+            # rank-offset seed: each host draws different training windows;
+            # eval datasets are deterministic (offset = f(index)) so the
+            # seed never reaches the validation data
+            rng=_random.Random(data_seed * 1000),
             dtype=c.get("data_dtype", "float32"), deterministic=deterministic,
         )
 
     train_ds = make_ds(c["strong_train_data"])
     num_workers = c.get("num_workers", 2)
+    local_bs = c["batch_size"]
+    if n_proc > 1:
+        if local_bs % n_proc:
+            raise ValueError(
+                f"multi-host SED training needs batch_size ({local_bs}) "
+                f"divisible by the process count ({n_proc})")
+        local_bs //= n_proc
     train_loader = DataLoader(
-        train_ds, batch_size=c["batch_size"], shuffle=True, drop_last=True,
-        num_workers=num_workers, seed=c.get("seed", 42),
+        train_ds, batch_size=local_bs, shuffle=True, drop_last=True,
+        num_workers=num_workers, seed=data_seed,
     )
     if len(train_loader) == 0:
         raise ValueError(
             f"strong_train_data has only {len(train_ds)} clips — fewer than "
-            f"batch_size={c['batch_size']} (drop_last leaves no batches)"
+            f"batch_size={local_bs} (drop_last leaves no batches)"
         )
 
     # ---- fused step
@@ -173,15 +207,29 @@ def _train_sed_body(c: dict, outputdir) -> Path:
     frontend = make_frontend_fn(
         cfg.frontend, use_pallas=(jax.devices()[0].platform == "tpu")
     )
-    step = jax.jit(
-        make_framewise_train_step(
-            cfg, optimizer, loss_name=c.get("loss", "BCELoss"),
-            loss_args=c.get("loss_args"),
-            max_grad_norm=c.get("max_grad_norm"),
-            wav_augment=wav_aug, spec_augment=spec_aug, frontend_fn=frontend,
-        ),
-        donate_argnums=(0, 1, 2),
+    step_fn = make_framewise_train_step(
+        cfg, optimizer, loss_name=c.get("loss", "BCELoss"),
+        loss_args=c.get("loss_args"),
+        max_grad_norm=c.get("max_grad_norm"),
+        wav_augment=wav_aug, spec_augment=spec_aug, frontend_fn=frontend,
     )
+    # DP mesh (same policy as the weak trainer: parallel.mesh.dp_placement
+    # — largest dividing submesh single-host, full global mesh multi-host)
+    from ..parallel import dp_placement
+
+    mesh, data_sh, repl = dp_placement([c["batch_size"]])
+    if mesh is not None:
+        log.info(f"data-parallel over {mesh.size} devices")
+        step = jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, repl, data_sh, repl),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
+        )
+        put = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
+        params, state, opt_state = put((params, state, opt_state))
+    else:
+        step = jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
     # ---- eval: deterministic windows (offset = f(index), stable under
     # threaded loaders), segment-F1 over all (segment, class). Dataset,
@@ -241,11 +289,15 @@ def _train_sed_body(c: dict, outputdir) -> Path:
                 it = iter(train_loader)
                 batch = next(it)
             key, k = jax.random.split(key)
-            params, state, opt_state, m = step(
-                params, state, opt_state,
-                {"wav": jnp.asarray(batch["wav"]),
-                 "target": jnp.asarray(batch["target"])}, k,
-            )
+            sb = {"wav": batch["wav"], "target": batch["target"]}
+            if n_proc > 1:
+                # assemble each host's rows into the globally sharded batch
+                from ..parallel.multihost import global_batch_from_host_local
+
+                sb = global_batch_from_host_local(mesh, sb)
+            else:
+                sb = {k2: jnp.asarray(v) for k2, v in sb.items()}
+            params, state, opt_state, m = step(params, state, opt_state, sb, k)
             losses.append(float(m["total_loss"]))
         scores = validate(params, state)
         log.info(
@@ -253,13 +305,18 @@ def _train_sed_body(c: dict, outputdir) -> Path:
             f"segF1 micro {scores['Segment_Micro_F1']:.4f} "
             f"macro {scores['Segment_Macro_F1']:.4f}"
         )
+        # multi-host: scores are collective results over identical eval
+        # data -> identical decisions on every rank; rank 0 writes
         if scores["Segment_Micro_F1"] > best:
             best = scores["Segment_Micro_F1"]
-            save_checkpoint(best_path, params, state, cfg=cfg,
-                            extra={"segment_f1_micro": best, "epoch": epoch,
-                                   "run_config": _json_safe_config(c)})
-        save_training_state(  # lossless crash-resume point (auto_resume)
-            outputdir / "last.npz", params, state, opt_state, cfg,
-            extra={"epoch": epoch, "best": best})
+            if is_main:
+                save_checkpoint(best_path, params, state, cfg=cfg,
+                                extra={"segment_f1_micro": best,
+                                       "epoch": epoch,
+                                       "run_config": _json_safe_config(c)})
+        if is_main:
+            save_training_state(  # lossless crash-resume point (auto_resume)
+                outputdir / "last.npz", params, state, opt_state, cfg,
+                extra={"epoch": epoch, "best": best})
     log.info(f"Best segment-F1 micro {best:.4f} -> {best_path}")
     return best_path
