@@ -86,6 +86,44 @@ def test_two_process_distributed_mesh(tmp_path):
         assert f"OK {pid}" in out, out
 
 
+def test_dp_placement_policy(monkeypatch):
+    """Single-host: largest dividing submesh (1 -> no mesh). Multi-host:
+    strict full-mesh divisibility, loud error otherwise."""
+    import jax
+
+    from uit_mobile_tpu.parallel import dp_placement
+
+    # this test process runs the 8-virtual-device CPU platform
+    mesh, data_sh, repl = dp_placement([16, 8])
+    assert mesh is not None and mesh.size == 8
+    assert data_sh.spec != repl.spec
+    # 12 % 8 != 0 -> shrink to 4 (largest divisor of both 12 and 4... of
+    # each dim); dims [12, 4] -> 4 devices
+    mesh, _, _ = dp_placement([12, 4])
+    assert mesh is not None and mesh.size == 4
+    # a prime batch still shards over a prime submesh (7 of 8 devices)
+    mesh, _, _ = dp_placement([7])
+    assert mesh is not None and mesh.size == 7
+    # batch of 1 -> no mesh at all
+    assert dp_placement([1]) == (None, None, None)
+
+    # multi-host: indivisible is an error, not a shrunk mesh
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="divisible by the global"):
+        dp_placement([12, 4])
+    mesh, _, _ = dp_placement([16, 8])
+    assert mesh is not None and mesh.size == 8
+
+
+def test_initialize_from_config_rejects_unknown_keys():
+    from uit_mobile_tpu.parallel.multihost import initialize_from_config
+
+    with pytest.raises(ValueError, match="unknown multihost config keys"):
+        initialize_from_config({"coordinator": "x"})  # typo'd key
+    initialize_from_config(None)  # falsy -> no-op
+    initialize_from_config(False)
+
+
 def test_host_local_batch_slice_math(monkeypatch):
     """Slicing math standalone: disjoint equal covers; indivisible rejected."""
     import jax
