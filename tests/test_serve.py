@@ -343,3 +343,58 @@ def test_service_close_without_started_worker(model):
                          ServiceConfig(batch_size=2, max_seconds=1,
                                        warmup=False), _start_worker=False)
     svc.close()
+
+
+def test_service_concurrent_soak_every_result_correct(model):
+    """Randomized request storm: many threads, random lengths across all
+    buckets, scanned dispatch armed, occasional oversize rejects mixed in
+    — and EVERY accepted future's result must equal the single-clip
+    forward of its bucket-padded waveform (per-sample top_db isolation
+    means co-batched traffic cannot couple). Guards the whole concurrent
+    path (batcher, bucketer, scan folding, completion thread) under load,
+    not just the single-batch happy paths above."""
+    import threading
+
+    from uit_mobile_tpu.ops.pipeline import make_forward_fn
+
+    cfg, params, state = model
+    sr = 16000
+    svc_cfg = ServiceConfig(batch_size=8, max_seconds=3, warmup=False,
+                            max_wait_ms=2.0, scan_batches=2)
+    direct = jax.jit(make_forward_fn(cfg, params, state, use_pallas=False,
+                                     top_db_mode="per_sample"))
+
+    results: list[tuple[np.ndarray, object]] = []
+    rejects = []
+    lock = threading.Lock()
+
+    def storm(seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(20):
+            n = int(rng.integers(5000, 4 * sr))  # up to 4 s; >3 s rejects
+            wav = rng.standard_normal(n).astype(np.float32) * 0.1
+            try:
+                f = svc.submit(wav)
+            except ValueError:
+                assert n > 3 * sr, n  # only oversize clips may reject
+                with lock:
+                    rejects.append(n)
+                continue
+            with lock:
+                results.append((wav, f))
+
+    with TaggingService(cfg, params, state, svc_cfg) as svc:
+        threads = [threading.Thread(target=storm, args=(s,)) for s in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        got = [(w, f.result(timeout=120)) for w, f in results]
+
+    assert len(got) >= 60 and rejects, (len(got), len(rejects))
+    for wav, probs in got:
+        bucket = -(-len(wav) // sr) * sr
+        padded = np.zeros((1, bucket), np.float32)
+        padded[0, : len(wav)] = wav
+        want = np.asarray(direct(jnp.asarray(padded)))[0]
+        np.testing.assert_allclose(probs, want, atol=1e-5)
