@@ -319,3 +319,40 @@ def test_two_process_pretrain(tmp_path):
     # rank 0 is the only writer
     assert (outdirs[0] / "mae" / "uit_xxxs" / "mae_pretrained.npz").exists()
     assert sorted(outdirs[1].rglob("*.npz")) == []
+
+
+def test_launch_multihost_tool(tmp_path):
+    """tools/launch_multihost.py drives the real CLI surface: 2 local
+    processes, coordinator wiring, rank-prefixed output, rank-0 artifact."""
+    import yaml
+
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    rng = np.random.default_rng(0)
+    h5 = datadir / "u.h5"
+    rows = []
+    with h5py.File(h5, "w") as f:
+        for i in range(8):
+            f[f"u_{i}.wav"] = (rng.standard_normal(14000) * 3000).astype(np.int16)
+            rows.append((f"u_{i}.wav", "0", str(h5)))
+    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
+        datadir / "unlab.tsv", sep="\t", index=False)
+    cfg = dict(
+        model="uit_xxxs", model_args={"target_length": 102, "depth": 1},
+        decoder_depth=1, train_data=str(datadir / "unlab.tsv"),
+        chunk_length=1.0, batch_size=8, epochs=1, epoch_length=1,
+        warmup_iters=1, num_workers=1, seed=0,
+        outputpath=str(tmp_path / "exp"),
+    )
+    cfg_path = tmp_path / "mh.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "launch_multihost.py"),
+         "2", "pretrain", str(cfg_path)],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "[rank 0]" in proc.stdout and "[rank 1]" in proc.stdout
+    assert (tmp_path / "exp" / "mae" / "uit_xxxs" / "mae_pretrained.npz").exists()
