@@ -204,20 +204,31 @@ def main():
               "unreachable; emitting the last completed on-chip result "
               "(stale=true) and aborting instead of hanging", file=sys.stderr)
         sys.stderr.flush()
-        print(json.dumps({
+        # BENCH_LAST.json is (re)written by every successful on-chip run,
+        # so the stale record stays truthful by construction; the literal
+        # below is only the seed for a repo that never benched on-chip
+        # since this file landed (round-3 measured run, see PERF_NOTES.md)
+        record = {
             "metric": ("uit_xs 1s-clip inferences/sec/chip (K-batch scanned "
                        "dispatch, pallas mel frontend, tfb layout, int16 "
                        "PCM in)"),
             "value": 308014.0,
             "unit": "clips/s",
             "vs_baseline": round(308014.0 / (1000.0 / 3.4), 2),
-            "stale": True,
-            "stale_reason": ("TPU relay unreachable at bench time (600 s "
-                             "device-init watchdog); value is this round's "
-                             "last completed on-chip bench.py run — see "
-                             "PERF_NOTES.md 'relay outage' note for the "
-                             "measurement context"),
-        }))
+        }
+        try:
+            record = json.loads(
+                (Path(__file__).parent / "BENCH_LAST.json").read_text())
+        except Exception:
+            pass
+        record.update(
+            stale=True,
+            stale_reason=("TPU relay unreachable at bench time (600 s "
+                          "device-init watchdog); record is the last "
+                          "completed on-chip bench.py run — see "
+                          "PERF_NOTES.md 'relay outage' note"),
+        )
+        print(json.dumps(record))
         sys.stdout.flush()
         os._exit(3)
 
@@ -397,6 +408,15 @@ def main():
     if ref_torch_cpu is not None:
         record["ref_torch_cpu_clips_per_s"] = round(ref_torch_cpu, 1)
         record["vs_ref_torch_cpu"] = round(clips_per_s / ref_torch_cpu, 1)
+    if on_tpu:
+        # keep the relay-outage fallback truthful: persist the last REAL
+        # on-chip record (CPU smoke runs must not clobber it)
+        try:
+            (Path(__file__).parent / "BENCH_LAST.json").write_text(
+                json.dumps(record))
+        except OSError as e:
+            print(f"# could not persist BENCH_LAST.json: {e}",
+                  file=sys.stderr)
     print(json.dumps(record))
 
 

@@ -124,6 +124,27 @@ def test_initialize_from_config_rejects_unknown_keys():
     initialize_from_config(False)
 
 
+def test_explicit_multihost_request_never_degrades_silently(monkeypatch):
+    """An explicit `multihost:` request whose distributed init fails must
+    raise, not silently proceed un-distributed (every host would train the
+    full batch independently as rank 0 — the worst outcome)."""
+    import jax
+
+    from uit_mobile_tpu.parallel import multihost
+
+    def boom(**kw):
+        raise RuntimeError("no coordinator reachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False,
+                        raising=False)
+    with pytest.raises(RuntimeError, match="refusing to degrade"):
+        multihost.initialize_from_config(True)
+    # best-effort mode (no explicit request) still tolerates the
+    # single-process no-coordinator environment
+    multihost.initialize()
+
+
 def test_host_local_batch_slice_math(monkeypatch):
     """Slicing math standalone: disjoint equal covers; indivisible rejected."""
     import jax

@@ -20,7 +20,6 @@ What this pins:
 
 import os
 import re
-import socket
 import subprocess
 import sys
 import textwrap
@@ -29,6 +28,8 @@ from pathlib import Path
 import h5py
 import numpy as np
 import pandas as pd
+
+from test_multihost import _free_port
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -80,12 +81,6 @@ WORKER = textwrap.dedent(
     print(f"DONE {{rank}} {{out}}", flush=True)
     """
 ).format(repo=str(REPO))
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
 
 
 PRELUDE = textwrap.dedent(
@@ -356,3 +351,26 @@ def test_launch_multihost_tool(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "[rank 0]" in proc.stdout and "[rank 1]" in proc.stdout
     assert (tmp_path / "exp" / "mae" / "uit_xxxs" / "mae_pretrained.npz").exists()
+
+
+def test_multihost_rejects_variable_length_batches(tmp_path, monkeypatch):
+    """Full-clip (no chunk_length) configs must be rejected under
+    multi-host: each host pads to its own batch max, so global batch
+    shapes would diverge across ranks (a distributed hang, not an error)."""
+    import jax
+    import pytest
+
+    from uit_mobile_tpu.train.loop import Trainer
+
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    env = _make_world(datadir)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    trainer = Trainer(dict(
+        outputpath=str(tmp_path / "exp"), num_classes=537, model="uit_xxxs",
+        model_args={"target_length": 102, "depth": 1}, batch_size=8,
+        epochs=1, seed=0, config_stem="mhvar", **env,
+    ))
+    with pytest.raises(ValueError, match="fixed-length batches"):
+        trainer._build_data()

@@ -89,7 +89,8 @@ def main(argv=None) -> int:
         if code:
             print(f"[launch_multihost] rank {rank} exited {code}",
                   file=sys.stderr)
-    return max(codes)
+    # any nonzero (including negative signal codes) must fail the launch
+    return 1 if any(codes) else 0
 
 
 if __name__ == "__main__":

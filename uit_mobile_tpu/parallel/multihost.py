@@ -19,10 +19,18 @@ import jax
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
+               process_id: int | None = None,
+               strict: bool = False) -> None:
     """Initialize the distributed runtime. MUST run before any backend
     use — do not query jax.devices()/process_count() first (that would
     initialize the local-only backend and break distributed init).
+
+    ``strict=True`` (what an explicit ``multihost:`` config request sets):
+    any init failure re-raises. Without it, a no-coordinator
+    single-process environment is allowed to proceed un-distributed —
+    but an EXPLICIT multihost request degrading silently to a
+    single-host run would be the worst outcome (every host would train
+    the full batch independently and believe it is rank 0).
     """
     try:
         if jax.distributed.is_initialized():
@@ -38,9 +46,15 @@ def initialize(coordinator_address: str | None = None,
     except RuntimeError as e:
         if "already" in str(e).lower():
             return
-        # single-process environments with no coordinator are fine; any
-        # other failure must be loud — silently running un-distributed on
-        # a multi-host slice is the worst outcome
+        if strict:
+            raise RuntimeError(
+                "multihost was explicitly requested but "
+                "jax.distributed.initialize failed — refusing to degrade "
+                "to an un-distributed run (every host would train the "
+                "full batch independently as rank 0)"
+            ) from e
+        # best-effort mode: single-process environments with no
+        # coordinator are fine; any other failure must be loud
         if num_processes in (None, 1) and coordinator_address is None:
             return
         raise
@@ -64,7 +78,7 @@ def initialize_from_config(multihost_cfg) -> None:
     if unknown:
         raise ValueError(f"unknown multihost config keys {sorted(unknown)}; "
                          f"allowed: {sorted(allowed)}")
-    initialize(**kwargs)
+    initialize(strict=True, **kwargs)
 
 
 def host_local_batch_slice(global_batch: int) -> slice:

@@ -235,6 +235,17 @@ class Trainer:
         kws_bs = c.get("kws_batch_size", batch_size // 2)
         as_bs = c.get("as_batch_size", batch_size // 2)
         if self.n_proc > 1:
+            if not use_crop:
+                # full-clip datasets pad each batch to its OWN max length,
+                # so hosts would assemble global arrays with different
+                # trailing dims -> different collective programs per rank
+                # (a distributed hang, not an error message). Require the
+                # fixed-length crop pipeline instead of failing obscurely.
+                raise ValueError(
+                    "multi-host training needs fixed-length batches — set "
+                    "chunk_length (random-crop pipeline); full-clip "
+                    "variable-length batches would give each host a "
+                    "different global batch shape")
             # config batch sizes are GLOBAL; each host loads its slice
             # (rows assemble into the globally sharded batch in
             # device_prefetch via make_array_from_process_local_data)

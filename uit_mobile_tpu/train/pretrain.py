@@ -282,6 +282,7 @@ def _pretrain_once(config: dict) -> Path:
     # DP mesh (same policy as the supervised loops: largest dividing
     # submesh single-host, full global mesh multi-host)
     from ..parallel import dp_placement
+    from ..parallel.multihost import global_batch_from_host_local
 
     mesh, data_sh, repl = dp_placement([global_bs])
     if mesh is not None:
@@ -322,8 +323,6 @@ def _pretrain_once(config: dict) -> Path:
             wav = batch["wav"]
             if n_proc > 1:
                 # assemble each host's rows into the globally sharded batch
-                from ..parallel.multihost import global_batch_from_host_local
-
                 wav = global_batch_from_host_local(mesh, wav)
             else:
                 wav = jnp.asarray(wav)

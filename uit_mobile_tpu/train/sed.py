@@ -216,6 +216,7 @@ def _train_sed_body(c: dict, outputdir) -> Path:
     # DP mesh (same policy as the weak trainer: parallel.mesh.dp_placement
     # — largest dividing submesh single-host, full global mesh multi-host)
     from ..parallel import dp_placement
+    from ..parallel.multihost import global_batch_from_host_local
 
     mesh, data_sh, repl = dp_placement([c["batch_size"]])
     if mesh is not None:
@@ -292,8 +293,6 @@ def _train_sed_body(c: dict, outputdir) -> Path:
             sb = {"wav": batch["wav"], "target": batch["target"]}
             if n_proc > 1:
                 # assemble each host's rows into the globally sharded batch
-                from ..parallel.multihost import global_batch_from_host_local
-
                 sb = global_batch_from_host_local(mesh, sb)
             else:
                 sb = {k2: jnp.asarray(v) for k2, v in sb.items()}
