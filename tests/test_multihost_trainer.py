@@ -353,6 +353,50 @@ def test_launch_multihost_tool(tmp_path):
     assert (tmp_path / "exp" / "mae" / "uit_xxxs" / "mae_pretrained.npz").exists()
 
 
+def test_launch_multihost_auto_resume(tmp_path):
+    """Pod-scale fault tolerance, end to end: rank 1 crashes after epoch 1
+    (injected via UIT_FAULT_EPOCH), the launcher takes the whole pod down
+    and relaunches every rank with --resume auto, and the restarted run
+    resumes from last.npz and finishes — rank-0 deliverable present, at
+    most one epoch lost."""
+    import yaml
+
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    world = _make_world(datadir)
+    cfg = dict(
+        num_classes=537, model="uit_xxxs",
+        model_args={"target_length": 102, "depth": 1},
+        batch_size=8, epochs=2, epoch_length=2, warmup_iters=2,
+        chunk_length=1.0, optimizer="AdamW", optimizer_args={"lr": 1e-3},
+        early_stop=10, n_saved=2, num_workers=1, eval_batch_size=8,
+        valid_every=1, seed=0, config_stem="mhar",
+        outputpath=str(tmp_path / "exp"), **world,
+    )
+    cfg_path = tmp_path / "mhar.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["UIT_FAULT_EPOCH"] = "1"
+    env["UIT_FAULT_RANK"] = "1"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "launch_multihost.py"),
+         "2", "train", str(cfg_path), "--auto-resume", "1"],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    # the injected crash surfaced and triggered ONE coordinated restart
+    assert "injected fault after epoch 1" in proc.stdout
+    assert "coordinated restart" in proc.stderr, proc.stderr
+    # the restarted attempt resumed from the epoch-1 snapshot
+    assert re.search(r"resumed from .*last\.npz at epoch 2", proc.stdout), \
+        proc.stdout
+    # rank-0 deliverable exists in the pinned run dir
+    run_dirs = list((tmp_path / "exp" / "mhlaunch").iterdir())
+    assert len(run_dirs) == 1, run_dirs
+    assert (run_dirs[0] / "averaged.npz").exists(), list(run_dirs[0].iterdir())
+
+
 def test_multihost_rejects_variable_length_batches(tmp_path, monkeypatch):
     """Full-clip (no chunk_length) configs must be rejected under
     multi-host: each host pads to its own batch max, so global batch

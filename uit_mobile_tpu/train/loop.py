@@ -21,6 +21,7 @@ run.py:220-234).
 from __future__ import annotations
 
 import datetime
+import os
 import time
 import uuid
 from pathlib import Path
@@ -317,6 +318,15 @@ class Trainer:
 
         start_epoch = 1
         resume = c.get("resume")
+        if resume == "auto":
+            # coordinated-restart convention (tools/launch_multihost.py
+            # --auto-resume): pick up this run dir's last.npz when one
+            # exists, fresh start otherwise. Multi-host: rank 0 wrote it;
+            # EVERY rank reads the same file (outputpath must be a shared
+            # filesystem — the same requirement the checkpoint deliverable
+            # already has on a pod).
+            last = self.outputdir / "last.npz"
+            resume = str(last) if last.exists() else None
         resume_extra: dict = {}
         if resume:
             params, state, opt_state, _, resume_extra = load_training_state(
@@ -585,6 +595,18 @@ class Trainer:
                         },
                     )
 
+            # fault injection (chaos drill for the restart machinery —
+            # tests/test_multihost_trainer.py): crash THIS rank after epoch
+            # UIT_FAULT_EPOCH. Gated off on resumed runs so the replayed
+            # attempt survives the same environment.
+            fault_epoch = os.environ.get("UIT_FAULT_EPOCH")
+            if (fault_epoch is not None and epoch == int(fault_epoch)
+                    and self.rank == int(os.environ.get("UIT_FAULT_RANK", "0"))
+                    and not c.get("resume")):
+                raise RuntimeError(
+                    f"injected fault after epoch {epoch} "
+                    f"(UIT_FAULT_EPOCH={fault_epoch}, rank {self.rank})")
+
         train_iter.close()  # stop the prefetch producer (infinite stream)
 
         # average the kept best checkpoints -> the deliverable. Multi-host:
@@ -683,9 +705,10 @@ def train_from_config(config: dict) -> Path:
         if jax.process_count() > 1 and config.get("auto_resume"):
             raise ValueError(
                 "auto_resume is single-host (a per-process retry would "
-                "desynchronize the collective program across ranks); use "
-                "an external restarter that relaunches ALL hosts, with "
-                "resume: <last.npz>")
+                "desynchronize the collective program across ranks); use a "
+                "COORDINATED whole-pod restarter that relaunches ALL hosts "
+                "with resume: auto — tools/launch_multihost.py "
+                "--auto-resume N does exactly this locally")
     retries = int(config.get("auto_resume") or 0)
     if not retries:
         return Trainer(config).train()

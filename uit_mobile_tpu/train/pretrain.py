@@ -194,9 +194,10 @@ def pretrain_from_config(config: dict) -> Path:
         if jax.process_count() > 1 and config.get("auto_resume"):
             raise ValueError(
                 "auto_resume is single-host (a per-process retry would "
-                "desynchronize the collective program across ranks); use "
-                "an external restarter that relaunches ALL hosts, with "
-                "resume: <last.npz>")
+                "desynchronize the collective program across ranks); use a "
+                "COORDINATED whole-pod restarter that relaunches ALL hosts "
+                "with resume: auto — tools/launch_multihost.py "
+                "--auto-resume N does exactly this locally")
     retries = int(config.get("auto_resume") or 0)
     config = dict(config)
     for attempt in range(retries + 1):
@@ -302,6 +303,12 @@ def _pretrain_once(config: dict) -> Path:
     outdir.mkdir(parents=True, exist_ok=True)
 
     start_epoch = 1
+    if c.get("resume") == "auto":
+        # coordinated-restart convention (launch_multihost --auto-resume):
+        # resume from this run dir's last.npz if one exists, else fresh
+        c = dict(c)
+        last = outdir / "last.npz"
+        c["resume"] = str(last) if last.exists() else None
     if c.get("resume"):
         params, state, opt_state, _, extra = load_training_state(
             c["resume"], opt_state)

@@ -65,9 +65,10 @@ def train_sed_from_config(config: dict) -> Path:
         if jax.process_count() > 1 and config.get("auto_resume"):
             raise ValueError(
                 "auto_resume is single-host (a per-process retry would "
-                "desynchronize the collective program across ranks); use "
-                "an external restarter that relaunches ALL hosts, with "
-                "resume: <last.npz>")
+                "desynchronize the collective program across ranks); use a "
+                "COORDINATED whole-pod restarter that relaunches ALL hosts "
+                "with resume: auto — tools/launch_multihost.py "
+                "--auto-resume N does exactly this locally")
     retries = int(config.get("auto_resume") or 0)
     if not retries:
         return _train_sed_once(config)
@@ -271,6 +272,12 @@ def _train_sed_body(c: dict, outputdir) -> Path:
     key = jax.random.key(c.get("seed", 42))
     best = -1.0
     start_epoch = 1
+    if c.get("resume") == "auto":
+        # coordinated-restart convention (launch_multihost --auto-resume):
+        # resume from this run dir's last.npz if one exists, else fresh
+        c = dict(c)
+        last = outputdir / "last.npz"
+        c["resume"] = str(last) if last.exists() else None
     if c.get("resume"):
         params, state, opt_state, _, extra = load_training_state(
             c["resume"], opt_state)
