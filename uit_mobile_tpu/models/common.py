@@ -168,7 +168,10 @@ def multihead_attention(p, x, num_heads: int, scale: float, inner_dim: int,
     # the gate the copies are latency-trivial and the lane-starved VPU
     # loses (B=1: -17%); at hd>16 the (B,N,N,hd) intermediates outgrow
     # the copy saving (hd=64: -10%). tools/profile_gaps.py re-measures.
-    mul_reduce = hd <= 16 and B >= 256
+    # type(B) is int: under batch-polymorphic export (ckpt/artifact.py) B
+    # is a symbolic dim and `B >= 256` would be inconclusive — take the
+    # dot_general formulation, correct at every batch size.
+    mul_reduce = hd <= 16 and type(B) is int and B >= 256
     head_outs = []
     for i in range(h):
         q = qkv[..., i * hd:(i + 1) * hd]                                # (B, N, hd)
