@@ -1,0 +1,152 @@
+"""HTTP serving front (serve/http.py): endpoints, formats, concurrency.
+
+Contract: concurrent POST /tag requests are batched by the underlying
+TaggingService and each response must match scoring the same clip through
+the service directly (per-sample dB clamping makes co-batching
+result-invariant)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from uit_mobile_tpu import models
+from uit_mobile_tpu.data import write_wav
+from uit_mobile_tpu.serve import ServiceConfig, TaggingService, make_http_server
+
+
+@pytest.fixture(scope="module")
+def server_and_service():
+    cfg = models.get_model_config("uit_xxxs", outputdim=6)
+    params, state = models.build(cfg, jax.random.key(0))
+    service = TaggingService(
+        cfg, params, state,
+        ServiceConfig(batch_size=4, max_seconds=2, warmup=False,
+                      max_wait_ms=2.0, dtype="float32"),
+    )
+    labels = {i: f"lbl{i}" for i in range(6)}
+    server = make_http_server(service, labels=labels, host="127.0.0.1",
+                              port=0, model_name="uit_xxxs")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, service
+    server.shutdown()
+    server.server_close()
+    service.close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+def _post(url, body, ctype="application/octet-stream"):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+def _wav(n=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+
+def test_healthz_and_labels(server_and_service):
+    base, _ = server_and_service
+    code, h = _get(base + "/healthz")
+    assert code == 200 and h["status"] == "ok"
+    assert h["model"] == "uit_xxxs" and h["sample_rate"] == 16000
+    code, lab = _get(base + "/labels")
+    assert code == 200 and lab["3"] == "lbl3"
+
+
+def test_tag_wav_body_matches_direct(server_and_service, tmp_path):
+    base, service = server_and_service
+    wav = _wav()
+    p = tmp_path / "c.wav"
+    write_wav(p, wav)
+    code, out = _post(base + "/tag?k=3&full=1", p.read_bytes(), "audio/wav")
+    assert code == 200 and len(out["top"]) == 3
+    assert out["n_samples"] == 16000
+    # compare against the service directly — the wav file round-trips
+    # through int16 PCM, so feed the service the identical quantized clip
+    pcm = np.clip(wav * 32768.0, -32768, 32767).astype(np.int16)
+    ref = np.asarray(service.submit(pcm.astype(np.float32) / 32768.0).result())
+    np.testing.assert_allclose(np.asarray(out["probs"]), ref, atol=1e-5)
+    assert out["top"][0]["index"] == int(np.argmax(ref))
+    assert out["top"][0]["label"] == f"lbl{int(np.argmax(ref))}"
+
+
+def test_tag_raw_formats(server_and_service):
+    base, service = server_and_service
+    wav = _wav(seed=1)
+    ref = np.asarray(service.submit(wav).result())
+    code, out32 = _post(base + "/tag?format=f32&full=1", wav.tobytes())
+    assert code == 200
+    np.testing.assert_allclose(np.asarray(out32["probs"]), ref, atol=1e-6)
+    pcm = np.clip(wav * 32768.0, -32768, 32767).astype("<i2")
+    code, out16 = _post(base + "/tag?format=pcm16&full=1", pcm.tobytes())
+    assert code == 200
+    ref16 = np.asarray(service.submit(pcm).result())
+    np.testing.assert_allclose(np.asarray(out16["probs"]), ref16, atol=1e-6)
+
+
+def test_error_paths(server_and_service, tmp_path):
+    base, _ = server_and_service
+
+    def expect(code, url, body=None, ctype="application/octet-stream"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            if body is None:
+                _get(url)
+            else:
+                _post(url, body, ctype)
+        assert e.value.code == code
+        assert "error" in json.loads(e.value.read().decode())
+
+    expect(404, base + "/nope")
+    expect(404, base + "/nope", b"x")
+    # undecodable / missing format
+    expect(400, base + "/tag", b"not audio")
+    # odd pcm16 length
+    expect(400, base + "/tag?format=pcm16", b"abc")
+    # wrong sample rate
+    p = tmp_path / "8k.wav"
+    write_wav(p, _wav(8000), sample_rate=8000)
+    expect(400, base + "/tag", p.read_bytes(), "audio/wav")
+    # too long (max_seconds=2)
+    expect(413, base + "/tag?format=pcm16",
+           np.zeros(16000 * 3, dtype="<i2").tobytes())
+    # empty
+    expect(400, base + "/tag?format=f32", b"")
+
+
+def test_concurrent_requests_batch(server_and_service):
+    base, service = server_and_service
+    wavs = [_wav(seed=10 + i) for i in range(8)]
+    refs = [np.asarray(f.result())
+            for f in [service.submit(w) for w in wavs]]
+    results = [None] * len(wavs)
+    errors = []
+
+    def post_fmt(i):
+        try:
+            _, out = _post(base + "/tag?format=f32&full=1", wavs[i].tobytes())
+            results[i] = out
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=post_fmt, args=(i,))
+               for i in range(len(wavs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors and all(r is not None for r in results)
+    for out, ref in zip(results, refs):
+        np.testing.assert_allclose(np.asarray(out["probs"]), ref, atol=1e-6)

@@ -47,6 +47,12 @@ def main(argv=None):
                         "K-batch lax.scan dispatch under sustained load "
                         "(dispatch cost amortizes Kx; results match "
                         "the per-batch path to f32 epsilon)")
+    parser.add_argument("--http", type=int, default=None, metavar="PORT",
+                        help="serve over HTTP on PORT instead of "
+                        "stdin/stdout (POST /tag, GET /healthz, "
+                        "GET /labels; see serve/http.py)")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address for --http (default loopback)")
     args = parser.parse_args(argv)
 
     from ..serve import ServiceConfig, TaggingService
@@ -67,6 +73,17 @@ def main(argv=None):
         # custom-head checkpoint: the bundled AudioSet table would print
         # unrelated names (or KeyError past 537) — index names instead
         labels = {i: f"class_{i}" for i in range(cfg.outputdim)}
+
+    if args.http is not None:
+        from ..serve import serve_http
+
+        with service:
+            print(f"http://{args.host}:{args.http}", file=sys.stderr,
+                  flush=True)
+            serve_http(service, labels=labels, host=args.host,
+                       port=args.http, topk=args.topk,
+                       model_name=args.model, quiet=False)
+        return 0
 
     from collections import deque
 

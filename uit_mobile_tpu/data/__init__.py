@@ -1,4 +1,4 @@
-from .audio_io import read_wav, write_wav
+from .audio_io import read_wav, read_wav_bytes, write_wav
 from .manifest import read_tsv_data, multihot
 from .hdf5 import (
     WeakHDF5Dataset,
@@ -18,6 +18,7 @@ from .hdf5 import (
 
 __all__ = [
     "read_wav",
+    "read_wav_bytes",
     "write_wav",
     "read_tsv_data",
     "multihot",

@@ -8,20 +8,18 @@ reference ``dataset.py:44-45``) and torchaudio.load's int16 normalization.
 
 from __future__ import annotations
 
+import io
 import wave
 from pathlib import Path
 
 import numpy as np
 
 
-def read_wav(path) -> tuple[np.ndarray, int]:
-    """Read a PCM wav file -> (float32 waveform (channels, T) in [-1, 1), sr)."""
-    with wave.open(str(path), "rb") as f:
-        n_channels = f.getnchannels()
-        sampwidth = f.getsampwidth()
-        sr = f.getframerate()
-        n_frames = f.getnframes()
-        raw = f.readframes(n_frames)
+def _decode(f: wave.Wave_read, origin) -> tuple[np.ndarray, int]:
+    n_channels = f.getnchannels()
+    sampwidth = f.getsampwidth()
+    sr = f.getframerate()
+    raw = f.readframes(f.getnframes())
     if sampwidth == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sampwidth == 4:
@@ -34,9 +32,21 @@ def read_wav(path) -> tuple[np.ndarray, int]:
     elif sampwidth == 1:  # unsigned 8-bit
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:
-        raise ValueError(f"unsupported sample width {sampwidth} in {path}")
+        raise ValueError(f"unsupported sample width {sampwidth} in {origin}")
     data = data.reshape(-1, n_channels).T  # (channels, T)
     return np.ascontiguousarray(data), sr
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Read a PCM wav file -> (float32 waveform (channels, T) in [-1, 1), sr)."""
+    with wave.open(str(path), "rb") as f:
+        return _decode(f, path)
+
+
+def read_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an in-memory RIFF/WAV blob (e.g. an HTTP request body)."""
+    with wave.open(io.BytesIO(data), "rb") as f:
+        return _decode(f, "<bytes>")
 
 
 def write_wav(path, data: np.ndarray, sample_rate: int = 16000) -> None:

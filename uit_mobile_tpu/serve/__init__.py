@@ -1,4 +1,5 @@
 from .service import TaggingService, ServiceConfig
+from .http import make_http_server, serve_http
 from .streaming import (
     Event,
     MultiStreamTagger,
@@ -11,6 +12,8 @@ from .streaming import (
 __all__ = [
     "TaggingService",
     "ServiceConfig",
+    "make_http_server",
+    "serve_http",
     "MultiStreamTagger",
     "StreamingTagger",
     "StreamingConfig",
