@@ -34,7 +34,7 @@ def server_and_service():
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{server.server_address[1]}"
-    yield base, service
+    yield base, service, (cfg, params, state)
     server.shutdown()
     server.server_close()
     service.close()
@@ -58,7 +58,7 @@ def _wav(n=16000, seed=0):
 
 
 def test_healthz_and_labels(server_and_service):
-    base, _ = server_and_service
+    base, _, _ = server_and_service
     code, h = _get(base + "/healthz")
     assert code == 200 and h["status"] == "ok"
     assert h["model"] == "uit_xxxs" and h["sample_rate"] == 16000
@@ -67,7 +67,7 @@ def test_healthz_and_labels(server_and_service):
 
 
 def test_tag_wav_body_matches_direct(server_and_service, tmp_path):
-    base, service = server_and_service
+    base, service, _ = server_and_service
     wav = _wav()
     p = tmp_path / "c.wav"
     write_wav(p, wav)
@@ -84,7 +84,7 @@ def test_tag_wav_body_matches_direct(server_and_service, tmp_path):
 
 
 def test_tag_raw_formats(server_and_service):
-    base, service = server_and_service
+    base, service, _ = server_and_service
     wav = _wav(seed=1)
     ref = np.asarray(service.submit(wav).result())
     code, out32 = _post(base + "/tag?format=f32&full=1", wav.tobytes())
@@ -98,7 +98,7 @@ def test_tag_raw_formats(server_and_service):
 
 
 def test_error_paths(server_and_service, tmp_path):
-    base, _ = server_and_service
+    base, _, _ = server_and_service
 
     def expect(code, url, body=None, ctype="application/octet-stream"):
         with pytest.raises(urllib.error.HTTPError) as e:
@@ -126,8 +126,60 @@ def test_error_paths(server_and_service, tmp_path):
     expect(400, base + "/tag?format=f32", b"")
 
 
+def test_events_endpoint(server_and_service):
+    from uit_mobile_tpu.evaluate import extract_events
+    from uit_mobile_tpu.serve import make_framewise_fn
+
+    base, service, (cfg, params, state) = server_and_service
+    # the module fixture's server has no framewise_fn -> 501
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/events?format=f32", _wav().tobytes())
+    assert e.value.code == 501
+
+    # a second server over the SAME service, with temporal tagging on
+    fw = make_framewise_fn(cfg, params, state, max_seconds=2,
+                           use_pallas=False)
+    server2 = make_http_server(service, labels={i: f"lbl{i}" for i in
+                                                range(6)},
+                               port=0, framewise_fn=fw)
+    t = threading.Thread(target=server2.serve_forever, daemon=True)
+    t.start()
+    base2 = f"http://127.0.0.1:{server2.server_address[1]}"
+    try:
+        wav = _wav(24000, seed=7)  # 1.5 s: exercises padding + clamping
+        code, out = _post(base2 + "/events?format=f32&threshold=0.4",
+                          wav.tobytes())
+        assert code == 200 and out["duration"] == pytest.approx(1.5)
+        # reference computation: same padding rule, same extractor
+        probs, times = fw(wav)
+        ref = [ev for ev in extract_events(times, probs, threshold=0.4)
+               if ev[1] < 1.5]
+        assert len(out["events"]) == len(ref)
+        for got, (cls, on, off) in zip(out["events"], ref):
+            assert got["index"] == int(cls)
+            assert got["label"] == f"lbl{int(cls)}"
+            assert got["onset"] == pytest.approx(on)
+            assert got["offset"] == pytest.approx(min(off, 1.5))
+            assert got["offset"] <= 1.5
+        # parameter validation
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base2 + "/events?format=f32&median=2", wav.tobytes())
+        assert e.value.code == 400
+    finally:
+        server2.shutdown()
+        server2.server_close()
+
+
+def test_make_framewise_fn_rejects_moe():
+    from uit_mobile_tpu.serve import make_framewise_fn
+
+    cfg = models.get_model_config("uit_xs_moe", outputdim=6)
+    with pytest.raises(TypeError, match="framewise"):
+        make_framewise_fn(cfg, None, None, use_pallas=False)
+
+
 def test_concurrent_requests_batch(server_and_service):
-    base, service = server_and_service
+    base, service, _ = server_and_service
     wavs = [_wav(seed=10 + i) for i in range(8)]
     refs = [np.asarray(f.result())
             for f in [service.submit(w) for w in wavs]]

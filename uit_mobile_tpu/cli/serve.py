@@ -75,14 +75,20 @@ def main(argv=None):
         labels = {i: f"class_{i}" for i in range(cfg.outputdim)}
 
     if args.http is not None:
-        from ..serve import serve_http
+        from ..serve import make_framewise_fn, serve_http
 
+        try:  # temporal tagging (/events) for families that support it
+            framewise_fn = make_framewise_fn(cfg, params, state,
+                                             max_seconds=args.max_seconds)
+        except TypeError:  # e.g. MoE: no framewise dispatch
+            framewise_fn = None
         with service:
             print(f"http://{args.host}:{args.http}", file=sys.stderr,
                   flush=True)
             serve_http(service, labels=labels, host=args.host,
                        port=args.http, topk=args.topk,
-                       model_name=args.model, quiet=False)
+                       model_name=args.model, quiet=False,
+                       framewise_fn=framewise_fn)
         return 0
 
     from collections import deque

@@ -19,6 +19,13 @@ Endpoints:
           (float32 LE mono, normalized to [-1, 1]).
       Response: {"top": [{"index", "label", "prob"}...], "n_samples": N}
       (+ "probs": [all C floats] when full=1).
+    POST /events[?threshold=0.5&median=1&min_duration=0&merge_gap=0]
+      temporal tagging (the SED surface): same body formats; responds
+      {"events": [{"index", "label", "onset", "offset"}...],
+       "duration": seconds}. Requires the server to be built with a
+      ``framewise_fn`` (make_framewise_fn below); 501 otherwise. Clips
+      are zero-padded to whole seconds (a closed set of compiled
+      programs); events are clamped/dropped to the true clip extent.
 
 No third-party web framework: the stdlib server keeps the serving path
 auditable and dependency-free, matching the repo's zero-install rule.
@@ -34,14 +41,81 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
+def make_framewise_fn(model_cfg, params, state, *, max_seconds: int = 10,
+                      use_pallas: bool | None = None):
+    """-> fn(wav (T,) float32) -> (probs (S, C), times (S, 2) f64 s).
+
+    The single-clip temporal-tagging scorer behind POST /events. Follows
+    the package convention (evaluate/harness.py strong eval): the probs
+    forward is jitted per PADDED length (clips pad to whole seconds, so
+    at most ``max_seconds`` compiled programs), while the float64 segment
+    times come from the host-side companion, never through jit. The
+    frontend clamps dB per sample so results are padding/batch
+    independent up to the trailing silent windows the padding adds.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import models
+    from ..ops import make_frontend_fn
+
+    if not isinstance(model_cfg, (models.UITConfig, models.MobileNetV2Config)):
+        # fail at server build, not at the first POST /events
+        raise TypeError(
+            f"no framewise forward for {type(model_cfg).__name__}")
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if isinstance(model_cfg, models.UITConfig):
+        fe = make_frontend_fn(
+            dataclasses.replace(model_cfg.frontend, top_db_mode="per_sample"),
+            use_pallas=use_pallas,
+        )
+        fwd = jax.jit(lambda w: models.apply_framewise(
+            model_cfg, params, state, w, frontend_fn=fe)[0])
+    else:
+        fwd = jax.jit(lambda w: models.apply_framewise(
+            model_cfg, params, state, w)[0])
+    sr = model_cfg.frontend.sample_rate
+    times_cache: dict = {}
+    lock = threading.Lock()
+
+    def times_for(pad_to: int):
+        with lock:
+            if pad_to not in times_cache:
+                if isinstance(model_cfg, models.UITConfig):
+                    n_frames = model_cfg.frontend.num_frames(pad_to)
+                    times_cache[pad_to] = models.uit.framewise_times(
+                        model_cfg, n_frames)
+                else:  # conv families: segment count depends on the stack
+                    _, t = models.apply_framewise(  # unjitted: f64 intact
+                        model_cfg, params, state,
+                        jnp.zeros((1, pad_to), jnp.float32))
+                    times_cache[pad_to] = np.asarray(t)
+            return times_cache[pad_to]
+
+    def fn(wav: np.ndarray):
+        wav = np.asarray(wav, dtype=np.float32)
+        pad_to = min(max(-(-wav.shape[0] // sr), 1), max_seconds) * sr
+        padded = np.zeros(pad_to, dtype=np.float32)
+        padded[: wav.shape[0]] = wav[:pad_to]
+        probs = np.asarray(fwd(jnp.asarray(padded[None])))[0]
+        return probs, times_for(pad_to)
+
+    return fn
+
+
 def make_http_server(service, labels=None, host: str = "127.0.0.1",
                      port: int = 8000, topk: int = 5,
-                     model_name: str = "?", quiet: bool = True):
+                     model_name: str = "?", quiet: bool = True,
+                     framewise_fn=None):
     """-> a ThreadingHTTPServer wired to ``service`` (not yet serving).
 
     Call ``serve_forever()`` (blocking) or drive it from a thread; the
     caller owns the service lifecycle (``service.close()`` after
-    ``shutdown()``).
+    ``shutdown()``). ``framewise_fn`` (see make_framewise_fn) enables
+    POST /events.
     """
     labels = {int(k): v for k, v in (labels or {}).items()}
     sr = service.cfg.sample_rate
@@ -90,8 +164,14 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
         # ----------------------------------------------------------- POST
         def do_POST(self):  # noqa: N802
             url = urlparse(self.path)
-            if url.path != "/tag":
+            if url.path not in ("/tag", "/events"):
                 self._error(404, f"unknown path {url.path!r}")
+                return
+            if url.path == "/events" and framewise_fn is None:
+                self._error(501, "temporal tagging not enabled — start the "
+                                 "server with a framewise_fn "
+                                 "(uit-serve --http enables it when the "
+                                 "model supports it)")
                 return
             q = parse_qs(url.query)
             try:
@@ -117,6 +197,9 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
             if wav.shape[0] == 0:
                 self._error(400, "empty clip")
                 return
+            if url.path == "/events":
+                self._events(wav, q)
+                return
             try:
                 probs = np.asarray(service.submit(wav).result(timeout=120))
             except RuntimeError as e:  # service closed / dispatch failure
@@ -133,6 +216,40 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
             if q.get("full", ["0"])[0] not in ("0", "", "false"):
                 out["probs"] = [float(p) for p in probs]
             self._json(200, out)
+
+        def _events(self, wav: np.ndarray, q):
+            from ..evaluate import extract_events
+            from ..frontend import normalize_pcm16
+
+            try:
+                threshold = float(q.get("threshold", ["0.5"])[0])
+                median = int(q.get("median", ["1"])[0])
+                min_duration = float(q.get("min_duration", ["0"])[0])
+                merge_gap = float(q.get("merge_gap", ["0"])[0])
+                if median < 1 or median % 2 == 0:
+                    raise ValueError("median must be odd and >= 1")
+            except ValueError as e:
+                self._error(400, f"bad event parameter: {e}")
+                return
+            if wav.dtype == np.int16:
+                wav = normalize_pcm16(wav)
+            duration = wav.shape[0] / sr
+            probs, times = framewise_fn(wav)
+            events = extract_events(times, probs, threshold=threshold,
+                                    median_kernel=median,
+                                    min_duration=min_duration,
+                                    merge_gap=merge_gap)
+            out = []
+            for cls, onset, offset in events:
+                # padding to whole seconds can extend the last segments
+                # past the true clip: clamp, and drop padding-only events
+                if onset >= duration:
+                    continue
+                out.append({"index": int(cls),
+                            "label": labels.get(int(cls), f"class_{int(cls)}"),
+                            "onset": float(onset),
+                            "offset": float(min(offset, duration))})
+            self._json(200, {"events": out, "duration": duration})
 
         def _decode(self, body: bytes, q) -> np.ndarray:
             fmt = q.get("format", [None])[0]
@@ -169,10 +286,12 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
 
 def serve_http(service, labels=None, host="127.0.0.1", port=8000,
                topk=5, model_name="?", quiet=False,
-               ready_event: threading.Event | None = None):
+               ready_event: threading.Event | None = None,
+               framewise_fn=None):
     """Blocking convenience wrapper: serve until KeyboardInterrupt."""
     server = make_http_server(service, labels=labels, host=host, port=port,
-                              topk=topk, model_name=model_name, quiet=quiet)
+                              topk=topk, model_name=model_name, quiet=quiet,
+                              framewise_fn=framewise_fn)
     if ready_event is not None:
         ready_event.set()
     try:
