@@ -22,6 +22,13 @@ Input contract: ``(B, n_samples)`` waveforms, float32 normalized to
 [-1, 1] or int16 raw PCM (chosen at export; the int16 variant folds the
 1/32768 into the DFT per the package-wide int16 contract and matches the
 float32 path bitwise on the XLA frontend).
+
+Measured on the v5e: artifact probs match the in-package jitted forward
+to ~1e-7 on CPU and ~8e-5 on TPU (XLA regroups the default-precision
+bf16 matmul passes inside the exported module — same order as the
+documented scan/layout fusion differences, well inside the 1e-3 parity
+budget). Pallas (``use_pallas=True``) artifacts serialize their Mosaic
+custom calls and reload correctly on TPU — verified on-chip.
 """
 
 from __future__ import annotations

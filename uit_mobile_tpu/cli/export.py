@@ -82,7 +82,10 @@ def _export_stablehlo(args):
                               top_db_mode="per_sample")(jnp.asarray(wav))
         got = fn(jnp.asarray(wav))
         drift = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
-        assert drift <= 1e-5, f"artifact drift {drift} > 1e-5"
+        # the repo-wide prob-drift budget: exact on CPU (~1e-7 measured);
+        # on TPU the exported module's fusions regroup the default-
+        # precision bf16 matmul passes (~1e-4 measured, PERF_NOTES)
+        assert drift <= 1e-3, f"artifact drift {drift} > 1e-3"
         print(f"verified: max prob drift {drift:.2e} at B={b}", file=sys.stderr)
     print(out)
     return 0
