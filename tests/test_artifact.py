@@ -113,6 +113,52 @@ def test_pallas_requires_tpu_platforms(small_model):
                        platforms=("cpu",))
 
 
+def test_service_from_artifact(small_model, tmp_path):
+    from uit_mobile_tpu.serve import ServiceConfig, TaggingService
+
+    cfg, params, state = small_model
+    exported = export_serving(cfg, params, state, batch_size=None,
+                              platforms=("cpu",))
+    path = tmp_path / "m.uitx"
+    save_artifact(path, exported, cfg=cfg, labels={"0": "a"})
+    svc = TaggingService.from_artifact(
+        path, ServiceConfig(batch_size=4, warmup=False, max_wait_ms=2.0,
+                            dtype="float32"))
+    assert svc.artifact_meta["labels"] == {"0": "a"}
+    assert svc.cfg.max_seconds == 1
+    wavs = [_wav(1, 16000 - 1000 * i, seed=i)[0] for i in range(5)]
+    outs = svc.infer_many(wavs)
+    for w, o in zip(wavs, outs):
+        padded = np.zeros(16000, np.float32)
+        padded[: w.shape[0]] = w
+        ref = np.asarray(exported.call(jnp.asarray(padded[None])))[0]
+        np.testing.assert_allclose(np.asarray(o), ref, rtol=0, atol=1e-6)
+    # too-long clips still fail loudly at submit
+    with pytest.raises(ValueError, match="max_seconds"):
+        svc.submit(np.zeros(16001, np.float32))
+    svc.close()
+
+
+def test_from_artifact_rejections(small_model, tmp_path):
+    from uit_mobile_tpu.serve import ServiceConfig, TaggingService
+
+    cfg, params, state = small_model
+    fixed = export_serving(cfg, params, state, batch_size=2,
+                           platforms=("cpu",))
+    p_fixed = save_artifact(tmp_path / "fixed.uitx", fixed, cfg=cfg)
+    with pytest.raises(ValueError, match="batch-polymorphic"):
+        TaggingService.from_artifact(p_fixed)
+    poly = export_serving(cfg, params, state, batch_size=None,
+                          platforms=("cpu",))
+    p = save_artifact(tmp_path / "poly.uitx", poly, cfg=cfg)
+    with pytest.raises(ValueError, match="dtype"):
+        TaggingService.from_artifact(p, ServiceConfig(dtype="int16"))
+    with pytest.raises(ValueError, match="data_parallel"):
+        TaggingService.from_artifact(p, ServiceConfig(data_parallel=True))
+    with pytest.raises(ValueError, match="scan_batches"):
+        TaggingService.from_artifact(p, ServiceConfig(scan_batches=4))
+
+
 def test_cli_stablehlo_verify(small_model, tmp_path):
     from uit_mobile_tpu.cli.export import main
 

@@ -26,6 +26,10 @@ def main(argv=None):
     enable_compilation_cache()  # reuse compiled executables across runs
     parser = argparse.ArgumentParser(prog="uit-serve")
     parser.add_argument("-m", "--model", default="uit_xs")
+    parser.add_argument("--artifact", default=None, metavar="MODEL.uitx",
+                        help="serve a StableHLO artifact (uit-export "
+                        "--stablehlo) instead of a model/checkpoint — no "
+                        "model code runs; /events is unavailable")
     parser.add_argument("-k", "--topk", type=int, default=5)
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--max-seconds", type=int, default=10)
@@ -58,18 +62,33 @@ def main(argv=None):
     from ..serve import ServiceConfig, TaggingService
 
     labels = load_label_map()
-    cfg, params, state = resolve_model(args.model)
-    service = TaggingService(
-        cfg, params, state,
-        ServiceConfig(batch_size=args.batch_size, max_seconds=args.max_seconds,
-                      warmup=not args.no_warmup,
-                      data_parallel=args.data_parallel,
-                      top_db_mode=args.top_db_mode, dtype=args.dtype,
-                      scan_batches=args.scan_batches),
-    )
+    if args.artifact is not None:
+        service = TaggingService.from_artifact(
+            args.artifact,
+            ServiceConfig(batch_size=args.batch_size,
+                          warmup=not args.no_warmup, dtype=args.dtype),
+        )
+        cfg = None
+        # prefer the label map sealed into the artifact at export time
+        if service.artifact_meta.get("labels"):
+            labels = {int(k): v
+                      for k, v in service.artifact_meta["labels"].items()}
+        model_name = args.artifact
+    else:
+        cfg, params, state = resolve_model(args.model)
+        service = TaggingService(
+            cfg, params, state,
+            ServiceConfig(batch_size=args.batch_size,
+                          max_seconds=args.max_seconds,
+                          warmup=not args.no_warmup,
+                          data_parallel=args.data_parallel,
+                          top_db_mode=args.top_db_mode, dtype=args.dtype,
+                          scan_batches=args.scan_batches),
+        )
+        model_name = args.model
     print("ready", file=sys.stderr, flush=True)
 
-    if getattr(cfg, "outputdim", len(labels)) != len(labels):
+    if cfg is not None and getattr(cfg, "outputdim", len(labels)) != len(labels):
         # custom-head checkpoint: the bundled AudioSet table would print
         # unrelated names (or KeyError past 537) — index names instead
         labels = {i: f"class_{i}" for i in range(cfg.outputdim)}
@@ -77,17 +96,19 @@ def main(argv=None):
     if args.http is not None:
         from ..serve import make_framewise_fn, serve_http
 
-        try:  # temporal tagging (/events) for families that support it
-            framewise_fn = make_framewise_fn(cfg, params, state,
-                                             max_seconds=args.max_seconds)
-        except TypeError:  # e.g. MoE: no framewise dispatch
-            framewise_fn = None
+        framewise_fn = None
+        if cfg is not None:
+            try:  # temporal tagging (/events) for families that support it
+                framewise_fn = make_framewise_fn(cfg, params, state,
+                                                 max_seconds=args.max_seconds)
+            except TypeError:  # e.g. MoE: no framewise dispatch
+                framewise_fn = None
         with service:
             print(f"http://{args.host}:{args.http}", file=sys.stderr,
                   flush=True)
             serve_http(service, labels=labels, host=args.host,
                        port=args.http, topk=args.topk,
-                       model_name=args.model, quiet=False,
+                       model_name=model_name, quiet=False,
                        framewise_fn=framewise_fn)
         return 0
 
@@ -101,10 +122,11 @@ def main(argv=None):
             "path": path,
             "top": [
                 [
-                    f"Keyword: {labels[int(i)]}" if i > 526 else labels[int(i)],
+                    (f"Keyword: {name}" if i > 526 else name),
                     round(float(probs[i]), 4),
                 ]
                 for i in top
+                for name in [labels.get(int(i), f"class_{int(i)}")]
             ],
         }
         print(json.dumps(out), flush=True)
@@ -115,7 +137,7 @@ def main(argv=None):
             if not path:
                 continue
             wav, sr = read_wav(path)
-            assert sr == cfg.frontend.sample_rate, f"{path}: expected 16 kHz"
+            assert sr == service.cfg.sample_rate, f"{path}: expected 16 kHz"
             pending.append((path, service.submit(wav[0])))
             # drain completed results INCREMENTALLY (in submit order): a
             # long-running producer must see output before stdin EOF, and

@@ -82,7 +82,8 @@ class TaggingService:
     """Batched async tagging: submit((T,) float32 wav) -> Future[(C,) probs]."""
 
     def __init__(self, model_cfg, params, state, config: ServiceConfig = ServiceConfig(),
-                 _start_worker: bool = True):
+                 _start_worker: bool = True, _forward_fn=None,
+                 _fixed_samples: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
@@ -92,23 +93,29 @@ class TaggingService:
         self.cfg = config
         self._np_dtype = np.int16 if config.dtype == "int16" else np.float32
         self._jnp = jnp
-        use_pallas = config.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.devices()[0].platform == "tpu"
         n_dev = len(jax.devices())
-        self._dp = config.data_parallel and n_dev > 1
-        if self._dp and use_pallas and config.top_db_mode == "torch":
-            # the batch-GLOBAL clamp would become per-shard under
-            # shard_map; keep exact torch semantics via the XLA frontend
-            # (GSPMD inserts the cross-shard max collective)
-            use_pallas = False
-        # single policy source (ops/pipeline.make_forward_fn): fast
-        # precision + tfb layout on TPU, per-request dB-clamp isolation
-        fwd_fn = make_forward_fn(
-            model_cfg, params, state, use_pallas=use_pallas,
-            precision="fast" if use_pallas else "exact",
-            top_db_mode=config.top_db_mode,
-        )
+        if _forward_fn is not None:
+            # sealed program injected by from_artifact: no layout/frontend
+            # policy to apply, no GSPMD/shard_map repartitioning possible
+            self._dp = False
+            fwd_fn = _forward_fn
+        else:
+            use_pallas = config.use_pallas
+            if use_pallas is None:
+                use_pallas = jax.devices()[0].platform == "tpu"
+            self._dp = config.data_parallel and n_dev > 1
+            if self._dp and use_pallas and config.top_db_mode == "torch":
+                # the batch-GLOBAL clamp would become per-shard under
+                # shard_map; keep exact torch semantics via the XLA frontend
+                # (GSPMD inserts the cross-shard max collective)
+                use_pallas = False
+            # single policy source (ops/pipeline.make_forward_fn): fast
+            # precision + tfb layout on TPU, per-request dB-clamp isolation
+            fwd_fn = make_forward_fn(
+                model_cfg, params, state, use_pallas=use_pallas,
+                precision="fast" if use_pallas else "exact",
+                top_db_mode=config.top_db_mode,
+            )
         if self._dp:
             from ..parallel.mesh import data_parallel_forward
 
@@ -140,10 +147,15 @@ class TaggingService:
         # length so every bucket does similar work per dispatch
         self._buckets = []
         m = self._batch_multiple
-        for s in range(1, config.max_seconds + 1):
-            bs = max(1, config.batch_size // s)
-            bs = -(-bs // m) * m  # round up to a device-count multiple
-            self._buckets.append((s * sr, bs))
+        if _fixed_samples is not None:
+            # artifact serving: ONE bucket at the artifact's clip length
+            # (its time dim is baked into the exported program)
+            self._buckets.append((_fixed_samples, config.batch_size))
+        else:
+            for s in range(1, config.max_seconds + 1):
+                bs = max(1, config.batch_size // s)
+                bs = -(-bs // m) * m  # round up to a device-count multiple
+                self._buckets.append((s * sr, bs))
         if config.warmup:
             for length, bs in self._buckets:
                 self._fwd(jnp.zeros((bs, length), self._np_dtype))
@@ -157,6 +169,57 @@ class TaggingService:
         self._completer = threading.Thread(target=self._complete, daemon=True)
         if _start_worker:
             self._start()
+
+    @classmethod
+    def from_artifact(cls, path, config: ServiceConfig = ServiceConfig()):
+        """Serve a ``.uitx`` StableHLO artifact (ckpt/artifact.py): the
+        deployable unit needs NO model code, params, or config — the
+        exported program is the whole model.
+
+        Requirements: the artifact must be batch-polymorphic (the
+        ``export_serving`` default) on a whole-second clip length, its
+        input dtype must match ``config.dtype``, and the current jax
+        platform must be one it was exported for. One length bucket (the
+        artifact's clip length); shorter clips right-zero-pad to it.
+        ``data_parallel``/``scan_batches`` are rejected — the artifact is
+        a sealed single-device program.
+        """
+        import dataclasses
+
+        from ..ckpt.artifact import load_artifact
+
+        fn, meta = load_artifact(path)
+        shape = meta["input_shape"]
+        if shape[0] != "b":
+            raise ValueError(
+                f"artifact has fixed batch {shape[0]} — serving needs a "
+                f"batch-polymorphic export (export_serving batch_size=None)"
+            )
+        n_samples = int(shape[1])
+        sr = config.sample_rate
+        if n_samples % sr:
+            raise ValueError(
+                f"artifact clip length {n_samples} is not a whole second "
+                f"at {sr} Hz — bucket padding cannot target it"
+            )
+        want = "int16" if config.dtype == "int16" else "float32"
+        if meta["input_dtype"] != want:
+            raise ValueError(
+                f"artifact input dtype {meta['input_dtype']} != service "
+                f"dtype {config.dtype}"
+            )
+        if config.data_parallel:
+            raise ValueError("data_parallel is unavailable for artifact "
+                             "serving (sealed single-device program)")
+        if config.scan_batches > 1:
+            raise ValueError("scan_batches is unavailable for artifact "
+                             "serving (the artifact is the whole program)")
+        config = dataclasses.replace(
+            config, max_seconds=n_samples // sr, use_pallas=False)
+        service = cls(None, None, None, config,
+                      _forward_fn=fn, _fixed_samples=n_samples)
+        service.artifact_meta = meta
+        return service
 
     def _start(self):
         if not self._worker.is_alive():
