@@ -108,6 +108,9 @@ def test_pallas_requires_tpu_platforms(small_model):
     with pytest.raises(ValueError, match="Mosaic"):
         export_serving(cfg, params, state, use_pallas=True,
                        platforms=("cpu", "tpu"))
+    with pytest.raises(ValueError, match="batch_size"):
+        export_serving(cfg, params, state, use_pallas=True,
+                       batch_size=None, platforms=("tpu",))
     with pytest.raises(ValueError, match="dtype"):
         export_serving(cfg, params, state, dtype="float64",
                        platforms=("cpu",))

@@ -97,6 +97,22 @@ def main():
     gate("mel kernel vs committed frontend golden (dB)",
          np.abs(mel - fg["rand_batch_logmel"]).max(), 3e-2)
 
+    # StableHLO artifact roundtrip ON CHIP: serialize -> file -> reload
+    # -> run; budget 1e-3 (exported-module fusion regroups the default-
+    # precision matmul passes — measured 8e-5 at B=256 on v5e)
+    import tempfile
+
+    from uit_mobile_tpu.ckpt import export_serving, load_artifact, save_artifact
+
+    exp = export_serving(cfg, params, state, batch_size=int(wav.shape[0]),
+                         precision="fast", use_pallas=True,
+                         platforms=("tpu",))
+    with tempfile.TemporaryDirectory() as td:
+        fn, _ = load_artifact(save_artifact(Path(td) / "m.uitx", exp, cfg=cfg))
+        p_art = np.asarray(fn(wav))
+    gate("pallas artifact roundtrip vs jitted fast",
+         np.abs(p_art - p_fast).max(), 1e-3)
+
     print(f"{'ALL GATES PASS' if not failures else f'{failures} FAILURES'}",
           flush=True)
     return 1 if failures else 0

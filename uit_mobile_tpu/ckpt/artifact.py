@@ -69,6 +69,12 @@ def export_serving(cfg, params, state, *, batch_size=None,
             "use_pallas=True artifacts carry Mosaic custom calls — "
             f"platforms must be ('tpu',), got {platforms}"
         )
+    if use_pallas and batch_size is None:
+        raise ValueError(
+            "use_pallas=True artifacts need a fixed batch_size: the "
+            "Mosaic kernel grid (and the small-batch row-kernel routing) "
+            "depends on the concrete batch dim"
+        )
     if dtype not in ("float32", "int16"):
         raise ValueError(f"dtype must be 'float32' or 'int16', got {dtype!r}")
     fwd = make_forward_fn(cfg, params, state, use_pallas=use_pallas,
