@@ -62,8 +62,22 @@ def test_healthz_and_labels(server_and_service):
     code, h = _get(base + "/healthz")
     assert code == 200 and h["status"] == "ok"
     assert h["model"] == "uit_xxxs" and h["sample_rate"] == 16000
+    assert {"requests", "errors", "latency_ms"} <= h.keys()
     code, lab = _get(base + "/labels")
     assert code == 200 and lab["3"] == "lbl3"
+
+
+def test_healthz_stats_track_requests(server_and_service):
+    base, _, _ = server_and_service
+    _, before = _get(base + "/healthz")
+    _post(base + "/tag?format=f32", _wav().tobytes())
+    with pytest.raises(urllib.error.HTTPError):
+        _post(base + "/tag", b"junk")  # counted as an error
+    _, after = _get(base + "/healthz")
+    assert after["requests"] >= before["requests"] + 2
+    assert after["errors"] >= before["errors"] + 1
+    assert after["latency_ms"]["p50"] is not None
+    assert after["latency_ms"]["p99"] >= after["latency_ms"]["p50"]
 
 
 def test_tag_wav_body_matches_direct(server_and_service, tmp_path):

@@ -121,6 +121,40 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
     sr = service.cfg.sample_rate
     max_samples = service.cfg.max_seconds * sr
 
+    class Stats:
+        """Thread-safe request counters + a sliding latency window."""
+
+        def __init__(self, window: int = 1024):
+            self._lock = threading.Lock()
+            self.requests = 0
+            self.errors = 0
+            self._lat = []  # ring buffer of the last `window` seconds
+            self._window = window
+            self._i = 0
+
+        def record(self, seconds: float, ok: bool):
+            with self._lock:
+                self.requests += 1
+                self.errors += not ok
+                if len(self._lat) < self._window:
+                    self._lat.append(seconds)
+                else:
+                    self._lat[self._i] = seconds
+                    self._i = (self._i + 1) % self._window
+
+        def snapshot(self) -> dict:
+            with self._lock:
+                lat = sorted(self._lat)
+                n_req, n_err = self.requests, self.errors
+            pct = (lambda p: round(lat[min(len(lat) - 1,
+                                           int(p * len(lat)))] * 1e3, 2)
+                   ) if lat else (lambda p: None)
+            return {"requests": n_req, "errors": n_err,
+                    "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
+                                   "p99": pct(0.99)}}
+
+    stats = Stats()
+
     class Handler(BaseHTTPRequestHandler):
         server_version = "uit-serve"
         protocol_version = "HTTP/1.1"
@@ -131,6 +165,7 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
 
         # ----------------------------------------------------------- util
         def _json(self, code: int, payload: dict):
+            self._status = code
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -155,6 +190,7 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
                     "sample_rate": sr,
                     "max_seconds": service.cfg.max_seconds,
                     "batch_size": service.cfg.batch_size,
+                    **stats.snapshot(),
                 })
             elif path == "/labels":
                 self._json(200, {str(k): v for k, v in labels.items()})
@@ -163,6 +199,18 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
 
         # ----------------------------------------------------------- POST
         def do_POST(self):  # noqa: N802
+            import time
+
+            t0 = time.perf_counter()
+            self._status = 200
+            try:
+                self._handle_post()
+            finally:
+                if urlparse(self.path).path in ("/tag", "/events"):
+                    stats.record(time.perf_counter() - t0,
+                                 self._status < 400)
+
+        def _handle_post(self):
             url = urlparse(self.path)
             if url.path not in ("/tag", "/events"):
                 self._error(404, f"unknown path {url.path!r}")
