@@ -184,6 +184,88 @@ def test_events_endpoint(server_and_service):
         server2.server_close()
 
 
+def test_stream_sessions_http(server_and_service):
+    from uit_mobile_tpu.serve import (
+        MultiStreamTagger,
+        StreamingConfig,
+        StreamSessions,
+    )
+
+    base, service, (cfg, params, state) = server_and_service
+    # the module fixture's server has no stream_sessions -> 501
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/stream/open", b"")
+    assert e.value.code == 501
+
+    scfg = StreamingConfig(n_audioset=6)  # outputdim=6 test model
+    ss = StreamSessions(cfg, params, state, config=scfg, max_sessions=2)
+    lab = {i: f"lbl{i}" for i in range(6)}
+    server3 = make_http_server(service, labels=lab, port=0,
+                               stream_sessions=ss)
+    threading.Thread(target=server3.serve_forever, daemon=True).start()
+    base3 = f"http://127.0.0.1:{server3.server_address[1]}"
+    try:
+        _, o = _post(base3 + "/stream/open?on=0.3&off=0.2", b"")
+        sid = o["id"]
+        assert o["window_seconds"] == 1.0 and o["hop_seconds"] == 0.25
+        chunk0 = _wav(8000, seed=20)   # 0.5 s: below the 1 s window
+        chunk1 = _wav(12000, seed=21)  # -> 1.25 s total: 2 windows
+        _, r0 = _post(f"{base3}/stream/{sid}/feed?format=f32&k=2",
+                      chunk0.tobytes())
+        assert r0["windows"] == []
+        _, r1 = _post(f"{base3}/stream/{sid}/feed?format=f32&k=2",
+                      chunk1.tobytes())
+        assert [w["time"] for w in r1["windows"]] == [1.0, 1.25]
+        assert all(len(w["top"]) == 2 for w in r1["windows"])
+        # equivalence: the same audio through a direct tagger
+        ref = MultiStreamTagger(cfg, params, state, n_streams=2, config=scfg)
+        ref_evs = ref.feed(0, np.concatenate([chunk0, chunk1]))
+        assert len(ref_evs) == 2
+        for w, ev in zip(r1["windows"], ref_evs):
+            assert w["time"] == pytest.approx(ev.time)
+            top = int(np.argmax(ev.probs))
+            assert w["top"][0]["index"] == top
+            assert w["top"][0]["prob"] == pytest.approx(
+                float(ev.probs[top]), abs=1e-6)
+        _, c = _post(f"{base3}/stream/{sid}/close", b"")
+        assert "events" in c
+        # closed session is gone
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base3}/stream/{sid}/feed?format=f32", chunk0.tobytes())
+        assert e.value.code == 404
+        # slot exhaustion: 2 slots -> third open is 429
+        _post(base3 + "/stream/open", b"")
+        _post(base3 + "/stream/open", b"")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base3 + "/stream/open", b"")
+        assert e.value.code == 429
+        # bad detector params -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base3 + "/stream/open?on=abc", b"")
+        assert e.value.code == 400
+    finally:
+        server3.shutdown()
+        server3.server_close()
+
+
+def test_stream_session_recycling_resets_slot(server_and_service):
+    from uit_mobile_tpu.serve import StreamingConfig, StreamSessions
+
+    _, _, (cfg, params, state) = server_and_service
+    scfg = StreamingConfig(n_audioset=6)
+    ss = StreamSessions(cfg, params, state, config=scfg, max_sessions=1)
+    a = ss.open()["id"]
+    w, _ = ss.feed(a, _wav(20000, seed=30))  # 1.25 s -> 2 windows
+    assert len(w) == 2
+    ss.close(a)
+    # the recycled slot must start from silence: same audio, same windows
+    b = ss.open()["id"]
+    w2, _ = ss.feed(b, _wav(20000, seed=30))
+    assert [ev.time for ev in w2] == [ev.time for ev in w]
+    np.testing.assert_allclose(w2[0].probs, w[0].probs, atol=1e-6)
+    ss.close(b)
+
+
 def test_make_framewise_fn_rejects_moe():
     from uit_mobile_tpu.serve import make_framewise_fn
 

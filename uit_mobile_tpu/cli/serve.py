@@ -57,6 +57,9 @@ def main(argv=None):
                         "GET /labels; see serve/http.py)")
     parser.add_argument("--host", default="127.0.0.1",
                         help="bind address for --http (default loopback)")
+    parser.add_argument("--stream-sessions", type=int, default=32,
+                        help="slot count for the --http /stream session "
+                        "API (fixed compiled batch dim)")
     args = parser.parse_args(argv)
 
     from ..serve import ServiceConfig, TaggingService
@@ -94,22 +97,26 @@ def main(argv=None):
         labels = {i: f"class_{i}" for i in range(cfg.outputdim)}
 
     if args.http is not None:
-        from ..serve import make_framewise_fn, serve_http
+        from ..serve import StreamSessions, make_framewise_fn, serve_http
 
-        framewise_fn = None
+        framewise_fn = stream_sessions = None
         if cfg is not None:
             try:  # temporal tagging (/events) for families that support it
                 framewise_fn = make_framewise_fn(cfg, params, state,
                                                  max_seconds=args.max_seconds)
             except TypeError:  # e.g. MoE: no framewise dispatch
                 framewise_fn = None
+            # real-time session streaming (/stream/*)
+            stream_sessions = StreamSessions(
+                cfg, params, state, max_sessions=args.stream_sessions)
         with service:
             print(f"http://{args.host}:{args.http}", file=sys.stderr,
                   flush=True)
             serve_http(service, labels=labels, host=args.host,
                        port=args.http, topk=args.topk,
                        model_name=model_name, quiet=False,
-                       framewise_fn=framewise_fn)
+                       framewise_fn=framewise_fn,
+                       stream_sessions=stream_sessions)
         return 0
 
     from collections import deque

@@ -1,5 +1,5 @@
 from .service import TaggingService, ServiceConfig
-from .http import make_framewise_fn, make_http_server, serve_http
+from .http import StreamSessions, make_framewise_fn, make_http_server, serve_http
 from .streaming import (
     Event,
     MultiStreamTagger,
@@ -12,6 +12,7 @@ from .streaming import (
 __all__ = [
     "TaggingService",
     "ServiceConfig",
+    "StreamSessions",
     "make_framewise_fn",
     "make_http_server",
     "serve_http",

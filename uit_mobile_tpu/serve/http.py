@@ -26,6 +26,14 @@ Endpoints:
       ``framewise_fn`` (make_framewise_fn below); 501 otherwise. Clips
       are zero-padded to whole seconds (a closed set of compiled
       programs); events are clamped/dropped to the true clip extent.
+    POST /stream/open[?on=0.5&off=0.3&hang=0&min_duration=0&classes=i,j]
+    POST /stream/<id>/feed      POST /stream/<id>/close
+      real-time session streaming (requires ``stream_sessions``, a
+      StreamSessions): open a session (hysteresis detector parameters in
+      the query), feed audio chunks of any size/cadence (same body
+      formats as /tag), get back every window that became due (top-k +
+      keyword triggers) plus closed sound events; close flushes the
+      detector and recycles the slot.
 
 No third-party web framework: the stdlib server keeps the serving path
 auditable and dependency-free, matching the repo's zero-install rule.
@@ -106,16 +114,116 @@ def make_framewise_fn(model_cfg, params, state, *, max_seconds: int = 10,
     return fn
 
 
+class StreamSessions:
+    """HTTP-session streaming: real-time tagging over plain POSTs.
+
+    Each session owns one slot of a shared ``MultiStreamTagger`` (fixed
+    compiled shapes — the slot count is the batch dim) plus its own
+    ``OnlineEventDetector``. Clients open a session, POST audio chunks of
+    any size, and receive the windows that became due (one per elapsed
+    hop), newly fired keyword triggers, and closed sound events; closing
+    flushes the detector. Slots recycle through ``reset_stream``; idle
+    sessions expire lazily after ``idle_seconds``.
+
+    One manager lock serializes feeds (the tagger is stateful) — the
+    scale knob for massive stream counts is ``MultiStreamTagger.feed_all``
+    driven by a single producer, not HTTP sessions.
+    """
+
+    def __init__(self, model_cfg, params, state, config=None,
+                 max_sessions: int = 32, idle_seconds: float = 600.0):
+        import time as _time
+        import uuid as _uuid
+
+        from .streaming import (
+            MultiStreamTagger,
+            OnlineEventDetector,
+            StreamingConfig,
+        )
+
+        self._OnlineEventDetector = OnlineEventDetector
+        self._uuid = _uuid
+        self._time = _time
+        self.config = config or StreamingConfig()
+        self.tagger = MultiStreamTagger(model_cfg, params, state,
+                                        n_streams=max_sessions,
+                                        config=self.config)
+        self.idle_seconds = idle_seconds
+        self._free = list(range(max_sessions - 1, -1, -1))
+        self._sessions: dict = {}  # id -> {slot, detector, last_used}
+        self._lock = threading.Lock()
+
+    # every public method takes the lock: the tagger and the session
+    # table are shared across HTTP handler threads
+    def open(self, **detector_kwargs) -> dict:
+        with self._lock:
+            self._expire_locked()
+            if not self._free:
+                raise LookupError(
+                    f"all {len(self._sessions)} stream sessions in use")
+            slot = self._free.pop()
+            sid = self._uuid.uuid4().hex
+            det = self._OnlineEventDetector(
+                n_audioset=self.config.n_audioset,
+                window_seconds=self.config.window_seconds,
+                **detector_kwargs)
+            self._sessions[sid] = {"slot": slot, "detector": det,
+                                   "last_used": self._time.monotonic()}
+            return {"id": sid,
+                    "window_seconds": self.config.window_seconds,
+                    "hop_seconds": self.config.hop_seconds,
+                    "sample_rate": self.config.sample_rate}
+
+    def feed(self, sid: str, chunk: np.ndarray):
+        """-> (window Events, closed SoundEvents)."""
+        with self._lock:
+            sess = self._get_locked(sid)
+            windows = self.tagger.feed(sess["slot"], chunk)
+            closed = []
+            for ev in windows:
+                closed.extend(sess["detector"].update(
+                    ev.stream, ev.time, ev.probs))
+            return windows, closed
+
+    def close(self, sid: str):
+        """Flush + recycle; -> the detector's final SoundEvents."""
+        with self._lock:
+            sess = self._get_locked(sid)
+            closed = sess["detector"].flush(sess["slot"])
+            self._release_locked(sid)
+            return closed
+
+    def _get_locked(self, sid: str) -> dict:
+        self._expire_locked()
+        sess = self._sessions.get(sid)
+        if sess is None:
+            raise KeyError(f"unknown or expired stream session {sid!r}")
+        sess["last_used"] = self._time.monotonic()
+        return sess
+
+    def _release_locked(self, sid: str):
+        sess = self._sessions.pop(sid)
+        self.tagger.reset_stream(sess["slot"])
+        self._free.append(sess["slot"])
+
+    def _expire_locked(self):
+        now = self._time.monotonic()
+        for sid, sess in list(self._sessions.items()):
+            if now - sess["last_used"] > self.idle_seconds:
+                self._release_locked(sid)
+
+
 def make_http_server(service, labels=None, host: str = "127.0.0.1",
                      port: int = 8000, topk: int = 5,
                      model_name: str = "?", quiet: bool = True,
-                     framewise_fn=None):
+                     framewise_fn=None, stream_sessions=None):
     """-> a ThreadingHTTPServer wired to ``service`` (not yet serving).
 
     Call ``serve_forever()`` (blocking) or drive it from a thread; the
     caller owns the service lifecycle (``service.close()`` after
     ``shutdown()``). ``framewise_fn`` (see make_framewise_fn) enables
-    POST /events.
+    POST /events; ``stream_sessions`` (a StreamSessions) enables the
+    POST /stream/* session API.
     """
     labels = {int(k): v for k, v in (labels or {}).items()}
     sr = service.cfg.sample_rate
@@ -206,14 +314,21 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
             try:
                 self._handle_post()
             finally:
-                if urlparse(self.path).path in ("/tag", "/events"):
+                path = urlparse(self.path).path
+                if path in ("/tag", "/events") or path.startswith("/stream/"):
                     stats.record(time.perf_counter() - t0,
                                  self._status < 400)
 
         def _handle_post(self):
             url = urlparse(self.path)
-            if url.path not in ("/tag", "/events"):
+            is_stream = url.path.startswith("/stream/")
+            if url.path not in ("/tag", "/events") and not is_stream:
                 self._error(404, f"unknown path {url.path!r}")
+                return
+            if is_stream and stream_sessions is None:
+                self._error(501, "streaming not enabled — start the server "
+                                 "with stream_sessions (uit-serve --http "
+                                 "enables it for model-backed serving)")
                 return
             if url.path == "/events" and framewise_fn is None:
                 self._error(501, "temporal tagging not enabled — start the "
@@ -222,6 +337,20 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
                                  "model supports it)")
                 return
             q = parse_qs(url.query)
+            if is_stream:
+                parts = url.path.split("/")[2:]  # after "/stream/"
+                if parts == ["open"]:
+                    self._stream_open(q)
+                    return
+                if len(parts) == 2 and parts[1] == "close":
+                    self._stream_close(parts[0])
+                    return
+                if not (len(parts) == 2 and parts[1] == "feed"):
+                    self._error(404, f"unknown path {url.path!r}")
+                    return
+                # /stream/<id>/feed falls through to the shared audio-body
+                # decode below, then into _stream_feed
+                self._stream_id = parts[0]
             try:
                 length = int(self.headers.get("Content-Length", ""))
             except ValueError:
@@ -245,6 +374,9 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
             if wav.shape[0] == 0:
                 self._error(400, "empty clip")
                 return
+            if is_stream:
+                self._stream_feed(self._stream_id, wav, q)
+                return
             if url.path == "/events":
                 self._events(wav, q)
                 return
@@ -264,6 +396,66 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
             if q.get("full", ["0"])[0] not in ("0", "", "false"):
                 out["probs"] = [float(p) for p in probs]
             self._json(200, out)
+
+        def _label(self, i: int) -> str:
+            return labels.get(int(i), f"class_{int(i)}")
+
+        def _sound_event(self, ev) -> dict:
+            return {"index": int(ev.cls), "label": self._label(ev.cls),
+                    "onset": float(ev.onset), "offset": float(ev.offset),
+                    "peak_prob": float(ev.peak_prob)}
+
+        def _stream_open(self, q):
+            kwargs = {}
+            try:
+                for qk, kk in (("on", "on_threshold"),
+                               ("off", "off_threshold"),
+                               ("hang", "hang_seconds"),
+                               ("min_duration", "min_duration")):
+                    if qk in q:
+                        kwargs[kk] = float(q[qk][0])
+                if "classes" in q:
+                    kwargs["classes"] = [int(c) for c in
+                                         q["classes"][0].split(",") if c]
+            except ValueError as e:
+                self._error(400, f"bad stream parameter: {e}")
+                return
+            try:
+                self._json(200, stream_sessions.open(**kwargs))
+            except LookupError as e:  # slots exhausted
+                self._error(429, str(e))
+            except (AssertionError, ValueError) as e:  # detector args
+                self._error(400, str(e))
+
+        def _stream_feed(self, sid: str, wav: np.ndarray, q):
+            k = max(1, int(q.get("k", [topk])[0]))
+            try:
+                windows, closed = stream_sessions.feed(sid, wav)
+            except KeyError as e:
+                self._error(404, str(e))
+                return
+            out_w = []
+            for ev in windows:
+                top_idx = np.argsort(ev.probs)[::-1][:k]
+                out_w.append({
+                    "time": float(ev.time),
+                    "top": [{"index": int(i), "label": self._label(i),
+                             "prob": float(ev.probs[i])} for i in top_idx],
+                    "triggers": [{"index": int(c), "label": self._label(c),
+                                  "prob": float(p)}
+                                 for c, p in ev.triggers],
+                })
+            self._json(200, {"windows": out_w,
+                             "events": [self._sound_event(e) for e in closed]})
+
+        def _stream_close(self, sid: str):
+            try:
+                closed = stream_sessions.close(sid)
+            except KeyError as e:
+                self._error(404, str(e))
+                return
+            self._json(200,
+                       {"events": [self._sound_event(e) for e in closed]})
 
         def _events(self, wav: np.ndarray, q):
             from ..evaluate import extract_events
@@ -335,11 +527,12 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
 def serve_http(service, labels=None, host="127.0.0.1", port=8000,
                topk=5, model_name="?", quiet=False,
                ready_event: threading.Event | None = None,
-               framewise_fn=None):
+               framewise_fn=None, stream_sessions=None):
     """Blocking convenience wrapper: serve until KeyboardInterrupt."""
     server = make_http_server(service, labels=labels, host=host, port=port,
                               topk=topk, model_name=model_name, quiet=quiet,
-                              framewise_fn=framewise_fn)
+                              framewise_fn=framewise_fn,
+                              stream_sessions=stream_sessions)
     if ready_event is not None:
         ready_event.set()
     try:

@@ -197,6 +197,18 @@ class MultiStreamTagger:
         self._dev_buf = self._dev_update(self._dev_buf, jnp.asarray(chunks))
         return []
 
+    def reset_stream(self, stream: int):
+        """Clear one stream slot for reuse (session recycling): its ring,
+        fill/hop counters, and keyword-refractory history. The next
+        window on this slot scores only audio fed after the reset."""
+        self._sync_host()
+        self._dev_buf = None  # host buffer diverges from the device ring
+        self._buf[stream] = 0
+        self._filled[stream] = 0
+        self._since_hop[stream] = 0
+        for key in [k for k in self._last_trigger if k[0] == stream]:
+            del self._last_trigger[key]
+
     def _host_advance(self, chunks: np.ndarray):
         """Vectorized all-streams ring shift on the host buffer."""
         n = self._hop
