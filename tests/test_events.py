@@ -11,7 +11,10 @@ from uit_mobile_tpu.evaluate.events import (
     EventScorer,
     event_based_scores,
     extract_events,
+    load_thresholds,
     median_filter_probs,
+    per_class_thresholds,
+    save_thresholds,
 )
 
 
@@ -66,6 +69,51 @@ def test_extract_handles_unsorted_overlapping_tail_windows():
     times = np.array([[0.0, 1.0], [1.0, 2.0], [1.5, 2.5]])
     probs = np.array([[0.9], [0.9], [0.9]])
     assert extract_events(times, probs) == [(0, 0.0, 2.5)]
+
+
+def test_per_class_thresholds_forms():
+    # scalar broadcast
+    np.testing.assert_array_equal(per_class_thresholds(0.3, 3), [0.3] * 3)
+    # explicit vector passes through
+    np.testing.assert_array_equal(
+        per_class_thresholds([0.1, 0.2, 0.3], 3), [0.1, 0.2, 0.3])
+    # mapping fills unlisted classes from 'default' (else the default arg)
+    np.testing.assert_array_equal(
+        per_class_thresholds({1: 0.7, "default": 0.2}, 3), [0.2, 0.7, 0.2])
+    np.testing.assert_array_equal(
+        per_class_thresholds({0: 0.9}, 2, default=0.4), [0.9, 0.4])
+    with pytest.raises(ValueError):
+        per_class_thresholds({5: 0.5}, 3)  # out of range
+    with pytest.raises(ValueError):
+        per_class_thresholds([0.1, 0.2], 3)  # wrong vector length
+
+
+def test_extract_events_per_class_thresholds():
+    probs = np.array(
+        [[0.1, 0.1], [0.45, 0.45], [0.45, 0.45], [0.1, 0.1]], np.float32
+    )
+    # scalar 0.5: nothing fires; per-class: only the tuned class does
+    assert extract_events(TIMES_4, probs) == []
+    assert extract_events(TIMES_4, probs, threshold={1: 0.4}) == [
+        (1, 0.5, 1.5)
+    ]
+    # vector form agrees with the mapping form
+    assert extract_events(TIMES_4, probs, threshold=np.array([0.5, 0.4])) == [
+        (1, 0.5, 1.5)
+    ]
+    # and a per-class vector equal everywhere == the scalar path
+    lo = np.full(2, 0.4)
+    assert extract_events(TIMES_4, probs, threshold=lo) == extract_events(
+        TIMES_4, probs, threshold=0.4)
+
+
+def test_threshold_file_roundtrip(tmp_path):
+    path = tmp_path / "op.json"
+    save_thresholds(path, {3: 0.25, 70: 0.6}, default=0.5)
+    spec = load_thresholds(path)
+    assert spec == {3: 0.25, 70: 0.6, "default": 0.5}
+    vec = per_class_thresholds(spec, 80)
+    assert vec[3] == 0.25 and vec[70] == 0.6 and vec[0] == 0.5
 
 
 def test_extract_multiclass_and_median():

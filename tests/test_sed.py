@@ -177,7 +177,8 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
                     report_dir=str(tmp_path)).strong(
         eval_data=str(sed_env), threshold=0.3, median_kernel=3,
         event_collar=0.25, dump_events=str(dump),
-        sweep=(0.2, 0.3, 0.6), psds={"alpha_ct": 0.5})
+        sweep=(0.2, 0.3, 0.6), psds={"alpha_ct": 0.5},
+        thresholds_out=str(tmp_path / "op.json"))
     assert res["Segment_Micro_F1"] > 0.5, res
     # PSDS rides on the same sweep (intersection criterion); bounded
     assert 0.0 <= res["PSDS"] <= 1.0
@@ -202,6 +203,15 @@ def test_sed_training_learns_localization(tmp_path, sed_env):
     # ... including per-class picks (every value is a sweep threshold)
     per_cls = res["_best_event_threshold_per_class"]
     assert per_cls and all(t in curve for t in per_cls.values())
+    # per-class-tuned operating point rides the same sweep
+    assert 0.0 <= res["Event_Micro_F1_per_class_tuned"] <= 1.0
+    # thresholds_out round-trips through the deploy-side loader as the
+    # mapping form every threshold= parameter accepts
+    from uit_mobile_tpu.evaluate import load_thresholds
+
+    spec = load_thresholds(tmp_path / "op.json")
+    assert spec.pop("default") == res["_best_event_threshold"]
+    assert spec == per_cls
     assert curve[res["_best_segment_threshold"]]["Segment_Micro_F1"] == max(
         row["Segment_Micro_F1"] for row in curve.values())
     # the dump is a well-formed TSV of the extracted events

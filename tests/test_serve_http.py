@@ -179,6 +179,23 @@ def test_events_endpoint(server_and_service):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(base2 + "/events?format=f32&median=2", wav.tobytes())
         assert e.value.code == 400
+        # per-class operating points: CLS:TH pairs override the scalar
+        code, out_pc = _post(
+            base2 + "/events?format=f32&threshold=0.4&per_class=2:0.99",
+            wav.tobytes())
+        assert code == 200
+        ref_pc = [ev for ev in extract_events(
+            times, probs, threshold={2: 0.99, "default": 0.4})
+            if ev[1] < 1.5]
+        assert len(out_pc["events"]) == len(ref_pc)
+        assert [e["index"] for e in out_pc["events"]] == [
+            int(c) for c, _, _ in ref_pc]
+        # malformed / out-of-range per_class -> 400, not a 500
+        for bad in ("x:0.5", "2:0.5:9", "-1:0.5", "99:0.5"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(base2 + f"/events?format=f32&per_class={bad}",
+                      wav.tobytes())
+            assert e.value.code == 400, bad
     finally:
         server2.shutdown()
         server2.server_close()
@@ -233,6 +250,14 @@ def test_stream_sessions_http(server_and_service):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(f"{base3}/stream/{sid}/feed?format=f32", chunk0.tobytes())
         assert e.value.code == 404
+        # per-class operating points on open (tuned-threshold deploy)
+        code, o_pc = _post(
+            base3 + "/stream/open?on=0.4&off=0.2&per_class=1:0.9", b"")
+        assert code == 200
+        _post(f"{base3}/stream/{o_pc['id']}/close", b"")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base3 + "/stream/open?per_class=x:y", b"")
+        assert e.value.code == 400
         # slot exhaustion: 2 slots -> third open is 429
         _post(base3 + "/stream/open", b"")
         _post(base3 + "/stream/open", b"")

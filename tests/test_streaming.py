@@ -160,6 +160,33 @@ def test_online_event_class_subset():
     assert [e.cls for e in evs] == [3]
 
 
+def test_online_event_per_class_thresholds():
+    from uit_mobile_tpu.serve.streaming import OnlineEventDetector
+
+    # tuned file shape: class 2 opens at 0.3, everyone else at 0.8;
+    # scalar off clamps per class (off_2 = min(0.3, 0.3))
+    det = OnlineEventDetector(on_threshold={2: 0.3, "default": 0.8},
+                              off_threshold=0.3, n_audioset=4)
+    p = np.zeros(4, np.float32)
+    p[1] = 0.5   # below its 0.8 on-threshold: never opens
+    p[2] = 0.35  # above its tuned 0.3: opens
+    assert det.update(0, 1.0, p) == []
+    evs = det.flush()
+    assert [e.cls for e in evs] == [2]
+
+    # spec entries beyond the tracked range are ignored, not an error
+    det2 = OnlineEventDetector(on_threshold={530: 0.1, 1: 0.2},
+                               off_threshold=0.1, n_audioset=4)
+    p = np.zeros(4)
+    p[1] = 0.25
+    det2.update(0, 1.0, p)
+    assert [e.cls for e in det2.flush()] == [1]
+
+    # explicit scalar pair with off > on still fails fast
+    with pytest.raises(AssertionError):
+        OnlineEventDetector(on_threshold=0.3, off_threshold=0.5)
+
+
 def test_online_detector_on_tagger_output(model):
     """Round trip: tagger window events drive the online detector."""
     from uit_mobile_tpu.serve.streaming import OnlineEventDetector

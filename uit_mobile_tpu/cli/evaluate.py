@@ -108,6 +108,16 @@ def main(argv=None):
     p_strong.add_argument("--psds-e-max", type=float, default=100.0,
                           help="max effective FP rate (per hour) of the "
                           "PSD-ROC integration")
+    p_strong.add_argument("--thresholds", default=None, metavar="JSON",
+                          help="per-class threshold file (from a previous "
+                          "--thresholds-out) applied to event extraction "
+                          "and segment binarization — overrides "
+                          "--threshold")
+    p_strong.add_argument("--thresholds-out", default=None, metavar="JSON",
+                          help="write the sweep's F1-maximizing per-class "
+                          "operating points as a threshold file for "
+                          "uit-stream --thresholds / later runs (implies "
+                          "a default sweep)")
 
     p_all = sub.add_parser("all", help="gsc + audioset with one model load")
     p_all.add_argument("experiment_path")
@@ -158,7 +168,13 @@ def main(argv=None):
                          pad=args.pad, sweep=args.sweep)
         print({k: v for k, v in results.items() if not k.startswith("_")})
     elif args.command == "strong":
-        results = ev.strong(eval_data=args.eval_data, threshold=args.threshold,
+        strong_threshold = args.threshold
+        if args.thresholds is not None:
+            from ..evaluate.events import load_thresholds
+
+            strong_threshold = load_thresholds(args.thresholds)
+        results = ev.strong(eval_data=args.eval_data,
+                            threshold=strong_threshold,
                             min_overlap=args.min_overlap,
                             median_kernel=args.median_kernel,
                             event_collar=args.event_collar,
@@ -174,7 +190,8 @@ def main(argv=None):
                             psds=({"alpha_st": args.psds_alpha_st,
                                    "alpha_ct": args.psds_alpha_ct,
                                    "e_max": args.psds_e_max}
-                                  if args.psds else None))
+                                  if args.psds else None),
+                            thresholds_out=args.thresholds_out)
         print({k: v for k, v in results.items() if not k.startswith("_")})
         for th, row in sorted(results.get("_event_operating_curve", {}).items()):
             print(f"  thr={th:.2f}: " + "  ".join(
@@ -183,6 +200,8 @@ def main(argv=None):
             print(f"  best thresholds: event-F1 @ "
                   f"{results['_best_event_threshold']:.2f}, segment-F1 @ "
                   f"{results['_best_segment_threshold']:.2f}")
+        if args.thresholds_out:
+            print(f"  per-class operating points -> {args.thresholds_out}")
             per_cls = results.get("_best_event_threshold_per_class") or {}
             if per_cls:
                 print("  per-class event-F1 thresholds: " + "  ".join(

@@ -57,6 +57,12 @@ def main(argv=None):
                         "classes (hysteresis on/off thresholds + hang time)")
     parser.add_argument("--on-threshold", type=float, default=0.5)
     parser.add_argument("--off-threshold", type=float, default=0.3)
+    parser.add_argument("--thresholds", default=None, metavar="JSON",
+                        help="per-class operating-point file from "
+                        "`uit-evaluate strong --thresholds-out` — each "
+                        "class opens at its own tuned threshold "
+                        "(--off-threshold clamps to it per class); "
+                        "overrides --on-threshold")
     parser.add_argument("--hang", type=float, default=0.5,
                         help="seconds below off-threshold before an event "
                         "closes")
@@ -111,8 +117,13 @@ def main(argv=None):
                   f"already fire through the --threshold trigger path, so "
                   f"the event detector will report them twice",
                   file=sys.stderr)
+    on_threshold = args.on_threshold
+    if args.thresholds is not None:
+        from ..evaluate.events import load_thresholds
+
+        on_threshold = load_thresholds(args.thresholds)
     detector = (OnlineEventDetector(
-        on_threshold=args.on_threshold, off_threshold=args.off_threshold,
+        on_threshold=on_threshold, off_threshold=args.off_threshold,
         hang_seconds=args.hang, min_duration=args.min_duration,
         n_audioset=n_tracked, window_seconds=sc.window_seconds,
         classes=tracked)

@@ -78,8 +78,70 @@ def median_filter_probs(probs: np.ndarray, kernel_size: int) -> np.ndarray:
     return np.median(win, axis=-1)
 
 
+def per_class_thresholds(threshold, num_classes: int,
+                         default: float = 0.5) -> np.ndarray:
+    """Resolve a threshold spec to a (num_classes,) float vector.
+
+    Accepted forms, everywhere a decision threshold is taken:
+    - scalar: one operating point for every class;
+    - array-like of shape (num_classes,): explicit per-class vector;
+    - mapping {class_index: threshold}: listed classes use their value,
+      the rest use the mapping's ``'default'`` entry (else ``default``).
+      This is the shape the strong-eval sweep emits
+      (``_best_event_threshold_per_class``) and ``save_thresholds``
+      round-trips, so tuned operating points flow eval -> deploy.
+    """
+    if isinstance(threshold, dict):
+        fill = float(threshold.get("default", default))
+        vec = np.full(num_classes, fill, dtype=np.float64)
+        for c, th in threshold.items():
+            if c == "default":
+                continue
+            c = int(c)
+            if not 0 <= c < num_classes:
+                raise ValueError(
+                    f"threshold for class {c} out of range for "
+                    f"{num_classes}-way output")
+            vec[c] = float(th)
+        return vec
+    vec = np.asarray(threshold, dtype=np.float64)
+    if vec.ndim == 0:
+        return np.full(num_classes, float(vec), dtype=np.float64)
+    if vec.shape != (num_classes,):
+        raise ValueError(
+            f"per-class threshold vector has shape {vec.shape}, "
+            f"expected ({num_classes},)")
+    return vec
+
+
+def save_thresholds(path, per_class: dict, default: float = 0.5):
+    """Write a per-class threshold file (JSON: {'default': .., 'per_class':
+    {class: threshold}}) — the deploy artifact of ``Evaluator.strong``'s
+    sweep; consumed by ``load_thresholds``."""
+    import json
+    from pathlib import Path
+
+    payload = {"default": float(default),
+               "per_class": {str(int(c)): float(t)
+                             for c, t in sorted(per_class.items())}}
+    Path(path).write_text(json.dumps(payload, indent=1) + "\n")
+
+
+def load_thresholds(path) -> dict:
+    """Read a ``save_thresholds`` file back into the mapping form
+    ``per_class_thresholds`` (and every threshold= parameter) accepts."""
+    import json
+    from pathlib import Path
+
+    payload = json.loads(Path(path).read_text())
+    spec = {int(c): float(t)
+            for c, t in payload.get("per_class", {}).items()}
+    spec["default"] = float(payload.get("default", 0.5))
+    return spec
+
+
 def extract_events(times: np.ndarray, probs: np.ndarray, *,
-                   threshold: float = 0.5, median_kernel: int = 1,
+                   threshold=0.5, median_kernel: int = 1,
                    min_duration: float = 0.0, merge_gap: float = 0.0,
                    classes: Iterable[int] | None = None) -> List[Event]:
     """Framewise probabilities -> discrete events for one clip.
@@ -88,6 +150,9 @@ def extract_events(times: np.ndarray, probs: np.ndarray, *,
     overlapping — the long-clip tail window overlaps the previous one by
     the crop rule, see models.uit.framewise_times).
     probs: (S, C).
+    threshold: scalar, (C,) vector, or {class: th} mapping — see
+    ``per_class_thresholds`` (per-class operating points are the
+    psds_eval/DCASE deployment practice).
 
     Pipeline per class: median filter -> threshold -> contiguous/overlap
     run merging (runs separated by <= merge_gap seconds fuse) -> drop
@@ -97,11 +162,12 @@ def extract_events(times: np.ndarray, probs: np.ndarray, *,
     probs = np.asarray(probs)
     assert times.shape == (probs.shape[0], 2), (times.shape, probs.shape)
     order = np.argsort(times[:, 0], kind="stable")
+    th_vec = per_class_thresholds(threshold, probs.shape[1])
     # filter AFTER the time sort: dm-mode framewise_times emits
     # window-major rows where the tail window rewinds behind the previous
     # one — smoothing in raw index order would mix segments up to a full
     # window apart in time at that boundary
-    active = median_filter_probs(probs[order], median_kernel) >= threshold
+    active = median_filter_probs(probs[order], median_kernel) >= th_vec[None, :]
     t = times[order]
     eps = 1e-9
     events: List[Event] = []

@@ -339,12 +339,13 @@ class Evaluator:
 
     def strong(self, experiment_path: Optional[str] = None,
                eval_data: str = "datasets/strong/eval.tsv",
-               threshold: float = 0.5, min_overlap: float = 0.5,
+               threshold=0.5, min_overlap: float = 0.5,
                median_kernel: int = 1, event_collar: float = 0.2,
                offset_collar_rate: float = 0.2, min_duration: float = 0.0,
                merge_gap: float = 0.0, dump_events: Optional[str] = None,
                criterion: str = "collar", dtc: float = 0.5, gtc: float = 0.5,
-               cttc: Optional[float] = None, sweep=None, psds=None):
+               cttc: Optional[float] = None, sweep=None, psds=None,
+               thresholds_out: Optional[str] = None):
         """Strong-label (SED) evaluation: framewise probabilities over FULL
         clips scored against event intervals — DCASE-style segment
         F1/precision/recall (evaluate.metrics.segment_f1) PLUS collar-based
@@ -382,13 +383,32 @@ class Evaluator:
         Implies the default sweep when none is given. A coarse sweep
         LOWER-bounds the true PSDS (see evaluate/psds.py).
 
+        threshold: scalar, (num_classes,) vector, or {class: th} mapping
+        (evaluate.events.per_class_thresholds forms — e.g. a
+        load_thresholds file from an earlier sweep) applied to BOTH the
+        event extraction and the segment binarization.
+
+        thresholds_out: optional path — after a sweep, write the
+        F1-maximizing per-class operating points as a JSON threshold
+        file (evaluate.events.save_thresholds) that uit-stream /
+        OnlineEventDetector / a later --thresholds run consume: the
+        tune-on-dev, deploy-per-class loop. The sweep also reports
+        `Event_Micro_F1_per_class_tuned` — the micro F1 when each class
+        runs at its own best sweep point (tuned ON this set; treat as an
+        upper bound unless eval_data is a dev split).
+
         Completes the SED round trip with train/sed.py — the reference
         has no strong-label evaluation (or training) at all."""
         import jax
         import jax.numpy as jnp
 
         from .. import models
-        from .events import EventScorer, extract_events
+        from .events import (
+            EventScorer,
+            extract_events,
+            per_class_thresholds,
+            save_thresholds,
+        )
         from .metrics import segment_events_to_targets, segment_f1
 
         cfg, params, state = self._setup(experiment_path)
@@ -400,6 +420,12 @@ class Evaluator:
         )
         num_classes = getattr(cfg, "outputdim", 537)
         sr = cfg.frontend.sample_rate
+        if thresholds_out is not None and sweep is None and not psds:
+            sweep = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+        if not np.isscalar(threshold):
+            # one resolution point: a (C,) vector broadcasts through both
+            # extract_events and segment_f1's binarization
+            threshold = per_class_thresholds(threshold, num_classes)
 
         from ..data.manifest import events_by_file
 
@@ -561,6 +587,27 @@ class Evaluator:
                     c: max(ths, key=ths.get)
                     for c, ths in sorted(per_class_curves.items())
                 }
+                # per-class-tuned operating point: every class at its own
+                # best sweep threshold (unseen classes at the global best)
+                tuned_spec = dict(results["_best_event_threshold_per_class"])
+                tuned_spec["default"] = results["_best_event_threshold"]
+                tuned_vec = per_class_thresholds(tuned_spec, num_classes)
+                sc_tuned = mk_scorer()
+                for pad_to, p, events in clip_records:
+                    sc_tuned.add_clip(
+                        extract_events(times_for(pad_to), p,
+                                       threshold=tuned_vec,
+                                       median_kernel=median_kernel,
+                                       min_duration=min_duration,
+                                       merge_gap=merge_gap),
+                        events)
+                results["Event_Micro_F1_per_class_tuned"] = (
+                    sc_tuned.scores()["Event_Micro_F1"])
+                if thresholds_out is not None:
+                    save_thresholds(
+                        thresholds_out,
+                        results["_best_event_threshold_per_class"],
+                        default=results["_best_event_threshold"])
             if psds:
                 from .psds import psds as psds_score
 

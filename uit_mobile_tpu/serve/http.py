@@ -19,14 +19,16 @@ Endpoints:
           (float32 LE mono, normalized to [-1, 1]).
       Response: {"top": [{"index", "label", "prob"}...], "n_samples": N}
       (+ "probs": [all C floats] when full=1).
-    POST /events[?threshold=0.5&median=1&min_duration=0&merge_gap=0]
+    POST /events[?threshold=0.5&median=1&min_duration=0&merge_gap=0
+                 &per_class=CLS:TH,CLS:TH]
       temporal tagging (the SED surface): same body formats; responds
       {"events": [{"index", "label", "onset", "offset"}...],
        "duration": seconds}. Requires the server to be built with a
       ``framewise_fn`` (make_framewise_fn below); 501 otherwise. Clips
       are zero-padded to whole seconds (a closed set of compiled
       programs); events are clamped/dropped to the true clip extent.
-    POST /stream/open[?on=0.5&off=0.3&hang=0&min_duration=0&classes=i,j]
+    POST /stream/open[?on=0.5&off=0.3&hang=0&min_duration=0&classes=i,j
+                      &per_class=CLS:TH,...]
     POST /stream/<id>/feed      POST /stream/<id>/close
       real-time session streaming (requires ``stream_sessions``, a
       StreamSessions): open a session (hysteresis detector parameters in
@@ -47,6 +49,23 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+
+def _parse_per_class(text: str) -> dict:
+    """``CLS:TH,CLS:TH`` query value -> {class_index: threshold} — the
+    wire form of a tuned per-class operating point
+    (evaluate.events.per_class_thresholds mapping, eval-sweep deploy
+    path). Raises ValueError on malformed pairs."""
+    spec: dict = {}
+    for pair in text.split(","):
+        if not pair:
+            continue
+        cls, _, th = pair.partition(":")
+        c = int(cls)
+        if c < 0:
+            raise ValueError(f"negative class index {c} in per_class")
+        spec[c] = float(th)
+    return spec
 
 
 def make_framewise_fn(model_cfg, params, state, *, max_seconds: int = 10,
@@ -414,6 +433,12 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
                                ("min_duration", "min_duration")):
                     if qk in q:
                         kwargs[kk] = float(q[qk][0])
+                if "per_class" in q:
+                    # tuned per-class on-thresholds: CLS:TH,CLS:TH on top
+                    # of the scalar `on` default (eval-sweep deploy path)
+                    spec = _parse_per_class(q["per_class"][0])
+                    spec["default"] = kwargs.pop("on_threshold", 0.5)
+                    kwargs["on_threshold"] = spec
                 if "classes" in q:
                     kwargs["classes"] = [int(c) for c in
                                          q["classes"][0].split(",") if c]
@@ -463,6 +488,10 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
 
             try:
                 threshold = float(q.get("threshold", ["0.5"])[0])
+                if "per_class" in q:
+                    spec = _parse_per_class(q["per_class"][0])
+                    spec["default"] = threshold
+                    threshold = spec
                 median = int(q.get("median", ["1"])[0])
                 min_duration = float(q.get("min_duration", ["0"])[0])
                 merge_gap = float(q.get("merge_gap", ["0"])[0])
@@ -475,10 +504,14 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
                 wav = normalize_pcm16(wav)
             duration = wav.shape[0] / sr
             probs, times = framewise_fn(wav)
-            events = extract_events(times, probs, threshold=threshold,
-                                    median_kernel=median,
-                                    min_duration=min_duration,
-                                    merge_gap=merge_gap)
+            try:
+                events = extract_events(times, probs, threshold=threshold,
+                                        median_kernel=median,
+                                        min_duration=min_duration,
+                                        merge_gap=merge_gap)
+            except ValueError as e:  # per_class index >= model outputdim
+                self._error(400, f"bad event parameter: {e}")
+                return
             out = []
             for cls, onset, offset in events:
                 # padding to whole seconds can extend the last segments

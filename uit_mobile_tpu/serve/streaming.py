@@ -301,13 +301,21 @@ class OnlineEventDetector:
     Tracked classes default to the AudioSet range [0, n_audioset); pass
     `classes` to watch a subset (cheaper, and keyword triggers are
     already handled by MultiStreamTagger's refractory logic).
+
+    Thresholds are scalars or per-class specs (a {class: th} mapping as
+    produced by the strong-eval sweep / evaluate.events.load_thresholds,
+    keyed by MODEL class index) — the tuned-operating-point deployment
+    path. When a per-class on-threshold dips below a scalar
+    off-threshold, that class's off clamps to its on value (hysteresis
+    stays well-formed); an explicit scalar pair with off > on raises.
     """
 
-    def __init__(self, on_threshold: float = 0.5, off_threshold: float = 0.3,
+    def __init__(self, on_threshold=0.5, off_threshold=0.3,
                  hang_seconds: float = 0.0, min_duration: float = 0.0,
                  classes: Optional[list] = None, n_audioset: int = 527,
                  window_seconds: float = 1.0):
-        assert off_threshold <= on_threshold, "hysteresis needs off <= on"
+        if np.isscalar(on_threshold) and np.isscalar(off_threshold):
+            assert off_threshold <= on_threshold, "hysteresis needs off <= on"
         self.on_threshold = on_threshold
         self.off_threshold = off_threshold
         self.hang_seconds = hang_seconds
@@ -315,6 +323,25 @@ class OnlineEventDetector:
         self.window_seconds = window_seconds
         self._classes = (np.arange(n_audioset) if classes is None
                          else np.asarray(sorted(classes), dtype=np.int64))
+        from ..evaluate.events import per_class_thresholds
+
+        # resolve over the full model index space, then gather the
+        # tracked subset — threshold specs are keyed by model class index.
+        # Mapping entries for untracked classes are ignored (a tuned file
+        # from the eval sweep may cover e.g. keyword rows while the
+        # detector watches AudioSet only).
+        n_full = (int(self._classes.max()) + 1 if self._classes.size
+                  else n_audioset)
+
+        def _resolve(spec, default):
+            if isinstance(spec, dict):
+                spec = {c: t for c, t in spec.items()
+                        if c == "default" or 0 <= int(c) < n_full}
+            return per_class_thresholds(spec, n_full,
+                                        default=default)[self._classes]
+
+        self._on = _resolve(on_threshold, 0.5)
+        self._off = np.minimum(_resolve(off_threshold, 0.3), self._on)
         # (stream, cls) -> [onset, last_active_time, peak]
         self._open: dict[tuple[int, int], list] = {}
 
@@ -325,8 +352,8 @@ class OnlineEventDetector:
         p = np.asarray(probs)[self._classes]
         onset_t = max(0.0, time - self.window_seconds)
         closed = []
-        hot = set(np.flatnonzero(p >= self.on_threshold))
-        warm = set(np.flatnonzero(p >= self.off_threshold))
+        hot = set(np.flatnonzero(p >= self._on))
+        warm = set(np.flatnonzero(p >= self._off))
         for i in hot:
             cls = int(self._classes[i])
             run = self._open.get((stream, cls))
