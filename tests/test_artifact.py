@@ -139,6 +139,9 @@ def test_service_from_artifact(small_model, tmp_path):
     # too-long clips still fail loudly at submit
     with pytest.raises(ValueError, match="max_seconds"):
         svc.submit(np.zeros(16001, np.float32))
+    # the sealed program IS the weights: hot reload must refuse
+    with pytest.raises(RuntimeError, match="artifact"):
+        svc.reload(params, state)
     svc.close()
 
 

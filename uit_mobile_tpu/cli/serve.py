@@ -99,7 +99,7 @@ def main(argv=None):
     if args.http is not None:
         from ..serve import StreamSessions, make_framewise_fn, serve_http
 
-        framewise_fn = stream_sessions = None
+        framewise_fn = stream_sessions = reload_fn = None
         if cfg is not None:
             try:  # temporal tagging (/events) for families that support it
                 framewise_fn = make_framewise_fn(cfg, params, state,
@@ -109,6 +109,24 @@ def main(argv=None):
             # real-time session streaming (/stream/*)
             stream_sessions = StreamSessions(
                 cfg, params, state, max_sessions=args.stream_sessions)
+
+            def reload_fn(has_events=framewise_fn is not None):
+                """POST /reload: re-read the checkpoint this server was
+                started from (drop new weights in place, POST /reload,
+                keep serving) and hot-swap every surface that can."""
+                cfg2, p2, s2 = resolve_model(args.model)
+                info = {"weights_version":
+                        service.reload(p2, s2, model_cfg=cfg2),
+                        "source": args.model}
+                if has_events:
+                    info["_framewise_fn"] = make_framewise_fn(
+                        cfg2, p2, s2, max_seconds=args.max_seconds)
+                ok = stream_sessions.reload(cfg2, p2, s2)
+                info["stream_sessions"] = (
+                    "reloaded" if ok else
+                    "deferred: active sessions keep the previous weights "
+                    "— POST /reload again once they close or expire")
+                return info
         with service:
             print(f"http://{args.host}:{args.http}", file=sys.stderr,
                   flush=True)
@@ -116,7 +134,8 @@ def main(argv=None):
                        port=args.http, topk=args.topk,
                        model_name=model_name, quiet=False,
                        framewise_fn=framewise_fn,
-                       stream_sessions=stream_sessions)
+                       stream_sessions=stream_sessions,
+                       reload_fn=reload_fn)
         return 0
 
     from collections import deque

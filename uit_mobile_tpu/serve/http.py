@@ -10,8 +10,14 @@ whatever is pending into fixed-shape bucket batches, so HTTP concurrency
 directly becomes TPU batch occupancy).
 
 Endpoints:
-    GET  /healthz          liveness + model/device info
+    GET  /healthz          liveness + model/device info + request stats
+    GET  /metrics          the same counters in Prometheus text format
     GET  /labels           the index -> display-name map
+    POST /reload           zero-downtime weight swap (requires reload_fn;
+      uit-serve wires it to re-read the checkpoint it was started from —
+      drop new weights in place, POST /reload, keep serving; in-flight
+      batches finish on the old weights, /healthz exposes
+      weights_version)
     POST /tag[?k=5&full=1] score one clip; body is either
         - a RIFF/WAV blob (Content-Type audio/wav; must match the
           service sample rate; multichannel is downmixed by mean), or
@@ -161,9 +167,11 @@ class StreamSessions:
         )
 
         self._OnlineEventDetector = OnlineEventDetector
+        self._MultiStreamTagger = MultiStreamTagger
         self._uuid = _uuid
         self._time = _time
         self.config = config or StreamingConfig()
+        self.max_sessions = max_sessions
         self.tagger = MultiStreamTagger(model_cfg, params, state,
                                         n_streams=max_sessions,
                                         config=self.config)
@@ -171,6 +179,27 @@ class StreamSessions:
         self._free = list(range(max_sessions - 1, -1, -1))
         self._sessions: dict = {}  # id -> {slot, detector, last_used}
         self._lock = threading.Lock()
+
+    def reload(self, model_cfg, params, state) -> bool:
+        """Swap to new model weights IF no sessions are active (a live
+        session's ring buffer + detector state belong to the weights that
+        scored them; swapping mid-stream would splice histories). Returns
+        True on swap, False when active sessions defer it — callers retry
+        once the slots drain (idle expiry bounds the wait)."""
+        with self._lock:
+            self._expire_locked()
+            if self._sessions:
+                return False
+            self.tagger = self._MultiStreamTagger(
+                model_cfg, params, state, n_streams=self.max_sessions,
+                config=self.config)
+            return True
+
+    @property
+    def active_sessions(self) -> int:
+        with self._lock:
+            self._expire_locked()
+            return len(self._sessions)
 
     # every public method takes the lock: the tagger and the session
     # table are shared across HTTP handler threads
@@ -235,7 +264,8 @@ class StreamSessions:
 def make_http_server(service, labels=None, host: str = "127.0.0.1",
                      port: int = 8000, topk: int = 5,
                      model_name: str = "?", quiet: bool = True,
-                     framewise_fn=None, stream_sessions=None):
+                     framewise_fn=None, stream_sessions=None,
+                     reload_fn=None):
     """-> a ThreadingHTTPServer wired to ``service`` (not yet serving).
 
     Call ``serve_forever()`` (blocking) or drive it from a thread; the
@@ -243,10 +273,19 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
     ``shutdown()``). ``framewise_fn`` (see make_framewise_fn) enables
     POST /events; ``stream_sessions`` (a StreamSessions) enables the
     POST /stream/* session API.
+
+    ``reload_fn`` enables POST /reload (zero-downtime weight swap, the
+    ops surface behind TaggingService.reload): a no-argument callable
+    returning an info dict for the response. It may include the private
+    key ``"_framewise_fn"`` — a replacement /events scorer built from
+    the new weights, applied (and stripped) by the handler so temporal
+    tagging swaps in the same reload.
     """
     labels = {int(k): v for k, v in (labels or {}).items()}
     sr = service.cfg.sample_rate
     max_samples = service.cfg.max_seconds * sr
+    # mutable holder: POST /reload swaps the /events scorer in place
+    framewise = {"fn": framewise_fn}
 
     class Stats:
         """Thread-safe request counters + a sliding latency window."""
@@ -317,12 +356,49 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
                     "sample_rate": sr,
                     "max_seconds": service.cfg.max_seconds,
                     "batch_size": service.cfg.batch_size,
+                    "weights_version": getattr(service, "weights_version",
+                                               None),
                     **stats.snapshot(),
                 })
+            elif path == "/metrics":
+                self._metrics()
             elif path == "/labels":
                 self._json(200, {str(k): v for k, v in labels.items()})
             else:
                 self._error(404, f"unknown path {path!r}")
+
+        def _metrics(self):
+            """GET /metrics: the same counters in Prometheus text
+            exposition format, so a stock scraper ingests the service
+            without an adapter."""
+            snap = stats.snapshot()
+            lines = [
+                "# TYPE uit_requests_total counter",
+                f"uit_requests_total {snap['requests']}",
+                "# TYPE uit_errors_total counter",
+                f"uit_errors_total {snap['errors']}",
+                "# TYPE uit_weights_version gauge",
+                f"uit_weights_version "
+                f"{getattr(service, 'weights_version', 0) or 0}",
+                "# TYPE uit_request_latency_ms summary",
+            ]
+            for q, key in (("0.5", "p50"), ("0.95", "p95"), ("0.99", "p99")):
+                v = snap["latency_ms"][key]
+                if v is not None:
+                    lines.append(
+                        f'uit_request_latency_ms{{quantile="{q}"}} {v}')
+            if stream_sessions is not None:
+                lines += ["# TYPE uit_stream_sessions_active gauge",
+                          f"uit_stream_sessions_active "
+                          f"{stream_sessions.active_sessions}"]
+            body = ("\n".join(lines) + "\n").encode()
+            self._status = 200
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         # ----------------------------------------------------------- POST
         def do_POST(self):  # noqa: N802
@@ -341,15 +417,18 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
         def _handle_post(self):
             url = urlparse(self.path)
             is_stream = url.path.startswith("/stream/")
-            if url.path not in ("/tag", "/events") and not is_stream:
+            if url.path not in ("/tag", "/events", "/reload") and not is_stream:
                 self._error(404, f"unknown path {url.path!r}")
+                return
+            if url.path == "/reload":
+                self._reload()
                 return
             if is_stream and stream_sessions is None:
                 self._error(501, "streaming not enabled — start the server "
                                  "with stream_sessions (uit-serve --http "
                                  "enables it for model-backed serving)")
                 return
-            if url.path == "/events" and framewise_fn is None:
+            if url.path == "/events" and framewise["fn"] is None:
                 self._error(501, "temporal tagging not enabled — start the "
                                  "server with a framewise_fn "
                                  "(uit-serve --http enables it when the "
@@ -415,6 +494,24 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
             if q.get("full", ["0"])[0] not in ("0", "", "false"):
                 out["probs"] = [float(p) for p in probs]
             self._json(200, out)
+
+        def _reload(self):
+            """POST /reload: zero-downtime weight swap (see reload_fn)."""
+            if reload_fn is None:
+                self._error(501, "hot reload not enabled — start the server "
+                                 "with a reload_fn (uit-serve --http wires "
+                                 "it for checkpoint-backed serving)")
+                return
+            try:
+                info = dict(reload_fn())
+            except Exception as e:
+                self._error(500, f"reload failed: {e}")
+                return
+            new_fw = info.pop("_framewise_fn", None)
+            if new_fw is not None:
+                framewise["fn"] = new_fw
+                info.setdefault("events", "reloaded")
+            self._json(200, info)
 
         def _label(self, i: int) -> str:
             return labels.get(int(i), f"class_{int(i)}")
@@ -503,7 +600,7 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
             if wav.dtype == np.int16:
                 wav = normalize_pcm16(wav)
             duration = wav.shape[0] / sr
-            probs, times = framewise_fn(wav)
+            probs, times = framewise["fn"](wav)
             try:
                 events = extract_events(times, probs, threshold=threshold,
                                         median_kernel=median,
@@ -560,12 +657,13 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
 def serve_http(service, labels=None, host="127.0.0.1", port=8000,
                topk=5, model_name="?", quiet=False,
                ready_event: threading.Event | None = None,
-               framewise_fn=None, stream_sessions=None):
+               framewise_fn=None, stream_sessions=None, reload_fn=None):
     """Blocking convenience wrapper: serve until KeyboardInterrupt."""
     server = make_http_server(service, labels=labels, host=host, port=port,
                               topk=topk, model_name=model_name, quiet=quiet,
                               framewise_fn=framewise_fn,
-                              stream_sessions=stream_sessions)
+                              stream_sessions=stream_sessions,
+                              reload_fn=reload_fn)
     if ready_event is not None:
         ready_event.set()
     try:

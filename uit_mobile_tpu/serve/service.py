@@ -87,55 +87,25 @@ class TaggingService:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.pipeline import make_forward_fn
-
         assert config.dtype in ("float32", "int16"), config.dtype
         self.cfg = config
         self._np_dtype = np.int16 if config.dtype == "int16" else np.float32
         self._jnp = jnp
         n_dev = len(jax.devices())
-        if _forward_fn is not None:
-            # sealed program injected by from_artifact: no layout/frontend
-            # policy to apply, no GSPMD/shard_map repartitioning possible
-            self._dp = False
-            fwd_fn = _forward_fn
-        else:
-            use_pallas = config.use_pallas
-            if use_pallas is None:
-                use_pallas = jax.devices()[0].platform == "tpu"
-            self._dp = config.data_parallel and n_dev > 1
-            if self._dp and use_pallas and config.top_db_mode == "torch":
-                # the batch-GLOBAL clamp would become per-shard under
-                # shard_map; keep exact torch semantics via the XLA frontend
-                # (GSPMD inserts the cross-shard max collective)
-                use_pallas = False
-            # single policy source (ops/pipeline.make_forward_fn): fast
-            # precision + tfb layout on TPU, per-request dB-clamp isolation
-            fwd_fn = make_forward_fn(
-                model_cfg, params, state, use_pallas=use_pallas,
-                precision="fast" if use_pallas else "exact",
-                top_db_mode=config.top_db_mode,
-            )
-        if self._dp:
-            from ..parallel.mesh import data_parallel_forward
-
-            # manual (shard_map) route auto-selected from fwd_fn.uses_pallas
-            # — Mosaic kernels cannot be GSPMD-auto-partitioned; safe here
-            # because per_sample clamp semantics have no cross-batch term
-            self._fwd = data_parallel_forward(fwd_fn)
-            self._batch_multiple = n_dev
-        else:
-            self._fwd = jax.jit(fwd_fn)
-            self._batch_multiple = 1
+        # sealed program injected by from_artifact: no layout/frontend
+        # policy to apply, no GSPMD/shard_map repartitioning possible —
+        # and no hot reload (the program IS the weights)
+        self._sealed_fwd = _forward_fn
+        self._model_cfg = model_cfg
+        self._dp = (config.data_parallel and n_dev > 1
+                    if _forward_fn is None else False)
+        self._batch_multiple = n_dev if self._dp else 1
         # K-batch scanned dispatch for sustained load (see ServiceConfig.
-        # scan_batches); programs compile lazily per bucket length on the
-        # first deep-queue moment
+        # scan_batches); ignored under data_parallel
         self._scan_k = config.scan_batches if not self._dp else 1
-        self._scanned_fwd = None
-        if self._scan_k > 1:
-            from ..ops.pipeline import make_scanned_forward
-
-            self._scanned_fwd = jax.jit(make_scanned_forward(fwd_fn))
+        self._fwd, self._scanned_fwd = self._build_forwards(params, state)
+        self.weights_version = 1
+        self._reload_lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
         # (device_result, chunk) pairs awaiting materialization; bounded ->
         # backpressure on the batcher when the device is saturated
@@ -157,14 +127,7 @@ class TaggingService:
                 bs = -(-bs // m) * m  # round up to a device-count multiple
                 self._buckets.append((s * sr, bs))
         if config.warmup:
-            for length, bs in self._buckets:
-                self._fwd(jnp.zeros((bs, length), self._np_dtype))
-                if self._scanned_fwd is not None:
-                    # keep the no-recompiles-after-warmup contract: the
-                    # K-batch program must not compile mid-traffic on the
-                    # first deep-queue moment
-                    self._scanned_fwd(
-                        jnp.zeros((self._scan_k, bs, length), self._np_dtype))
+            self._warmup(self._fwd, self._scanned_fwd)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._completer = threading.Thread(target=self._complete, daemon=True)
         if _start_worker:
@@ -220,6 +183,86 @@ class TaggingService:
                       _forward_fn=fn, _fixed_samples=n_samples)
         service.artifact_meta = meta
         return service
+
+    def _build_forwards(self, params, state):
+        """(jitted per-batch fwd, jitted K-batch scanned fwd | None) under
+        the service's layout/precision/DP policy — one construction point
+        shared by __init__ and reload()."""
+        import jax
+
+        from ..ops.pipeline import make_forward_fn, make_scanned_forward
+
+        config = self.cfg
+        if self._sealed_fwd is not None:
+            fwd_fn = self._sealed_fwd
+        else:
+            use_pallas = config.use_pallas
+            if use_pallas is None:
+                use_pallas = jax.devices()[0].platform == "tpu"
+            if self._dp and use_pallas and config.top_db_mode == "torch":
+                # the batch-GLOBAL clamp would become per-shard under
+                # shard_map; keep exact torch semantics via the XLA frontend
+                # (GSPMD inserts the cross-shard max collective)
+                use_pallas = False
+            # single policy source (ops/pipeline.make_forward_fn): fast
+            # precision + tfb layout on TPU, per-request dB-clamp isolation
+            fwd_fn = make_forward_fn(
+                self._model_cfg, params, state, use_pallas=use_pallas,
+                precision="fast" if use_pallas else "exact",
+                top_db_mode=config.top_db_mode,
+            )
+        if self._dp:
+            from ..parallel.mesh import data_parallel_forward
+
+            # manual (shard_map) route auto-selected from fwd_fn.uses_pallas
+            # — Mosaic kernels cannot be GSPMD-auto-partitioned; safe here
+            # because per_sample clamp semantics have no cross-batch term
+            return data_parallel_forward(fwd_fn), None
+        scanned = None
+        if self._scan_k > 1:
+            scanned = jax.jit(make_scanned_forward(fwd_fn))
+        return jax.jit(fwd_fn), scanned
+
+    def _warmup(self, fwd, scanned_fwd):
+        """Compile every bucket program: keep the no-recompiles-after-
+        warmup contract (neither the first deep-queue moment nor the
+        first post-reload batch may compile mid-traffic)."""
+        jnp = self._jnp
+        for length, bs in self._buckets:
+            fwd(jnp.zeros((bs, length), self._np_dtype))
+            if scanned_fwd is not None:
+                scanned_fwd(
+                    jnp.zeros((self._scan_k, bs, length), self._np_dtype))
+
+    def reload(self, params, state, model_cfg=None) -> int:
+        """Hot-swap the model weights with ZERO downtime: build + compile
+        the new programs off the hot path (the worker keeps serving the
+        old weights throughout — the persistent compilation cache makes
+        the rebuild cheap for unchanged shapes), then swap atomically.
+        In-flight batches complete on the old weights; each batch is
+        scored entirely by one version. model_cfg (optional) must keep
+        the service contract (sample rate, output classes) — pass it for
+        converted checkpoints whose config object is rebuilt.
+
+        Returns the new weights version (monotonic, starts at 1;
+        surfaced in /healthz and POST /reload). Artifact-backed services
+        raise — the sealed program IS the weights; restart with a new
+        artifact instead."""
+        if self._sealed_fwd is not None:
+            raise RuntimeError(
+                "artifact-backed service cannot hot-reload: the exported "
+                "program is the weights — restart with the new artifact")
+        with self._reload_lock:
+            if model_cfg is not None:
+                self._model_cfg = model_cfg
+            fwd, scanned = self._build_forwards(params, state)
+            self._warmup(fwd, scanned)
+            # plain attribute stores are atomic under the GIL; the worker
+            # picks the new programs up on its next dispatch
+            self._fwd = fwd
+            self._scanned_fwd = scanned
+            self.weights_version += 1
+            return self.weights_version
 
     def _start(self):
         if not self._worker.is_alive():
