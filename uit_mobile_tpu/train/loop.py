@@ -50,7 +50,13 @@ from ..data import (
 from ..evaluate.metrics import compute_metrics
 from ..utils import add_file_sink, get_logger
 from .schedule import cosine_with_warmup
-from .steps import build_optimizer, make_eval_step, make_train_step
+from .steps import (
+    build_optimizer,
+    find_ema_params,
+    make_eval_step,
+    make_train_step,
+    wrap_optimizer,
+)
 
 log = get_logger()
 
@@ -307,13 +313,33 @@ class Trainer:
         total_steps = epochs * epoch_length
         lr = c.get("optimizer_args", {}).get("lr", 1e-3)
         opt_args = {k: v for k, v in c.get("optimizer_args", {}).items() if k != "lr"}
+        # grad_accum: K loader micro-batches per applied optimizer update
+        # (optax.MultiSteps averages the micro-gradients — K micro-batches
+        # of size B land the same update one KxB batch would, at 1/K the
+        # activation memory). The schedule (and warmup_iters) run in
+        # APPLIED-update units, so the cosine still completes the run.
+        grad_accum = int(c.get("grad_accum", 1))
         if c.get("use_scheduler", True):
             # default 1000 warmup iters like DEFAULT_ARGS/pretrain (reference
             # utils.py:29); an absent key must not silently disable warmup
-            schedule = cosine_with_warmup(lr, total_steps, c.get("warmup_iters", 1000))
+            schedule = cosine_with_warmup(lr, max(1, total_steps // grad_accum),
+                                          c.get("warmup_iters", 1000))
         else:
             schedule = lr
         optimizer = build_optimizer(c.get("optimizer", "Adam"), schedule, **opt_args)
+        # ema_decay: parameter EMA tracked INSIDE opt_state (train.steps.
+        # params_ema) — validation, best-k checkpoints, and the final
+        # deliverable then use the smoothed weights while raw params keep
+        # training (last.npz resume keeps both, for free).
+        ema_decay = c.get("ema_decay")
+        optimizer = wrap_optimizer(optimizer, ema_decay=ema_decay,
+                                   grad_accum=grad_accum)
+        if ema_decay is not None:
+            log.info(f"parameter EMA (decay {ema_decay}): validation and "
+                     f"checkpoints use the smoothed weights")
+        if grad_accum > 1:
+            log.info(f"gradient accumulation: {grad_accum} micro-batches "
+                     f"per optimizer update")
         opt_state = optimizer.init(params)
 
         start_epoch = 1
@@ -558,8 +584,15 @@ class Trainer:
             )
 
             if epoch % c.get("valid_every", 1) == 0:
+                # with EMA on, the smoothed weights are what ships — score
+                # and checkpoint those (raw params keep training; last.npz
+                # below still snapshots the raw trajectory + opt_state)
+                eval_params = (find_ema_params(opt_state)
+                               if ema_decay is not None else None)
+                eval_params = params if eval_params is None else eval_params
                 score = score_sign * self._validate(
-                    eval_step, params, state, test_loader, epoch, metric=score_name
+                    eval_step, eval_params, state, test_loader, epoch,
+                    metric=score_name
                 )
                 ckpt_path = self.outputdir / f"best_model_{step_count}_mAP={score:.4f}.npz"
                 saved.append((score, ckpt_path))
@@ -568,7 +601,7 @@ class Trainer:
                 # (scores are identical — same eval data, same global
                 # params), filesystem writes on rank 0 only
                 if (score, ckpt_path) in saved[:n_saved] and self.is_main:
-                    save_checkpoint(ckpt_path, params, state, cfg,
+                    save_checkpoint(ckpt_path, eval_params, state, cfg,
                                     extra={"step": step_count, "mAP": score,
                                            "run_config": self.run_config})
                 for s, p in saved[n_saved:]:
@@ -636,7 +669,12 @@ class Trainer:
         else:
             output_model = self.outputdir / "final.npz"
             if self.is_main:
-                save_checkpoint(output_model, params, state, cfg,
+                final_params = (find_ema_params(opt_state)
+                                if ema_decay is not None else None)
+                save_checkpoint(output_model,
+                                params if final_params is None
+                                else final_params,
+                                state, cfg,
                                 extra={"step": step_count,
                                        "run_config": self.run_config})
         log.info(f"Results can be found at {self.outputdir}")

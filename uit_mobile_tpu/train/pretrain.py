@@ -224,7 +224,7 @@ def _pretrain_once(config: dict) -> Path:
     from ..ckpt.io import load_training_state, save_checkpoint, save_training_state
     from ..data import DataLoader, UnlabeledRandomChunkedHDF5Dataset, read_tsv_data
     from .schedule import cosine_with_warmup
-    from .steps import build_optimizer
+    from .steps import build_optimizer, find_ema_params, wrap_optimizer
 
     c = config
     model_args = dict(c.get("model_args", {}))
@@ -265,10 +265,18 @@ def _pretrain_once(config: dict) -> Path:
 
     epochs = c.get("epochs", 10)
     epoch_length = c.get("epoch_length") or len(loader)
+    # ema_decay / grad_accum: shared optimizer wrappers (train.steps.
+    # wrap_optimizer); the mae_pretrained.npz deliverable uses the EMA
+    # weights, the schedule runs in applied-update units
+    grad_accum = int(c.get("grad_accum", 1))
+    ema_decay = c.get("ema_decay")
     schedule = cosine_with_warmup(c.get("optimizer_args", {}).get("lr", 1.5e-4),
-                                  epochs * epoch_length, c.get("warmup_iters", 1000))
+                                  max(1, epochs * epoch_length // grad_accum),
+                                  c.get("warmup_iters", 1000))
     optimizer = build_optimizer(c.get("optimizer", "AdamW"), schedule,
                                 **{k: v for k, v in c.get("optimizer_args", {}).items() if k != "lr"})
+    optimizer = wrap_optimizer(optimizer, ema_decay=ema_decay,
+                               grad_accum=grad_accum)
     opt_state = optimizer.init(params)
 
     def step(params, state, opt_state, wav, rng):
@@ -340,7 +348,11 @@ def _pretrain_once(config: dict) -> Path:
         log.info(f"MAE epoch {epoch}: loss {float(np.mean([float(l) for l in losses])):.4f} "
                  f"({epoch_length / (time.time() - t0):.1f} it/s)")
         if is_main:  # multi-host: rank 0 is the only writer
-            save_checkpoint(outdir / "mae_pretrained.npz", params, state, enc,
+            out_params = (find_ema_params(opt_state)
+                          if ema_decay is not None else None)
+            save_checkpoint(outdir / "mae_pretrained.npz",
+                            params if out_params is None else out_params,
+                            state, enc,
                             extra={"epoch": epoch, "mae": True})
             save_training_state(  # lossless crash-resume point (auto_resume)
                 outdir / "last.npz", params, state, opt_state, enc,

@@ -38,7 +38,12 @@ from ..evaluate.metrics import segment_f1
 from ..utils import add_file_sink, get_logger
 from .loop import _json_safe_config, _make_outputdir
 from .schedule import cosine_with_warmup
-from .steps import build_optimizer, make_framewise_train_step
+from .steps import (
+    build_optimizer,
+    find_ema_params,
+    make_framewise_train_step,
+    wrap_optimizer,
+)
 
 log = get_logger()
 
@@ -197,11 +202,19 @@ def _train_sed_body(c: dict, outputdir) -> Path:
     epoch_length = c.get("epoch_length") or len(train_loader)
     lr = c.get("optimizer_args", {}).get("lr", 1e-3)
     opt_args = {k: v for k, v in c.get("optimizer_args", {}).items() if k != "lr"}
+    # ema_decay / grad_accum: the shared optimizer wrappers (train.steps.
+    # wrap_optimizer) — schedule runs in applied-update units under
+    # accumulation; validation + best_sed.npz use the EMA weights
+    grad_accum = int(c.get("grad_accum", 1))
+    ema_decay = c.get("ema_decay")
     schedule = (
-        cosine_with_warmup(lr, epochs * epoch_length, c.get("warmup_iters", 1000))
+        cosine_with_warmup(lr, max(1, epochs * epoch_length // grad_accum),
+                           c.get("warmup_iters", 1000))
         if c.get("use_scheduler", True) else lr
     )
     optimizer = build_optimizer(c.get("optimizer", "AdamW"), schedule, **opt_args)
+    optimizer = wrap_optimizer(optimizer, ema_decay=ema_decay,
+                               grad_accum=grad_accum)
     opt_state = optimizer.init(params)
     wav_aug = parse_wavtransforms(c["wavtransforms"]) if c.get("wavtransforms") else None
     spec_aug = parse_spectransforms(c["spectransforms"]) if c.get("spectransforms") else None
@@ -305,7 +318,10 @@ def _train_sed_body(c: dict, outputdir) -> Path:
                 sb = {k2: jnp.asarray(v) for k2, v in sb.items()}
             params, state, opt_state, m = step(params, state, opt_state, sb, k)
             losses.append(float(m["total_loss"]))
-        scores = validate(params, state)
+        eval_params = (find_ema_params(opt_state)
+                       if ema_decay is not None else None)
+        eval_params = params if eval_params is None else eval_params
+        scores = validate(eval_params, state)
         log.info(
             f"Epoch {epoch}: loss {np.mean(losses):.4f} "
             f"segF1 micro {scores['Segment_Micro_F1']:.4f} "
@@ -316,7 +332,7 @@ def _train_sed_body(c: dict, outputdir) -> Path:
         if scores["Segment_Micro_F1"] > best:
             best = scores["Segment_Micro_F1"]
             if is_main:
-                save_checkpoint(best_path, params, state, cfg=cfg,
+                save_checkpoint(best_path, eval_params, state, cfg=cfg,
                                 extra={"segment_f1_micro": best,
                                        "epoch": epoch,
                                        "run_config": _json_safe_config(c)})

@@ -13,7 +13,7 @@ everything else replicated) — XLA inserts the gradient psum over ICI.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -366,6 +366,81 @@ def make_eval_step(model_cfg, frontend_fn: Optional[Callable] = None) -> Callabl
         return models.apply(model_cfg, params, state, wav, frontend_fn=frontend_fn)
 
     return eval_step
+
+
+class EmaState(NamedTuple):
+    """Optimizer-state slot for the parameter EMA (see params_ema)."""
+    ema: Any
+
+
+def params_ema(decay: float) -> optax.GradientTransformation:
+    """Track an exponential moving average of the PARAMETERS inside the
+    optimizer state: ``ema <- decay*ema + (1-decay)*new_params`` after
+    every applied update (initialized at the initial params, so no
+    zero-debias is needed).
+
+    Chain it AFTER the optimizer — ``optax.chain(base, params_ema(d))``
+    — so it sees the final updates; under ``optax.MultiSteps`` wrap the
+    whole chain so the EMA advances once per APPLIED update, not per
+    accumulation micro-step. Riding in opt_state means the lossless
+    resume path (ckpt.io.save_training_state) and the scanned multi-step
+    carry it for free. Read it back with ``find_ema_params(opt_state)``.
+
+    The reference has nothing comparable (its smoothing is post-hoc
+    best-k checkpoint averaging, utils.py:335-369 — which this framework
+    also ships); EMA is the standard production complement: a smoothed
+    deliverable at every step, not only at end of training.
+    """
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"ema decay must be in (0, 1), got {decay}")
+
+    def init(params):
+        # a REAL copy, not jnp.asarray: aliasing the live param buffers
+        # would make donated train steps hand XLA the same buffer twice
+        return EmaState(ema=jax.tree.map(
+            lambda p: jnp.array(p, copy=True), params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError(
+                "params_ema needs the params argument — chain it after an "
+                "optimizer and call update(grads, state, params)")
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                           state.ema, new_p)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def find_ema_params(opt_state):
+    """The EMA params pytree buried in a (chained / MultiSteps-wrapped)
+    optimizer state, or None when no params_ema is in the chain."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if isinstance(opt_state, tuple):  # chain states + NamedTuple fields
+        for child in opt_state:
+            got = find_ema_params(child)
+            if got is not None:
+                return got
+    return None
+
+
+def wrap_optimizer(optimizer: optax.GradientTransformation, *,
+                   ema_decay: Optional[float] = None,
+                   grad_accum: int = 1) -> optax.GradientTransformation:
+    """Apply the config-level optimizer wrappers shared by all three
+    training loops: parameter EMA (``ema_decay``) and gradient
+    accumulation (``grad_accum`` micro-batches per applied update, via
+    optax.MultiSteps — mean of the micro-gradients, so K micro-batches
+    land the same update one K-fold batch would at 1/K the peak memory).
+    Order: MultiSteps wraps (optimizer + ema) so the EMA and the LR
+    schedule advance once per APPLIED update."""
+    if ema_decay is not None:
+        optimizer = optax.chain(optimizer, params_ema(float(ema_decay)))
+    if grad_accum > 1:
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=grad_accum)
+    return optimizer
 
 
 OPTIMIZERS = {
