@@ -119,6 +119,24 @@ def main(argv=None):
                           "uit-stream --thresholds / later runs (implies "
                           "a default sweep)")
 
+    p_cal = sub.add_parser(
+        "calibrate", help="fit temperature scaling on a held-out manifest "
+        "(evaluate.calibration); -o writes the calibration JSON for "
+        "uit-serve --calibration")
+    p_cal.add_argument("experiment_path")
+    p_cal.add_argument("--eval-data",
+                       default="datasets/audioset/data/labels/eval.csv")
+    p_cal.add_argument("--num-classes", type=int, default=537)
+    p_cal.add_argument("--per-class", action="store_true",
+                       help="fit one temperature per class (classes "
+                       "without positives keep T=1) instead of a single "
+                       "scalar")
+    p_cal.add_argument("--bins", type=int, default=15,
+                       help="reliability bins for the ECE report")
+    p_cal.add_argument("-o", "--out", default=None, metavar="JSON",
+                       help="write the deployable calibration file")
+    p_cal.add_argument("--batch-size", type=int, default=32)
+
     p_all = sub.add_parser("all", help="gsc + audioset with one model load")
     p_all.add_argument("experiment_path")
     p_all.add_argument("--eval-data",
@@ -127,7 +145,7 @@ def main(argv=None):
                        default="datasets/audioset/data/labels/eval.csv")
     p_all.add_argument("--batch-size", type=int, default=32)
 
-    for sp in (p_as, p_gsc, p_all):
+    for sp in (p_as, p_gsc, p_all, p_cal):
         sp.add_argument("--fast", action="store_true",
                         help="serving-grade speed: 3-pass bf16 DFT + tfb "
                         "layout on TPU (<=3e-4 prob drift); omit for "
@@ -163,6 +181,15 @@ def main(argv=None):
         results = ev.audioset(audioset_eval_data=args.audioset_eval_data,
                               label_csv=args.label_csv)
         print({k: v for k, v in results.items() if not hasattr(v, "shape")})
+    elif args.command == "calibrate":
+        results = ev.calibrate(eval_data=args.eval_data,
+                               num_classes=args.num_classes,
+                               per_class=args.per_class, n_bins=args.bins,
+                               out=args.out)
+        print(results)
+        if args.out:
+            print(f"  calibration -> {args.out} (serve with "
+                  f"uit-serve --calibration {args.out})")
     elif args.command == "gsc":
         results = ev.gsc(eval_data=args.eval_data, threshold=args.threshold,
                          pad=args.pad, sweep=args.sweep)

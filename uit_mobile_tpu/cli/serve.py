@@ -60,6 +60,11 @@ def main(argv=None):
     parser.add_argument("--stream-sessions", type=int, default=32,
                         help="slot count for the --http /stream session "
                         "API (fixed compiled batch dim)")
+    parser.add_argument("--calibration", default=None, metavar="JSON",
+                        help="temperature-scaling file from `uit-evaluate "
+                        "calibrate -o` — /tag probabilities are "
+                        "calibrated host-side (composes with every "
+                        "serving mode)")
     args = parser.parse_args(argv)
 
     from ..serve import ServiceConfig, TaggingService
@@ -70,6 +75,7 @@ def main(argv=None):
             args.artifact,
             ServiceConfig(batch_size=args.batch_size,
                           warmup=not args.no_warmup, dtype=args.dtype),
+            calibration=args.calibration,
         )
         cfg = None
         # prefer the label map sealed into the artifact at export time
@@ -87,6 +93,7 @@ def main(argv=None):
                           data_parallel=args.data_parallel,
                           top_db_mode=args.top_db_mode, dtype=args.dtype,
                           scan_batches=args.scan_batches),
+            calibration=args.calibration,
         )
         model_name = args.model
     print("ready", file=sys.stderr, flush=True)

@@ -293,6 +293,48 @@ class Evaluator:
         self._write_report("Audioset", results, label_csv)
         return results
 
+    def calibrate(self, experiment_path: Optional[str] = None,
+                  eval_data: str = "datasets/audioset/data/labels/eval.csv",
+                  num_classes: int = 537, per_class: bool = False,
+                  n_bins: int = 15, out=None):
+        """Fit temperature scaling on a held-out manifest and report the
+        calibration improvement (evaluate.calibration; beyond the
+        reference, which ships raw sigmoid outputs).
+
+        One inference epoch total. ``per_class=True`` fits a (C,) vector
+        (classes without positives keep T=1); ``out`` writes the
+        deployable calibration JSON consumed by ``uit-serve
+        --calibration`` / ``load_calibration``."""
+        from .calibration import (
+            apply_temperature, ece, fit_temperature, save_calibration,
+        )
+
+        self._setup(experiment_path)
+        df = read_tsv_data(eval_data)
+        preds, targets = self._run_epoch(df, num_classes=num_classes)
+        T = fit_temperature(preds, targets, per_class=per_class)
+        cal = apply_temperature(preds, T)
+        before = compute_metrics(["BCELoss"], preds, targets)["BCELoss"]
+        after = compute_metrics(["BCELoss"], cal, targets)["BCELoss"]
+        results = {
+            "temperature": (float(T) if np.ndim(T) == 0
+                            else {i: float(t) for i, t in enumerate(T)
+                                  if t != 1.0}),
+            "ECE_before": ece(preds, targets, n_bins=n_bins),
+            "ECE_after": ece(cal, targets, n_bins=n_bins),
+            "BCE_before": before,
+            "BCE_after": after,
+            "n_clips": int(preds.shape[0]),
+        }
+        if out is not None:
+            save_calibration(out, T, meta={
+                "eval_data": str(eval_data), "n_clips": int(preds.shape[0]),
+                "per_class": bool(per_class),
+                "ece_before": results["ECE_before"],
+                "ece_after": results["ECE_after"],
+            })
+        return results
+
     def gsc(self, experiment_path: Optional[str] = None,
             eval_data: str = "datasets/gsc/data/labels/test_gsc_aslabels.tsv",
             threshold: float = 0.2, pad: bool = False, detailed: bool = False,

@@ -130,7 +130,16 @@ ALL_EVAL_METRICS: Dict[str, Callable[[np.ndarray, np.ndarray], float | np.ndarra
     "Micro_F1": lambda p, t: float(f1_score(t, _binarize(p), average="micro", zero_division=0)),
     "BCELoss": bce,
     "ErrorRate": error_rate,
+    # beyond the reference registry: expected calibration error over all
+    # (clip, class) sigmoid cells (evaluate.calibration — 15 bins)
+    "ECE": lambda p, t: _ece(p, t),
 }
+
+
+def _ece(p, t):
+    from .calibration import ece
+
+    return ece(p, t)
 
 
 def compute_metrics(names: List[str], y_pred: np.ndarray, y_true: np.ndarray):

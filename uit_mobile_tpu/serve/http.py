@@ -358,6 +358,8 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
                     "batch_size": service.cfg.batch_size,
                     "weights_version": getattr(service, "weights_version",
                                                None),
+                    "calibrated": getattr(service, "calibration",
+                                          None) is not None,
                     **stats.snapshot(),
                 })
             elif path == "/metrics":

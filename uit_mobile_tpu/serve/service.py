@@ -31,6 +31,7 @@ use bucket_seconds=1 inputs of exactly 1 s.
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 from concurrent.futures import Future
@@ -82,13 +83,30 @@ class TaggingService:
     """Batched async tagging: submit((T,) float32 wav) -> Future[(C,) probs]."""
 
     def __init__(self, model_cfg, params, state, config: ServiceConfig = ServiceConfig(),
-                 _start_worker: bool = True, _forward_fn=None,
-                 _fixed_samples: Optional[int] = None):
+                 calibration=None, _start_worker: bool = True,
+                 _forward_fn=None, _fixed_samples: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
         assert config.dtype in ("float32", "int16"), config.dtype
         self.cfg = config
+        # post-hoc temperature scaling (evaluate.calibration): scalar, a
+        # (C,) per-class vector, or a calibration-JSON path. Applied
+        # host-side in the completer on the tiny (B, C) prob block — the
+        # device program is untouched, so it composes with every serving
+        # mode (pallas/artifact/DP/scan) and survives hot reloads (the
+        # calibration belongs to the deployment, not the weight version).
+        self.calibration = None
+        if calibration is not None:
+            import numbers
+
+            from ..evaluate.calibration import load_calibration
+
+            if isinstance(calibration, (str, os.PathLike)):
+                calibration = load_calibration(calibration)
+            self.calibration = (float(calibration)
+                                if isinstance(calibration, numbers.Real)
+                                else np.asarray(calibration, np.float64))
         self._np_dtype = np.int16 if config.dtype == "int16" else np.float32
         self._jnp = jnp
         n_dev = len(jax.devices())
@@ -134,7 +152,8 @@ class TaggingService:
             self._start()
 
     @classmethod
-    def from_artifact(cls, path, config: ServiceConfig = ServiceConfig()):
+    def from_artifact(cls, path, config: ServiceConfig = ServiceConfig(),
+                      calibration=None):
         """Serve a ``.uitx`` StableHLO artifact (ckpt/artifact.py): the
         deployable unit needs NO model code, params, or config — the
         exported program is the whole model.
@@ -179,7 +198,7 @@ class TaggingService:
                              "serving (the artifact is the whole program)")
         config = dataclasses.replace(
             config, max_seconds=n_samples // sr, use_pallas=False)
-        service = cls(None, None, None, config,
+        service = cls(None, None, None, config, calibration=calibration,
                       _forward_fn=fn, _fixed_samples=n_samples)
         service.artifact_meta = meta
         return service
@@ -485,6 +504,10 @@ class TaggingService:
                 # scanned dispatches deliver (K, bs, C); flatten so the
                 # chunk's j-th request reads row j either way
                 probs = probs.reshape(-1, probs.shape[-1])
+                if self.calibration is not None:
+                    from ..evaluate.calibration import apply_temperature
+
+                    probs = apply_temperature(probs, self.calibration)
                 for j, (_, fut) in enumerate(chunk):
                     if not fut.done():
                         fut.set_result(probs[j])
