@@ -15,6 +15,10 @@ the other BASELINE claims with measurements:
   train_clips_per_s      fused PSL train step (B=512, device-resident)
   serve_mfu / train_mfu  model-FLOP utilization vs the chip's bf16 peak
                          (utils/flops.py hand model, documented there)
+  p50_batch_ms           blocking wall p50 per B=2048 batch (incl. RTT)
+  b1_p50_ms / b1_p99_ms  single-clip (B=1) end-to-end blocking latency —
+                         the BASELINE "fused mel+encoder p50 latency"
+                         metric (relay RTT included: an upper bound)
   cpu_clips_per_s        THIS framework's XLA-CPU forward on this host
   ref_torch_cpu_clips_per_s  the REFERENCE's torch uit_xs on this host's
                          CPU, mel precomputed (generous to the reference:
@@ -369,6 +373,27 @@ def main():
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50))
 
+    # single-clip (B=1) blocking latency: the BASELINE.json "fused
+    # mel+encoder p50 latency" metric, measured end-to-end (one wav in,
+    # probs out, block_until_ready). Through this remote relay the wall
+    # number is dominated by tunnel RTT, not device time (PERF_NOTES:
+    # sub-10 ms dispatches are not device-resolvable here), so it is an
+    # honest SERVICE latency, an upper bound on on-chip latency. Two
+    # alternating buffers defeat the relay's identical-dispatch dedup.
+    b1_p50_ms = b1_p99_ms = None
+    try:
+        b1 = [jnp.asarray(p[:1]) for p in pcm]
+        fwd_fast(b1[0]).block_until_ready()  # compile the B=1 program
+        b1_times = []
+        for i in range(50):
+            t0 = time.perf_counter()
+            fwd_fast(b1[i % 2]).block_until_ready()
+            b1_times.append(time.perf_counter() - t0)
+        b1_p50_ms = float(np.percentile(b1_times, 50)) * 1e3
+        b1_p99_ms = float(np.percentile(b1_times, 99)) * 1e3
+    except Exception as e:  # never let the latency probe sink the headline
+        print(f"# B=1 latency probe unavailable: {e}", file=sys.stderr)
+
     print(
         f"# B={B} K={K} scanned={clips_per_s:.0f} "
         f"per-batch={per_batch_clips_per_s:.0f} "
@@ -378,7 +403,9 @@ def main():
         f"({train['train_step_ms']} ms/step); cpu={cpu_clips_per_s} "
         f"ref-torch-cpu={ref_torch_cpu and round(ref_torch_cpu, 1)}; "
         f"serve_mfu={serve_mfu} train_mfu={train_mfu}; "
-        f"blocking p50={p50 * 1e3:.2f} ms/batch",
+        f"blocking p50={p50 * 1e3:.2f} ms/batch; "
+        f"B=1 p50={b1_p50_ms and round(b1_p50_ms, 2)} ms "
+        f"p99={b1_p99_ms and round(b1_p99_ms, 2)} ms",
         file=sys.stderr,
     )
 
@@ -392,6 +419,13 @@ def main():
         "per_batch_clips_per_s": round(per_batch_clips_per_s, 1),
         "scan_batches": K,
     }
+    record["p50_batch_ms"] = round(p50 * 1e3, 2)
+    if b1_p50_ms is not None:
+        # end-to-end single-clip latency through the serving forward
+        # (includes dispatch/relay RTT — an upper bound on device latency;
+        # the reference's published mobile proxy is 3.4 ms on SD865)
+        record["b1_p50_ms"] = round(b1_p50_ms, 2)
+        record["b1_p99_ms"] = round(b1_p99_ms, 2)
     if f32_clips_per_s is not None:
         record["f32_clips_per_s"] = round(f32_clips_per_s, 1)
     if exact_clips_per_s is not None:
