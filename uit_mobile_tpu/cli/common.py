@@ -172,7 +172,30 @@ def resolve_model(spec: str, return_extra: bool = False, **cfg_overrides):
     trainer-produced checkpoints and reference trainer dumps; empty for raw
     state_dicts). Evaluation uses it for config-driven behavior like the
     ``basename`` manifest flag (reference evaluate.py:200-201).
+
+    A comma-joined spec (``a.npz,b.npz,...``) resolves an ENSEMBLE:
+    params/state come back as equal-length lists (configs must match
+    exactly), which ops.pipeline.make_forward_fn turns into a single
+    vmapped program averaging the member probabilities — accepted by
+    every surface that builds forwards through the pipeline policy:
+    tagging service, streaming sessions, framewise /events, evaluation,
+    export, and the inference CLI.
     """
+    if "," in spec:
+        parts = [s.strip() for s in spec.split(",") if s.strip()]
+        if len(parts) < 2:
+            raise ValueError(f"ensemble spec needs >=2 checkpoints: {spec!r}")
+        resolved = [_resolve_model(s, **cfg_overrides) for s in parts]
+        cfg0 = resolved[0][0]
+        for part, (c, _, _, _) in zip(parts[1:], resolved[1:]):
+            if c != cfg0:
+                raise ValueError(
+                    f"ensemble members must share one model config: "
+                    f"{parts[0]!r} vs {part!r} differ ({cfg0} != {c})"
+                )
+        out = (cfg0, [r[1] for r in resolved], [r[2] for r in resolved],
+               {**(resolved[0][3] or {}), "ensemble": len(parts)})
+        return out if return_extra else out[:3]
     out = _resolve_model(spec, **cfg_overrides)
     return out if return_extra else out[:3]
 

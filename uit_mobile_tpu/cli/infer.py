@@ -32,7 +32,16 @@ def run_inference(cfg, params, state, wavs: list[np.ndarray], batched: bool = Fa
     import jax
     import jax.numpy as jnp
 
-    fwd = jax.jit(lambda w: models.apply(cfg, params, state, w))
+    if isinstance(params, list):
+        # checkpoint ensemble (comma spec): mean member probs via the
+        # pipeline's vmapped program; XLA frontend + bft layout keep the
+        # single-checkpoint path's exact semantics
+        from ..ops.pipeline import make_forward_fn
+
+        fwd = jax.jit(make_forward_fn(cfg, params, state, use_pallas=False,
+                                      precision="exact", btf=False))
+    else:
+        fwd = jax.jit(lambda w: models.apply(cfg, params, state, w))
     if batched and len(wavs) > 1:
         max_len = max(w.shape[-1] for w in wavs)
         batch = np.zeros((len(wavs), max_len), dtype=np.float32)
@@ -102,9 +111,26 @@ def main(argv=None):
 
         for wavpath, wave in zip(args.input_wav, wavs):
             print(f"===== {str(wavpath):^20} =====")
-            probs, times = models.apply_framewise(
-                cfg, params, state, jnp.asarray(wave[None, :])
-            )
+            if isinstance(params, list):
+                # ensemble: mean member probs; times are config-determined
+                # and identical across members (same cfg enforced by
+                # resolve_model), so member 0 supplies them
+                import jax
+
+                member = jax.vmap(
+                    lambda p, s, w: models.apply_framewise(cfg, p, s, w)[0],
+                    in_axes=(0, 0, None),
+                )
+                sp = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+                ss = jax.tree.map(lambda *xs: jnp.stack(xs), *state)
+                probs = member(sp, ss, jnp.asarray(wave[None, :])).mean(0)
+                _, times = models.apply_framewise(
+                    cfg, params[0], state[0], jnp.asarray(wave[None, :])
+                )
+            else:
+                probs, times = models.apply_framewise(
+                    cfg, params, state, jnp.asarray(wave[None, :])
+                )
             probs = np.asarray(probs)[0]
             if args.events:
                 from ..evaluate import extract_events

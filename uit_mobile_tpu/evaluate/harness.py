@@ -492,10 +492,27 @@ class Evaluator:
             _dc.replace(cfg.frontend, top_db_mode="per_sample"),
             use_pallas=(jax.devices()[0].platform == "tpu"),
         )
-        fwd = jax.jit(
-            lambda w: models.apply_framewise(cfg, params, state, w,
-                                             frontend_fn=fe)[0]
-        )
+        if isinstance(params, list):
+            # checkpoint ensemble (comma spec): mean member probs via one
+            # vmapped program (same recipe as ops.pipeline.make_forward_fn;
+            # segment times are config-determined, member 0 serves the
+            # conv-family times branch below)
+            import jax.numpy as _jnp
+
+            _member = jax.vmap(
+                lambda p, s, w: models.apply_framewise(cfg, p, s, w,
+                                                       frontend_fn=fe)[0],
+                in_axes=(0, 0, None),
+            )
+            _sp = jax.tree.map(lambda *xs: _jnp.stack(xs), *params)
+            _ss = jax.tree.map(lambda *xs: _jnp.stack(xs), *state)
+            fwd = jax.jit(lambda w: _jnp.mean(_member(_sp, _ss, w), axis=0))
+            params, state = params[0], state[0]
+        else:
+            fwd = jax.jit(
+                lambda w: models.apply_framewise(cfg, params, state, w,
+                                                 frontend_fn=fe)[0]
+            )
         times_cache: dict = {}
 
         def times_for(pad_to):

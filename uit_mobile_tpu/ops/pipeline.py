@@ -46,6 +46,19 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
     selects 'tfb' (frames, mels, batch) — the framing gather's native
     orientation, which also removes the 0.69 ms/batch frames relayout
     (PERF_NOTES). Only ever engages under pallas on a UiT config.
+
+    Ensembles: pass ``params``/``state`` as equal-length LISTS of
+    checkpoints sharing this config -> fn(wav) returns the MEAN of the
+    member probabilities, computed in ONE XLA program: the member
+    pytrees are stacked on a leading model axis and the forward is
+    vmapped over it with the wav batch broadcast, so the frontend runs
+    once (unbatched under vmap) and every encoder matmul gains a free
+    leading dim instead of N separate dispatches. Probability-space
+    averaging is the complement of the reference's weight-space
+    averaging (utils.py:335-369, also shipped in ckpt.io) — it works
+    across independently-trained runs where weight averaging does not.
+    Composes with the scanned/DP/export wrappers (they all wrap
+    fn(wav)).
     """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
@@ -67,8 +80,29 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
         fe_cfg, use_pallas=use_pallas, precision=precision, layout=layout,
     )
 
-    def fn(wav):
-        return models.apply(run_cfg, params, state, wav, frontend_fn=frontend)
+    if isinstance(params, (list, tuple)):
+        if not (isinstance(state, (list, tuple))
+                and len(state) == len(params) and len(params) >= 1):
+            raise ValueError(
+                f"ensemble forward needs equal-length params/state lists, "
+                f"got {len(params)} params vs "
+                f"{len(state) if isinstance(state, (list, tuple)) else type(state)}"
+            )
+        # stack eagerly (host, once) — tiny models, N copies are cheap
+        params = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+        state = jax.tree.map(lambda *xs: jnp.stack(xs), *state)
+        member = jax.vmap(
+            lambda p, s, wav: models.apply(run_cfg, p, s, wav,
+                                           frontend_fn=frontend),
+            in_axes=(0, 0, None),
+        )
+
+        def fn(wav):
+            return jnp.mean(member(params, state, wav), axis=0)
+    else:
+        def fn(wav):
+            return models.apply(run_cfg, params, state, wav,
+                                frontend_fn=frontend)
 
     # consumed by parallel/mesh.data_parallel_forward: Mosaic kernels need
     # the shard_map (manual) route, which it selects from this flag, and

@@ -105,11 +105,23 @@ def make_framewise_fn(model_cfg, params, state, *, max_seconds: int = 10,
             dataclasses.replace(model_cfg.frontend, top_db_mode="per_sample"),
             use_pallas=use_pallas,
         )
-        fwd = jax.jit(lambda w: models.apply_framewise(
-            model_cfg, params, state, w, frontend_fn=fe)[0])
+        one = lambda p, s, w: models.apply_framewise(  # noqa: E731
+            model_cfg, p, s, w, frontend_fn=fe)[0]
     else:
-        fwd = jax.jit(lambda w: models.apply_framewise(
-            model_cfg, params, state, w)[0])
+        one = lambda p, s, w: models.apply_framewise(  # noqa: E731
+            model_cfg, p, s, w)[0]
+    if isinstance(params, (list, tuple)):
+        # checkpoint ensemble (cli.common.resolve_model comma spec): mean
+        # member probs in ONE vmapped program — same recipe as
+        # ops.pipeline.make_forward_fn; segment times are identical
+        # across members (same config), so member 0 serves them below
+        sp = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+        ss = jax.tree.map(lambda *xs: jnp.stack(xs), *state)
+        member = jax.vmap(one, in_axes=(0, 0, None))
+        fwd = jax.jit(lambda w: jnp.mean(member(sp, ss, w), axis=0))
+        params, state = params[0], state[0]  # times_for's conv branch
+    else:
+        fwd = jax.jit(lambda w: one(params, state, w))
     sr = model_cfg.frontend.sample_rate
     times_cache: dict = {}
     lock = threading.Lock()
