@@ -40,6 +40,13 @@ def main(argv=None):
     p_gsc.add_argument("--sweep", action="store_true",
                        help="print the accuracy/FAR/FRR operating curve "
                        "across thresholds, not just the single 0.2 point")
+    p_gsc.add_argument("--tie-mode", default="first",
+                       choices=["first", "reference"],
+                       help="exact-float-tie handling among AudioSet "
+                       "maxima: 'first' keeps only the first argmax; "
+                       "'reference' reproduces the reference's "
+                       "keep-all-ties equality mask (evaluate.py:217-219) "
+                       "bit-for-bit")
 
     p_ts = sub.add_parser("test_sample")
     p_ts.add_argument("experiment_path")
@@ -126,7 +133,8 @@ def main(argv=None):
     p_cal.add_argument("experiment_path")
     p_cal.add_argument("--eval-data",
                        default="datasets/audioset/data/labels/eval.csv")
-    p_cal.add_argument("--num-classes", type=int, default=537)
+    p_cal.add_argument("--num-classes", type=int, default=None,
+                       help="default: the checkpoint's own head width")
     p_cal.add_argument("--per-class", action="store_true",
                        help="fit one temperature per class (classes "
                        "without positives keep T=1) instead of a single "
@@ -164,6 +172,11 @@ def main(argv=None):
                         "into one scanned dispatch (throughput on "
                         "fixed-length sets; f32-epsilon vs per-batch — "
                         "keep 1 for bit-parity gates)")
+    for sp in (p_as, p_gsc, p_all, p_cal, p_strong, p_ts):
+        sp.add_argument("--dispatch-depth", type=int, default=4,
+                        help="max in-flight async eval programs (bitwise-"
+                        "identical results at any depth; 4 is the "
+                        "measured relay optimum, 1 = synchronous)")
 
     args = parser.parse_args(argv)
     ev = Evaluator(args.experiment_path,
@@ -172,7 +185,8 @@ def main(argv=None):
                    data_parallel=getattr(args, "data_parallel", False),
                    bucket_seconds=getattr(args, "bucket_seconds", None),
                    dtype=getattr(args, "dtype", "float32"),
-                   scan_batches=getattr(args, "scan", 1))
+                   scan_batches=getattr(args, "scan", 1),
+                   dispatch_depth=getattr(args, "dispatch_depth", 4))
     if args.command == "all":
         print(ev.gsc(eval_data=args.eval_data))
         results = ev.audioset(audioset_eval_data=args.audioset_eval_data)
@@ -192,7 +206,8 @@ def main(argv=None):
                   f"uit-serve --calibration {args.out})")
     elif args.command == "gsc":
         results = ev.gsc(eval_data=args.eval_data, threshold=args.threshold,
-                         pad=args.pad, sweep=args.sweep)
+                         pad=args.pad, sweep=args.sweep,
+                         tie_mode=args.tie_mode)
         print({k: v for k, v in results.items() if not k.startswith("_")})
     elif args.command == "strong":
         strong_threshold = args.threshold

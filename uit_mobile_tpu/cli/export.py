@@ -29,11 +29,17 @@ def _export_torch(args):
     import numpy as np
     import torch
 
-    from ..ckpt.io import load_checkpoint
     from ..ckpt.torch_convert import uit_torch_state_dict_from_params
+    from .common import resolve_model
 
-    params, state, cfg, _ = load_checkpoint(args.checkpoint)
-    assert cfg is not None, "checkpoint has no embedded config"
+    cfg, params, state = resolve_model(args.checkpoint)
+    if isinstance(params, list):
+        raise SystemExit(
+            "torch export needs ONE weight set — a comma ensemble spec has "
+            "no single state_dict. Average the members first "
+            "(uit-average a.npz b.npz -o avg.npz) or export --stablehlo "
+            "(the artifact bakes the vmapped ensemble program in)."
+        )
     sd = uit_torch_state_dict_from_params(params, state, cfg)
     torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
                Path(args.output))
@@ -45,11 +51,14 @@ def _export_stablehlo(args):
     import numpy as np
 
     from ..ckpt.artifact import export_serving, load_artifact, save_artifact
-    from ..ckpt.io import load_checkpoint
-    from .common import load_label_map
+    from .common import load_label_map, resolve_model
 
-    params, state, cfg, _ = load_checkpoint(args.checkpoint)
-    assert cfg is not None, "checkpoint has no embedded config"
+    # resolve_model (not a bare load_checkpoint) so every spec form works:
+    # pretrained names, experiment dirs, torch dumps, and the comma
+    # ensemble spec — export_serving builds through make_forward_fn, which
+    # turns member lists into one vmapped prob-averaging program, so an
+    # ensemble artifact is a single sealed .uitx like any other
+    cfg, params, state = resolve_model(args.checkpoint)
     platforms = tuple(p for p in args.platforms.split(",") if p)
     if args.pallas:
         platforms = ("tpu",)

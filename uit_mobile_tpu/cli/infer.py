@@ -114,7 +114,9 @@ def main(argv=None):
             if isinstance(params, list):
                 # ensemble: mean member probs; times are config-determined
                 # and identical across members (same cfg enforced by
-                # resolve_model), so member 0 supplies them
+                # resolve_model) — computed host-side (framewise_times,
+                # the harness.times_for pattern), NOT via an extra
+                # member-0 forward (N forwards per clip, not N+1)
                 import jax
 
                 member = jax.vmap(
@@ -124,9 +126,13 @@ def main(argv=None):
                 sp = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
                 ss = jax.tree.map(lambda *xs: jnp.stack(xs), *state)
                 probs = member(sp, ss, jnp.asarray(wave[None, :])).mean(0)
-                _, times = models.apply_framewise(
-                    cfg, params[0], state[0], jnp.asarray(wave[None, :])
-                )
+                if isinstance(cfg, models.UITConfig):
+                    times = models.uit.framewise_times(
+                        cfg, cfg.frontend.num_frames(wave.shape[0]))
+                else:  # conv families: segment count depends on the stack
+                    _, times = models.apply_framewise(
+                        cfg, params[0], state[0],
+                        jnp.asarray(wave[None, :]))
             else:
                 probs, times = models.apply_framewise(
                     cfg, params, state, jnp.asarray(wave[None, :])

@@ -62,9 +62,10 @@ def main(argv=None):
                         "API (fixed compiled batch dim)")
     parser.add_argument("--calibration", default=None, metavar="JSON",
                         help="temperature-scaling file from `uit-evaluate "
-                        "calibrate -o` — /tag probabilities are "
-                        "calibrated host-side (composes with every "
-                        "serving mode)")
+                        "calibrate -o` — probabilities on EVERY surface "
+                        "(/tag, /events, /stream/*) are calibrated "
+                        "host-side before thresholds apply (composes "
+                        "with every serving mode)")
     args = parser.parse_args(argv)
 
     from ..serve import ServiceConfig, TaggingService
@@ -115,7 +116,8 @@ def main(argv=None):
                 framewise_fn = None
             # real-time session streaming (/stream/*)
             stream_sessions = StreamSessions(
-                cfg, params, state, max_sessions=args.stream_sessions)
+                cfg, params, state, max_sessions=args.stream_sessions,
+                calibration=args.calibration)
 
             def reload_fn(has_events=framewise_fn is not None):
                 """POST /reload: re-read the checkpoint this server was

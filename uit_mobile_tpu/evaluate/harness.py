@@ -43,7 +43,8 @@ class Evaluator:
                  report_dir: Optional[str] = None,
                  bucket_seconds: Optional[float] = None,
                  fast: bool = False, data_parallel: bool = False,
-                 dtype: str = "float32", scan_batches: int = 1):
+                 dtype: str = "float32", scan_batches: int = 1,
+                 dispatch_depth: int = 4):
         """bucket_seconds: when set, every batch right-pads up to the next
         multiple of this many seconds — the whole eval runs on a handful of
         compiled shapes instead of one per distinct batch-max length.
@@ -70,7 +71,14 @@ class Evaluator:
         surrounding ops differently, so probabilities match the
         per-batch path to f32 epsilon (~1e-7), not bitwise — leave at 1
         for bit-parity gates. Ignored under data_parallel (the DP
-        forward already amortizes across devices)."""
+        forward already amortizes across devices).
+        dispatch_depth: max in-flight async eval programs before the
+        oldest result is materialized (_run_epoch's bounded window).
+        Results are BITWISE identical at any depth — the knob only moves
+        the sync point. Default 4 is the measured optimum through the
+        axon relay (tools/probe_eval_async.py: depth 1 +47%, 4 +48%,
+        8 -32% relay stall vs sync); hosts with a local PCIe link can
+        raise it. 1 = effectively synchronous dispatch."""
         self._resolved = None
         self._run_config: dict = {}
         self._model_spec = model_spec
@@ -86,6 +94,8 @@ class Evaluator:
         self.dtype = dtype
         assert scan_batches >= 1, scan_batches
         self.scan_batches = scan_batches
+        assert dispatch_depth >= 1, dispatch_depth
+        self._dispatch_depth = dispatch_depth
 
     # ------------------------------------------------------------------ setup
 
@@ -224,7 +234,7 @@ class Evaluator:
         # Depth stays small — queues deeper than ~8 can stall the relay
         # (PERF_NOTES measurement caveats); results are bit-identical to
         # synchronous dispatch (same programs, later blocking).
-        depth = max(1, int(getattr(self, "_dispatch_depth", 4)))
+        depth = max(1, int(self._dispatch_depth))
         inflight: list = []  # indices into preds still on device
 
         def push(dev_pred):
@@ -295,7 +305,7 @@ class Evaluator:
 
     def calibrate(self, experiment_path: Optional[str] = None,
                   eval_data: str = "datasets/audioset/data/labels/eval.csv",
-                  num_classes: int = 537, per_class: bool = False,
+                  num_classes: Optional[int] = None, per_class: bool = False,
                   n_bins: int = 15, out=None):
         """Fit temperature scaling on a held-out manifest and report the
         calibration improvement (evaluate.calibration; beyond the
@@ -304,12 +314,16 @@ class Evaluator:
         One inference epoch total. ``per_class=True`` fits a (C,) vector
         (classes without positives keep T=1); ``out`` writes the
         deployable calibration JSON consumed by ``uit-serve
-        --calibration`` / ``load_calibration``."""
+        --calibration`` / ``load_calibration``. ``num_classes`` defaults
+        to the checkpoint's own head width (like gsc/strong do) so
+        custom-head checkpoints calibrate without an explicit flag."""
         from .calibration import (
             apply_temperature, ece, fit_temperature, save_calibration,
         )
 
         self._setup(experiment_path)
+        if num_classes is None:
+            num_classes = getattr(self._resolved[0], "outputdim", 537)
         df = read_tsv_data(eval_data)
         preds, targets = self._run_epoch(df, num_classes=num_classes)
         T = fit_temperature(preds, targets, per_class=per_class)
@@ -338,14 +352,15 @@ class Evaluator:
     def gsc(self, experiment_path: Optional[str] = None,
             eval_data: str = "datasets/gsc/data/labels/test_gsc_aslabels.tsv",
             threshold: float = 0.2, pad: bool = False, detailed: bool = False,
-            sweep: bool = False):
+            sweep: bool = False, tie_mode: str = "first"):
         return self._kws(experiment_path, eval_data, threshold=threshold,
                          label_name="GSC", pad=pad, detailed=detailed,
-                         sweep=sweep)
+                         sweep=sweep, tie_mode=tie_mode)
 
     def _kws(self, experiment_path, eval_data, threshold: float = 0.2,
              label_name: str = "GSC", pad: bool = False,
-             detailed: bool = False, sweep: bool = False):
+             detailed: bool = False, sweep: bool = False,
+             tie_mode: str = "first"):
         self._setup(experiment_path)
         # the checkpoint's training config decides whether manifests index
         # by basename (reference evaluate.py:200-201: config.get('basename',
@@ -356,7 +371,8 @@ class Evaluator:
         num_classes = getattr(self._resolved[0], "outputdim", 537)
         preds, targets = self._run_epoch(df, num_classes=num_classes,
                                          pad_to_target=pad)
-        acc = gsc_accuracy(preds, targets, threshold=threshold)
+        acc = gsc_accuracy(preds, targets, threshold=threshold,
+                           tie_mode=tie_mode)
         results = {f"Accuracy@{threshold}": acc}
         if sweep:
             from .metrics import kws_threshold_sweep

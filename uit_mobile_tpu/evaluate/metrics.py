@@ -188,36 +188,54 @@ def kws_operating_metrics(y_pred: np.ndarray, y_true_multihot: np.ndarray,
 
 
 def gsc_accuracy(y_pred: np.ndarray, y_true_multihot: np.ndarray,
-                 threshold: float = 0.2, n_audioset: int = 527) -> float:
-    """The GSC keyword-spotting accuracy protocol — a faithful, vectorized
+                 threshold: float = 0.2, n_audioset: int = 527,
+                 tie_mode: str = "first") -> float:
+    """The GSC keyword-spotting accuracy protocol — a vectorized
     re-statement of the reference's decision rule (evaluate.py:212-229):
 
-    1. Among the AudioSet classes keep only the per-sample argmax score,
+    1. Among the AudioSet classes keep only the per-sample maximum score,
        zero the rest ("filler" collapses to its best class).
     2. The ground-truth label is the argmax of the multihot target; if it
        is an AudioSet index (<527, i.e. a non-keyword "filler" word), the
        target is REWRITTEN to the predicted AudioSet argmax — any AudioSet
        prediction counts as correct filler rejection.
-    3. If any keyword score >= threshold, the surviving AudioSet score is
-       zeroed (keywords take precedence at the operating point).
+    3. If any keyword score >= threshold, the surviving AudioSet argmax
+       score is zeroed (keywords take precedence at the operating point).
     4. Prediction = argmax over the masked vector; accuracy vs the
        (possibly rewritten) targets.
+
+    Tie handling — the ONE knowing divergence from the reference:
+    ``tie_mode='first'`` (default) keeps only the FIRST argmax among
+    exact-float-tied AudioSet maxima, so a firing keyword always wins
+    step 3. The reference's equality mask (evaluate.py:217-219) keeps
+    ALL tied columns but step 3 zeros only the first (its
+    ``max_filer_score_idx``), so on an exact tie with a keyword fired the
+    reference can still pick the SECOND tied AudioSet column where this
+    default picks the keyword. The divergence needs bit-equal sigmoid
+    outputs in two of 527 columns — unobserved on real models — but
+    ``tie_mode='reference'`` reproduces the reference's mask bit-for-bit
+    if the 97.76 parity gate ever lands on such a tie.
 
     This quirky protocol is behaviorally load-bearing: GSC Accuracy@0.2 =
     97.76 for uit_xs is a BASELINE parity gate.
     """
+    assert tie_mode in ("first", "reference"), tie_mode
     y_pred = np.asarray(y_pred, dtype=np.float32).copy()
     y = np.asarray(y_true_multihot).argmax(-1)
 
     as_scores = y_pred[:, :n_audioset]
     as_argmax = as_scores.argmax(-1)
-    # keep exactly ONE surviving AudioSet column — the argmax (first of any
-    # exact-float ties), matching the reference's scatter-into-zeros
-    # (evaluate.py:217-219); a value-equality mask would keep all tied
-    # maxima and could flip the final argmax on a pathological tie
-    masked_as = np.zeros_like(as_scores)
     rows = np.arange(len(as_scores))
-    masked_as[rows, as_argmax] = as_scores[rows, as_argmax]
+    if tie_mode == "reference":
+        # the reference's equality mask: every column bit-equal to the row
+        # max survives (evaluate.py:214-219)
+        masked_as = np.where(
+            as_scores == as_scores.max(-1, keepdims=True), as_scores, 0.0
+        )
+    else:
+        # keep exactly ONE surviving AudioSet column — the first argmax
+        masked_as = np.zeros_like(as_scores)
+        masked_as[rows, as_argmax] = as_scores[rows, as_argmax]
     y_pred[:, :n_audioset] = masked_as
 
     filler = y < n_audioset

@@ -168,7 +168,8 @@ class StreamSessions:
     """
 
     def __init__(self, model_cfg, params, state, config=None,
-                 max_sessions: int = 32, idle_seconds: float = 600.0):
+                 max_sessions: int = 32, idle_seconds: float = 600.0,
+                 calibration=None):
         import time as _time
         import uuid as _uuid
 
@@ -184,9 +185,14 @@ class StreamSessions:
         self._time = _time
         self.config = config or StreamingConfig()
         self.max_sessions = max_sessions
+        # deployment-level temperature scaling, applied inside the tagger
+        # (before trigger thresholds / detectors) — survives reload(),
+        # matching TaggingService's calibration-outlives-weights contract
+        self._calibration = calibration
         self.tagger = MultiStreamTagger(model_cfg, params, state,
                                         n_streams=max_sessions,
-                                        config=self.config)
+                                        config=self.config,
+                                        calibration=calibration)
         self.idle_seconds = idle_seconds
         self._free = list(range(max_sessions - 1, -1, -1))
         self._sessions: dict = {}  # id -> {slot, detector, last_used}
@@ -204,7 +210,7 @@ class StreamSessions:
                 return False
             self.tagger = self._MultiStreamTagger(
                 model_cfg, params, state, n_streams=self.max_sessions,
-                config=self.config)
+                config=self.config, calibration=self._calibration)
             return True
 
     @property
@@ -615,6 +621,16 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
                 wav = normalize_pcm16(wav)
             duration = wav.shape[0] / sr
             probs, times = framewise["fn"](wav)
+            cal = getattr(service, "calibration", None)
+            if cal is not None:
+                # the service's deployment-level temperature scaling also
+                # covers temporal tagging: thresholds tuned on calibrated
+                # probs (eval sweep -> per_class deploy) stay comparable
+                # across /tag and /events (and reloads — the calibration
+                # outlives the framewise fn)
+                from ..evaluate.calibration import apply_temperature
+
+                probs = apply_temperature(probs, cal)
             try:
                 events = extract_events(times, probs, threshold=threshold,
                                         median_kernel=median,

@@ -96,6 +96,11 @@ class TaggingService:
         # device program is untouched, so it composes with every serving
         # mode (pallas/artifact/DP/scan) and survives hot reloads (the
         # calibration belongs to the deployment, not the weight version).
+        # Scope: this covers /tag; the HTTP layer applies the SAME
+        # calibration to /events (serve/http._events) and uit-serve
+        # passes it into StreamSessions for /stream/* (streaming._emit,
+        # before trigger thresholds) — every serving surface sees
+        # calibrated probabilities, as /healthz's `calibrated` implies.
         self.calibration = None
         if calibration is not None:
             import numbers

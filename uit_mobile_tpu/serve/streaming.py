@@ -54,7 +54,8 @@ class MultiStreamTagger:
     """S always-on streams -> batched fixed-shape scoring."""
 
     def __init__(self, model_cfg, params, state, n_streams: int = 1,
-                 config: StreamingConfig = StreamingConfig()):
+                 config: StreamingConfig = StreamingConfig(),
+                 calibration=None):
         import jax
         import jax.numpy as jnp
 
@@ -62,6 +63,25 @@ class MultiStreamTagger:
 
         self.cfg = config
         self.n_streams = n_streams
+        # deployment-level temperature scaling (evaluate.calibration):
+        # applied in _emit BEFORE keyword-trigger thresholds and before
+        # detectors see the probs, so thresholds tuned on calibrated
+        # outputs stay comparable across /tag, /events and streaming.
+        # Same host-side placement as TaggingService (tiny (S, C) block;
+        # device program untouched). Scalar, (C,) vector, or a
+        # calibration-JSON path.
+        self.calibration = None
+        if calibration is not None:
+            import numbers
+            import os
+
+            from ..evaluate.calibration import load_calibration
+
+            if isinstance(calibration, (str, os.PathLike)):
+                calibration = load_calibration(calibration)
+            self.calibration = (float(calibration)
+                                if isinstance(calibration, numbers.Real)
+                                else np.asarray(calibration, np.float64))
         self._jnp = jnp
         sr = config.sample_rate
         self._win = int(config.window_seconds * sr)
@@ -250,6 +270,10 @@ class MultiStreamTagger:
         """(k>=len(streams), outputdim) probs rows -> Events + triggers.
         Row i scores streams[i] (device-ring scoring passes all-stream
         probs, where streams == range(n_streams), so rows still align)."""
+        if self.calibration is not None:
+            from ..evaluate.calibration import apply_temperature
+
+            probs = apply_temperature(probs, self.calibration)
         events = []
         for i, s in enumerate(streams):
             t = self._filled[s] / self.cfg.sample_rate
@@ -269,8 +293,10 @@ class StreamingTagger(MultiStreamTagger):
     """Single-stream convenience wrapper."""
 
     def __init__(self, model_cfg, params, state,
-                 config: StreamingConfig = StreamingConfig()):
-        super().__init__(model_cfg, params, state, n_streams=1, config=config)
+                 config: StreamingConfig = StreamingConfig(),
+                 calibration=None):
+        super().__init__(model_cfg, params, state, n_streams=1,
+                         config=config, calibration=calibration)
 
     def feed_audio(self, chunk: np.ndarray) -> list[Event]:
         return self.feed(0, chunk)
