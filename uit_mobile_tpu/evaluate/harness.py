@@ -467,7 +467,11 @@ class Evaluator:
             per_class_thresholds,
             save_thresholds,
         )
-        from .metrics import segment_events_to_targets, segment_f1
+        from .metrics import (
+            segment_counts,
+            segment_events_to_targets,
+            segment_scores_from_counts,
+        )
 
         cfg, params, state = self._setup(experiment_path)
         df = read_tsv_data(
@@ -545,9 +549,6 @@ class Evaluator:
                     times_cache[pad_to] = np.asarray(t)
             return times_cache[pad_to]
 
-        all_p, all_t, pred_rows = [], [], []
-        clip_records = []  # (pad_to, probs, ref_events) for the sweep
-
         def mk_scorer(ct: bool = False):
             return EventScorer(t_collar=event_collar,
                                offset_collar_rate=offset_collar_rate,
@@ -557,6 +558,41 @@ class Evaluator:
         scorer = mk_scorer()
         if psds and sweep is None:
             sweep = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+        # Streaming accumulation — O(classes) state, NOT O(clips): every
+        # per-clip quantity (segment targets, sweep extractions) is folded
+        # into count vectors / per-threshold scorers inside flush(), so an
+        # AudioSet-strong-sized eval (~100k clips x 63 segs x 527 cls)
+        # never materializes the ~13 GB probability cache a
+        # collect-then-sweep design would need. Verified score-identical
+        # to the batch form (tests/test_sed.py + test_round4_fixes).
+        #   - (C,) int64 segment TP/FP/FN at the base threshold
+        #     (micro+macro via segment_scores_from_counts)
+        #   - micro [TP, FP, FN] scalars per sweep point
+        #   - one EventScorer per sweep point (+ the PSDS intersection
+        #     scorer when criterion differs)
+        seg_tp = np.zeros(num_classes, np.int64)
+        seg_fp = np.zeros(num_classes, np.int64)
+        seg_fn = np.zeros(num_classes, np.int64)
+        # cross-trigger counting is an O(preds x other-class refs) scan
+        # per clip — only pay for it when alpha_ct will use it
+        want_ct = isinstance(psds, dict) and bool(psds.get("alpha_ct"))
+        # PSDS is defined on the intersection (DTC/GTC) criterion; reuse
+        # the sweep scorer when it already is one
+        reuse = bool(psds) and criterion == "intersection"
+        sweep_ths = sorted(float(t) for t in sweep) if sweep is not None \
+            else []
+        sweep_sc: dict = {}
+        sweep_sc_int: dict = {}
+        sweep_seg: dict = {}
+        for th in sweep_ths:
+            sweep_sc[th] = mk_scorer(ct=reuse and want_ct)
+            sweep_sc_int[th] = sweep_sc[th] if reuse else (
+                EventScorer(criterion="intersection", dtc=dtc, gtc=gtc,
+                            cttc=cttc, count_cross_triggers=want_ct)
+                if psds else None
+            )
+            sweep_seg[th] = np.zeros(3, np.int64)
+        pred_rows: list = []
         total_samples = 0
 
         def flush(pad_to, items):
@@ -575,16 +611,31 @@ class Evaluator:
             probs = np.asarray(fwd(jnp.asarray(batch)))[: len(items)]
             times = times_for(pad_to)
             for p, (_, events, fname) in zip(probs, items):
-                all_p.append(p)
-                all_t.append(segment_events_to_targets(
-                    times, events, num_classes, min_overlap=min_overlap))
+                tgt = segment_events_to_targets(
+                    times, events, num_classes, min_overlap=min_overlap)
+                for acc, cnt in zip((seg_tp, seg_fp, seg_fn),
+                                    segment_counts(p, tgt,
+                                                   threshold=threshold)):
+                    acc += cnt
                 pred = extract_events(times, p, threshold=threshold,
                                       median_kernel=median_kernel,
                                       min_duration=min_duration,
                                       merge_gap=merge_gap)
                 scorer.add_clip(pred, events)
-                if sweep is not None:
-                    clip_records.append((pad_to, p, events))
+                # the sweep re-extracts HERE, while the clip's probs are
+                # live, then drops them — same total work as a
+                # collect-then-sweep pass, O(batch) memory
+                for th in sweep_ths:
+                    pred_th = extract_events(times, p, threshold=th,
+                                             median_kernel=median_kernel,
+                                             min_duration=min_duration,
+                                             merge_gap=merge_gap)
+                    sweep_sc[th].add_clip(pred_th, events)
+                    sc_int = sweep_sc_int[th]
+                    if sc_int is not None and sc_int is not sweep_sc[th]:
+                        sc_int.add_clip(pred_th, events)
+                    sweep_seg[th] += [c.sum() for c in
+                                      segment_counts(p, tgt, threshold=th)]
                 if dump_events is not None:
                     pred_rows.extend((fname, c, on, off) for c, on, off in pred)
 
@@ -601,36 +652,15 @@ class Evaluator:
                 flush(pad_to, pending.pop(pad_to))
         for pad_to, items in pending.items():
             flush(pad_to, items)
-        results = segment_f1(np.concatenate(all_p), np.concatenate(all_t),
-                             threshold=threshold)
+        results = segment_scores_from_counts(seg_tp, seg_fp, seg_fn)
         results.update(scorer.scores())
         if sweep is not None:
-            cat_p = np.concatenate(all_p)
-            cat_t = np.concatenate(all_t)
             curve = {}
             psds_points, ct_points, ref_dur = [], [], {}
             per_class_curves: dict = {}  # class -> {threshold: F1}
-            # cross-trigger counting is an O(preds x other-class refs)
-            # scan per clip — only pay for it when alpha_ct will use it
-            want_ct = isinstance(psds, dict) and bool(psds.get("alpha_ct"))
-            for th in sorted(float(t) for t in sweep):
-                # PSDS is defined on the intersection (DTC/GTC) criterion;
-                # reuse the sweep scorer when it already is one
-                reuse = bool(psds) and criterion == "intersection"
-                sc = mk_scorer(ct=reuse and want_ct)
-                sc_int = sc if reuse else (
-                    EventScorer(criterion="intersection", dtc=dtc, gtc=gtc,
-                                cttc=cttc, count_cross_triggers=want_ct)
-                    if psds else None
-                )
-                for pad_to, p, events in clip_records:
-                    pred = extract_events(times_for(pad_to), p, threshold=th,
-                                          median_kernel=median_kernel,
-                                          min_duration=min_duration,
-                                          merge_gap=merge_gap)
-                    sc.add_clip(pred, events)
-                    if sc_int is not None and sc_int is not sc:
-                        sc_int.add_clip(pred, events)
+            for th in sweep_ths:
+                sc = sweep_sc[th]
+                sc_int = sweep_sc_int[th]
                 if sc_int is not None:
                     cls = set(sc_int.tp) | set(sc_int.fp) | set(sc_int.fn)
                     psds_points.append({
@@ -645,8 +675,11 @@ class Evaluator:
                     per_class_curves.setdefault(c, {})[th] = f1
                 row = {k: v for k, v in scores.items()
                        if not k.startswith("_")}
-                row["Segment_Micro_F1"] = segment_f1(
-                    cat_p, cat_t, threshold=th)["Segment_Micro_F1"]
+                s_tp, s_fp, s_fn = sweep_seg[th]
+                row["Segment_Micro_F1"] = (
+                    float(2 * s_tp / (2 * s_tp + s_fp + s_fn))
+                    if 2 * s_tp + s_fp + s_fn else 0.0
+                )
                 curve[th] = row
             results["_event_operating_curve"] = curve
             # operating-point guidance: the sweep thresholds that maximize
@@ -663,21 +696,29 @@ class Evaluator:
                     for c, ths in sorted(per_class_curves.items())
                 }
                 # per-class-tuned operating point: every class at its own
-                # best sweep threshold (unseen classes at the global best)
+                # best sweep threshold (unseen classes at the global best).
+                # No re-extraction needed: extract_events processes
+                # classes independently (median filter, thresholding and
+                # run-merging are all per column) and EventScorer matches
+                # within (clip, class), so the tuned point's per-class
+                # TP/FP/FN are EXACTLY the per-class counts of the sweep
+                # scorer at that class's chosen threshold — summing them
+                # reproduces sc_tuned.scores()['Event_Micro_F1'] bit-for-
+                # bit without a second pass over any clip data.
                 tuned_spec = dict(results["_best_event_threshold_per_class"])
-                tuned_spec["default"] = results["_best_event_threshold"]
-                tuned_vec = per_class_thresholds(tuned_spec, num_classes)
-                sc_tuned = mk_scorer()
-                for pad_to, p, events in clip_records:
-                    sc_tuned.add_clip(
-                        extract_events(times_for(pad_to), p,
-                                       threshold=tuned_vec,
-                                       median_kernel=median_kernel,
-                                       min_duration=min_duration,
-                                       merge_gap=merge_gap),
-                        events)
+                default_th = results["_best_event_threshold"]
+                tuned_classes: set = set()
+                for sc_th in sweep_sc.values():
+                    tuned_classes |= (set(sc_th.tp) | set(sc_th.fp)
+                                      | set(sc_th.fn))
+                t_tp = t_fp = t_fn = 0
+                for c in tuned_classes:
+                    sc_c = sweep_sc[float(tuned_spec.get(c, default_th))]
+                    t_tp += sc_c.tp[c]
+                    t_fp += sc_c.fp[c]
+                    t_fn += sc_c.fn[c]
                 results["Event_Micro_F1_per_class_tuned"] = (
-                    sc_tuned.scores()["Event_Micro_F1"])
+                    EventScorer._prf(t_tp, t_fp, t_fn)[2])
                 if thresholds_out is not None:
                     save_thresholds(
                         thresholds_out,

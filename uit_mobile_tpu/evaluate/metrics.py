@@ -296,6 +296,43 @@ def segment_f1(framewise_probs: np.ndarray, segment_targets: np.ndarray,
     }
 
 
+def segment_counts(framewise_probs: np.ndarray, segment_targets: np.ndarray,
+                   threshold=0.5):
+    """Per-class (TP, FP, FN) int64 vectors for one clip/batch of segments
+    — the streaming building block behind ``segment_f1``: accumulate these
+    across flushes and finish with ``segment_scores_from_counts`` instead
+    of caching every clip's (S, C) probabilities (O(classes) memory vs
+    O(clips x segments x classes) — Evaluator.strong's sweep path)."""
+    p = np.asarray(framewise_probs) >= threshold
+    t = np.asarray(segment_targets) >= 0.5
+    assert p.shape == t.shape, (p.shape, t.shape)
+    tp = (p & t).sum(0).astype(np.int64)
+    fp = (p & ~t).sum(0).astype(np.int64)
+    fn = (~p & t).sum(0).astype(np.int64)
+    return tp, fp, fn
+
+
+def segment_scores_from_counts(tp: np.ndarray, fp: np.ndarray,
+                               fn: np.ndarray) -> dict:
+    """``segment_f1``'s four scores from per-class TP/FP/FN count vectors.
+    Matches sklearn's micro/macro with zero_division=0 bit-for-bit: micro
+    from the summed counts, macro F1 averaged over ALL C classes (absent
+    classes contribute 0, sklearn's multilabel-indicator semantics)."""
+    tp, fp, fn = (np.asarray(x, np.int64) for x in (tp, fp, fn))
+
+    def f1(tp, fp, fn):
+        denom = 2 * tp + fp + fn
+        return np.where(denom > 0, 2 * tp / np.maximum(denom, 1), 0.0)
+
+    TP, FP, FN = tp.sum(), fp.sum(), fn.sum()
+    return {
+        "Segment_Micro_F1": float(f1(TP, FP, FN)),
+        "Segment_Macro_F1": float(f1(tp, fp, fn).mean()),
+        "Segment_Micro_Precision": float(TP / (TP + FP) if TP + FP else 0.0),
+        "Segment_Micro_Recall": float(TP / (TP + FN) if TP + FN else 0.0),
+    }
+
+
 def kws_threshold_sweep(y_pred: np.ndarray, y_true_multihot: np.ndarray,
                         thresholds=None, n_audioset: int = 527) -> dict:
     """Operating curve across decision thresholds: GSC accuracy, filler
