@@ -72,14 +72,19 @@ def available() -> bool:
     return _load() is not None
 
 
-def read_wav_native(path) -> tuple[np.ndarray, int]:
-    """RIFF parse + int16->f32 via libuitdata; (channels, T) float32, sr."""
+def parse_wav16_native(buf: bytes):
+    """Low-level zero-copy RIFF parse of an in-memory blob.
+
+    -> (rc, pcm_int16_view_or_None, channels, sample_rate). rc is
+    uit_parse_wav16's error code (0 ok, 1 bad header, 2 no fmt before
+    data, 3 unsupported codec, 4 no data chunk — uitdata.cc:28-77); on
+    rc==0 the int16 array VIEWS `buf` (caller keeps `buf` alive). The
+    parser is defensive against untrusted bytes: lying chunk lengths
+    clamp to the buffer, truncated chunks terminate the walk — fuzzed in
+    tests/test_native.py. Returns rc=-1 when the library isn't built."""
     lib = _load()
     if lib is None:
-        from ..data.audio_io import read_wav
-
-        return read_wav(path)
-    buf = Path(path).read_bytes()
+        return -1, None, 0, 0
     data_ptr = ctypes.POINTER(ctypes.c_int16)()
     frames = ctypes.c_int64()
     channels = ctypes.c_int32()
@@ -88,20 +93,35 @@ def read_wav_native(path) -> tuple[np.ndarray, int]:
                              ctypes.byref(frames), ctypes.byref(channels),
                              ctypes.byref(sr))
     if rc != 0 or channels.value <= 0 or frames.value <= 0:
-        # non-16-bit formats, or a malformed header (channels/frames 0)
-        # that parses but would reshape to nothing — same clean fallback
+        # treat zero frames/channels (parses, reshapes to nothing) like a
+        # parse failure so every caller has ONE success condition
+        return (rc if rc != 0 else 5), None, channels.value, sr.value
+    n = frames.value * channels.value
+    pcm = np.ctypeslib.as_array(data_ptr, shape=(n,))
+    return 0, pcm, channels.value, sr.value
+
+
+def read_wav_native(path) -> tuple[np.ndarray, int]:
+    """RIFF parse + int16->f32 via libuitdata; (channels, T) float32, sr."""
+    lib = _load()
+    if lib is None:
         from ..data.audio_io import read_wav
 
         return read_wav(path)
-    n = frames.value * channels.value
-    pcm = np.ctypeslib.as_array(data_ptr, shape=(n,))
-    out = np.empty(n, dtype=np.float32)
+    buf = Path(path).read_bytes()
+    rc, pcm, channels, sr = parse_wav16_native(buf)
+    if rc != 0:
+        # non-16-bit formats, or a malformed header — same clean fallback
+        from ..data.audio_io import read_wav
+
+        return read_wav(path)
+    out = np.empty(pcm.shape[0], dtype=np.float32)
     lib.uit_pcm16_to_f32(
         pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ctypes.c_int64(n),
+        ctypes.c_int64(pcm.shape[0]),
     )
-    return out.reshape(-1, channels.value).T.copy(), sr.value
+    return out.reshape(-1, channels).T.copy(), sr
 
 
 def pad_batch_native(waves: Sequence[np.ndarray], threads: int = 4):

@@ -67,7 +67,9 @@ int uit_parse_wav16(const uint8_t* buf, int64_t len,
       *out_sample_rate = sample_rate;
       return 0;
     }
-    pos += 8 + chunk_len + (chunk_len & 1);  // chunks are word-aligned
+    // Advance in 64-bit: `8 + chunk_len` in uint32 wraps for chunk_len
+    // near UINT32_MAX (pos += 0 -> infinite loop on untrusted bytes).
+    pos += 8 + static_cast<int64_t>(chunk_len) + (chunk_len & 1);  // word-aligned
   }
   return 4;
 }
