@@ -9,10 +9,14 @@ PY ?= python
 help:
 	@echo "targets: test | test-fast | bench | parity | verify-tpu"
 
-# on-chip numerics gates: committed goldens vs the REAL TPU's outputs
-# (exact/fast/int16/scan/mel-kernel; see tools/verify_tpu_numerics.py)
+# on-chip gates: (a) numerics — committed goldens vs the REAL TPU's
+# outputs (exact/fast/int16/scan/mel-kernel; tools/verify_tpu_numerics.py);
+# (b) ACCURACY — synthetic-world train->eval through the real CLI path
+# with a pinned minimum mAPKWS (tools/gate_synthetic.py; fails on a
+# training regression, not just a crash)
 verify-tpu:
 	$(PY) tools/verify_tpu_numerics.py
+	$(PY) tools/gate_synthetic.py
 
 test:
 	$(PY) -m pytest tests/ -q

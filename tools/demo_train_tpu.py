@@ -13,40 +13,10 @@ import sys
 import tempfile
 from pathlib import Path
 
-import numpy as np
-import pandas as pd
-import h5py
-
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-
-KW_FREQS = {527 + i: 300.0 * (1.35 ** i) for i in range(10)}  # 300Hz..4.5kHz
-
-
-def synth_clip(rng, label, sr=16000):
-    t = np.arange(sr) / sr
-    if label in KW_FREQS:
-        w = rng.uniform(0.2, 0.8) * np.sin(2 * np.pi * KW_FREQS[label] * t
-                                           + rng.uniform(0, 2 * np.pi))
-        w += rng.standard_normal(sr) * 0.02
-    else:  # "Speech"/noise filler
-        w = rng.standard_normal(sr) * rng.uniform(0.05, 0.3)
-    return (np.clip(w, -1, 1) * 32000).astype(np.int16)
-
-
-def make_split(root, name, n, rng, kws: bool):
-    h5 = root / f"{name}.h5"
-    rows = []
-    with h5py.File(h5, "w") as f:
-        for i in range(n):
-            label = int(rng.choice(list(KW_FREQS))) if kws else 0
-            f[f"{name}_{i}.wav"] = synth_clip(rng, label)
-            rows.append((f"{name}_{i}.wav", str(label), str(h5)))
-    tsv = root / f"{name}.tsv"
-    pd.DataFrame(rows, columns=["filename", "labels", "hdf5path"]).to_csv(
-        tsv, sep="\t", index=False)
-    return str(tsv)
+from uit_mobile_tpu.data.synthworld import build_world  # noqa: E402
 
 
 def main():
@@ -54,7 +24,6 @@ def main():
     compute_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     steps_per_dispatch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     out.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(0)
 
     config = dict(
         outputpath=str(out / "exp"),
@@ -75,10 +44,7 @@ def main():
         seed=0,
         steps_per_dispatch=steps_per_dispatch,
         config_stem="demo",
-        audioset_train_data=make_split(out, "as_train", 256, rng, kws=False),
-        audioset_eval_data=make_split(out, "as_eval", 64, rng, kws=False),
-        kws_train_data=make_split(out, "kws_train", 256, rng, kws=True),
-        kws_test_data=make_split(out, "kws_eval", 64, rng, kws=True),
+        **build_world(out, seed=0, n_train=256, n_eval=64),
     )
 
     from uit_mobile_tpu.train.loop import train_from_config

@@ -293,8 +293,18 @@ class Evaluator:
                  label_csv: Optional[str] = None):
         self._setup(experiment_path)
         df = read_tsv_data(audioset_eval_data)
-        preds, targets = self._run_epoch(df, num_classes=527)
+        # Build targets at the checkpoint's head width (>=527): unified
+        # 537-class checkpoints evaluate manifests whose labels include
+        # keyword indices (e.g. the synthetic gate world); the HEADLINE
+        # metrics stay the 527-column AudioSet slice for reference parity
+        # (evaluate.py:100-110), with the sliced mAPs added when wider.
+        num_classes = max(527, getattr(self._resolved[0], "outputdim", 527))
+        preds, targets = self._run_epoch(df, num_classes=num_classes)
         results = compute_metrics(AUDIOSET_METRICS, preds[:, :527], targets[:, :527])
+        if num_classes > 527 and targets[:, 527:].any():
+            # manifest carries keyword positives -> report the KWS slice
+            # too (train/loop.py's validation naming)
+            results.update(compute_metrics(["mAPKWS"], preds, targets))
         if label_csv is None:
             # reference uses the merged index when present (evaluate.py:103-108)
             from ..cli.common import LABEL_CSV
