@@ -373,156 +373,16 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     return x_db
 
 
-# ------------------------------------------- fused mel -> patch tokens kernel
-#
-# The BASELINE.json "fused mel+patch-embed" north star, literally: ONE
-# kernel takes transposed int16/f32 frames and emits ENCODER-READY patch
-# tokens (B, fg, tg, D) — the (T, F, B) f32 mel never exists in HBM at
-# all (round-2 VERDICT item 2: the "only unexplored byte stream").
-#
-# Per b-block grid column the frame axis iterates innermost; each step
-# computes one dB frame into a VMEM scratch and tracks the per-sample
-# running max; the LAST step applies the top_db clamp against that max
-# and contracts every (16 frames x 16 mels) patch tile with the
-# BN-folded patch-embed matrix while the mel is still in VMEM.
-# Constraints by construction:
-# - per-sample top_db only (a batch-global ref would need a second pass
-#   over already-flushed outputs) — serving semantics (ServiceConfig
-#   defaults to per_sample);
-# - single-window clips (n_frames <= target_length): the long-clip crop
-#   path keeps the 2-stage tfb pipeline;
-# - tokens contract with the bf16 3-pass split (the 'fast' grade), so
-#   this is a serving path; exact parity gates keep the 2-stage path.
-
-
-def _mel_tokens_kernel(framesT_ref, gthi_ref, gtlo_ref, fbthi_ref, fbtlo_ref,
-                       k2thi_ref, k2tlo_ref, bias_ref, out_ref,
-                       mel_scr, max_scr, *, n_frames, fg, tg, ps, top_db):
-    t = pl.program_id(1)
-    g = _tri_dot_left(gthi_ref[:], gtlo_ref[:], _as_f32(framesT_ref[0]))
-    power = g * g
-    mel = _tri_dot_left(fbthi_ref[:], fbtlo_ref[:], power)  # (n_mels, B_blk)
-    db = (10.0 / math.log(10.0)) * jnp.log(jnp.maximum(mel, 1e-10))
-    mel_scr[t] = db
-    col_max = jnp.max(db, axis=0, keepdims=True)  # (1, B_blk)
-
-    @pl.when(t == 0)
-    def _():
-        max_scr[...] = col_max
-
-    @pl.when(t != 0)
-    def _():
-        max_scr[...] = jnp.maximum(max_scr[...], col_max)
-
-    @pl.when(t == n_frames - 1)
-    def _():
-        ref = max_scr[...] - top_db  # (1, B_blk) per-sample clamp floor
-        for f in range(fg):
-            bias = bias_ref[f]  # (D,)
-            for tp in range(tg):
-                tile = mel_scr[tp * ps:(tp + 1) * ps, f * ps:(f + 1) * ps, :]
-                tile = jnp.maximum(tile, ref[None])
-                x = tile.reshape(ps * ps, -1)          # (256, B_blk), layout-free
-                tok = _tri_dot_left(k2thi_ref[f], k2tlo_ref[f], x)  # (D, B_blk)
-                out_ref[:, f, tp, :] = tok.T + bias[None, :]
-
-
-def pallas_mel_tokens(wav: jax.Array, config: FrontendConfig,
-                      folded_kernel: jax.Array, folded_bias: jax.Array,
-                      *, target_length: int, interpret: bool | None = None,
-                      block_b: int = 256) -> jax.Array:
-    """(B, T) waveform -> (B, fg, tg, D) BN-folded patch tokens, fused.
-
-    folded_kernel: (fg, mel_p, time_p, D) init_bn-folded patch-embed
-    weights (models.uit._folded_patch_kernel); folded_bias: (fg, D).
-    Per-sample top_db clamping (see module comment). Accepts int16 PCM
-    (the 1/32768 scale folds into the DFT matrices bitwise-exactly).
-    """
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    n_fft, hop, ps = config.n_fft, config.hop_length, folded_kernel.shape[1]
-    fgk, _, _, D = folded_kernel.shape
-    pcm16 = wav.dtype == jnp.int16
-    B, T = wav.shape
-    if config.center:
-        pad = n_fft // 2
-        wav = jnp.concatenate(
-            [wav[:, 1:pad + 1][:, ::-1], wav, wav[:, -pad - 1:-1][:, ::-1]],
-            axis=-1,
-        )
-    Tp = wav.shape[-1]
-    n_frames = (Tp - n_fft) // hop + 1
-    assert n_frames <= target_length, (
-        f"fused token path is single-window only ({n_frames} frames > "
-        f"target_length {target_length}); long clips use the 2-stage path"
-    )
-    fg, tg = config.n_mels // ps, n_frames // ps
-    assert fg == fgk, (fg, fgk)
-    assert tg >= 1, f"clip too short: {n_frames} frames < one {ps}-patch"
-
-    G, col_bin = _dft_matrices(n_fft, config.win_length, config.n_freqs)
-    lanes = G.shape[1]
-    mel_fb = mel_filterbank(config)
-    fb = np.zeros((lanes, config.n_mels), dtype=np.float32)
-    valid = col_bin >= 0
-    fb[valid] = mel_fb[col_bin[valid]]
-    G = G * np.float32((1.0 / 32768.0) if pcm16 else 1.0)
-
-    gt_hi, gt_lo = _bf16_split(np.ascontiguousarray(G.T))
-    fbt_hi, fbt_lo = _bf16_split(np.ascontiguousarray(fb.T))
-    # (fg, u, v, D) -> contraction rows ordered (v*ps + u), transposed so
-    # the pre-split matrix sits on the LEFT of the in-kernel dot
-    k2t = jnp.transpose(folded_kernel, (0, 2, 1, 3)).reshape(fg, ps * ps, D)
-    k2t = jnp.transpose(k2t, (0, 2, 1)).astype(jnp.float32)  # (fg, D, ps*ps)
-    k2t_hi, k2t_lo = _bf16_split(k2t)
-
-    # transposed framing gather (identical to the tfb path)
-    wavT = wav.T
-    idxT = (np.arange(n_frames)[:, None] * hop
-            + np.arange(n_fft)[None, :]).reshape(-1)
-    framesT = wavT[idxT, :].reshape(n_frames, n_fft, B)
-
-    # largest batch block <= block_b that tiles B (prefer lane-aligned
-    # multiples of 128 — batch is this kernel's lane dim)
-    cands = [d for d in range(min(block_b, B), 0, -1) if B % d == 0]
-    b_blk = next((d for d in cands if d % 128 == 0), cands[0])
-    grid = (B // b_blk, n_frames)
-    kernel = functools.partial(
-        _mel_tokens_kernel, n_frames=n_frames, fg=fg, tg=tg, ps=ps,
-        top_db=float(config.top_db if config.top_db is not None else 1e30),
-    )
-    x_spec = pl.BlockSpec((1, n_fft, b_blk), lambda b, t: (t, 0, b),
-                          memory_space=pltpu.VMEM)
-    gt_spec = pl.BlockSpec((lanes, n_fft), lambda b, t: (0, 0),
-                           memory_space=pltpu.VMEM)
-    fbt_spec = pl.BlockSpec((config.n_mels, lanes), lambda b, t: (0, 0),
-                            memory_space=pltpu.VMEM)
-    k2_spec = pl.BlockSpec((fg, D, ps * ps), lambda b, t: (0, 0, 0),
-                           memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((fg, D), lambda b, t: (0, 0),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((b_blk, fg, tg, D), lambda b, t: (b, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    cost = pl.CostEstimate(
-        flops=2 * n_frames * B * (n_fft * lanes + lanes * config.n_mels)
-        + 2 * B * fg * tg * ps * ps * D,
-        bytes_accessed=n_frames * B * n_fft * (2 if pcm16 else 4)
-        + B * fg * tg * D * 4,
-        transcendentals=n_frames * B * config.n_mels,
-    )
-    return pl.pallas_call(
-        kernel, grid=grid,
-        in_specs=[x_spec, gt_spec, gt_spec, fbt_spec, fbt_spec,
-                  k2_spec, k2_spec, bias_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, fg, tg, D), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((n_frames, config.n_mels, b_blk), jnp.float32),
-            pltpu.VMEM((1, b_blk), jnp.float32),
-        ],
-        cost_estimate=cost, interpret=interpret,
-    )(framesT, gt_hi, gt_lo, fbt_hi, fbt_lo, k2t_hi, k2t_lo,
-      folded_bias.astype(jnp.float32))
+# The fused mel->patch-token kernel (pallas_mel_tokens) lived here through
+# round 3: one kernel from transposed int16 frames to BN-folded encoder
+# tokens, the (T, F, B) mel never reaching HBM. Correct (<=4e-4 probs) but
+# measured SLOWER than the 2-stage tfb path on the v5e (-4 to -6%: the
+# per-b-block dB scratch caps b_blk at 256, and the lost MXU lane
+# amortization exceeds the saved mel round-trip — PERF_NOTES.md round 3).
+# Deleted with the other rejected experiments (round-4 policy: PERF_NOTES
+# keeps the verdicts, git history keeps the code — the parent of the
+# commit that removed this block). A chip with >2x scoped VMEM may flip
+# the verdict; resurrect from git.
 
 
 def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = True,

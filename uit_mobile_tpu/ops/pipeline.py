@@ -113,78 +113,15 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
     return fn
 
 
-def make_fused_token_forward(cfg, params, state, block_b: int = 256,
-                             interpret: bool | None = None):
-    """Serving forward on the FUSED mel->patch-token kernel: the (T, F, B)
-    f32 mel never touches HBM (ops/pallas_mel.pallas_mel_tokens docstring
-    for constraints: per-sample top_db, single-window clips, fast-grade
-    token contraction). Returns fn(wav)->probs, not yet jitted.
-
-    The BN-folded patch-embed matrices are computed from (params, state)
-    inside the traced function, so converted/updated checkpoints work
-    unmodified."""
-    from ..models import uit as uit_mod
-
-    assert isinstance(cfg, models.UITConfig), "fused token path is UiT-only"
-    fe_cfg = dataclasses.replace(cfg.frontend, top_db_mode="per_sample")
-    fg = cfg.grid_size[0]
-
-    from .pallas_mel import pallas_mel_tokens
-
-    def fn(wav):
-        Kf, bias_f = uit_mod._folded_patch_kernel(
-            cfg, params, state, cfg.n_mels, fg, jnp.float32
-        )
-        tokens = pallas_mel_tokens(
-            wav, fe_cfg, Kf, bias_f, target_length=cfg.target_length,
-            block_b=block_b, interpret=interpret,
-        )
-        feats = uit_mod._finish_features(cfg, params, tokens)
-        return uit_mod.forward_head(cfg, params, feats)
-
-    fn.uses_pallas = True
-    return fn
-
-
-def make_fused_encoder_forward(cfg, params, state, precision: str = "bf16",
-                               block_b: int = 128, mode: str = "full",
-                               interpret: bool | None = None,
-                               frontend_precision: str = "fast"):
-    """Serving forward with a Pallas encoder variant
-    (ops/pallas_encoder_tfb): Pallas mel (tfb) -> BN-folded patch embed
-    -> pos embeds -> encoder -> head. Single-window clips, eval only.
-
-    mode='full': the whole-encoder VMEM-resident kernel (measured SLOWER
-    than XLA on v5e — kept for study; PERF_NOTES round 3).
-    mode='hybrid': XLA attention + fused-MLP-sublayer kernels.
-    Returns fn(wav)->probs, not yet jitted."""
-    from ..models import uit as uit_mod
-    from .pallas_encoder_tfb import encoder_forward, encoder_hybrid
-
-    assert isinstance(cfg, models.UITConfig)
-    assert mode in ("full", "hybrid"), mode
-    run_cfg = dataclasses.replace(cfg, mel_layout="tfb")
-    # pallas_log_mel auto-interprets off-TPU, so use_pallas stays True
-    frontend = make_frontend_fn(cfg.frontend, use_pallas=True,
-                                precision=frontend_precision, layout="tfb")
-
-    def fn(wav):
-        mel = frontend(wav)                                  # (T, F, B)
-        assert mel.shape[0] <= cfg.target_length, "single-window only"
-        tokens = uit_mod.patch_embed_tfb(run_cfg, params, state, mel)
-        # pos embeds + f-major flatten: the models/uit.py code itself
-        # (eval mode), not a copy that could drift
-        x, _, _ = uit_mod._prepare_tokens(run_cfg, params, tokens)
-        if mode == "full":
-            x = encoder_forward(cfg, params, x, precision=precision,
-                                block_b=block_b, interpret=interpret)
-        else:
-            x = encoder_hybrid(cfg, params, x, precision=precision,
-                               interpret=interpret)
-        return uit_mod.forward_head(cfg, params, x)
-
-    fn.uses_pallas = True
-    return fn
+# Two more measured-rejected serving paths lived here through round 3 and
+# were deleted in round 4 (same policy as the round-2 fused encoder above:
+# PERF_NOTES.md keeps the numbers, git history keeps the code):
+# - make_fused_token_forward (ops/pallas_mel.pallas_mel_tokens): the fused
+#   mel->patch-token kernel, -4 to -6% vs the 2-stage tfb path (VMEM caps
+#   the batch block; lost MXU lane amortization > saved mel HBM traffic).
+# - make_fused_encoder_forward (ops/pallas_encoder_tfb): whole-encoder
+#   VMEM kernel (-25%) and XLA-attention+fused-MLP hybrid (-20%) — at
+#   D=128/N=24 XLA keeps the encoder's activations fused on its own.
 
 
 def make_scanned_forward(fwd_fn, unroll: int = 1):
