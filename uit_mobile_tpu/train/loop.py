@@ -13,6 +13,14 @@ Differences from the reference, by design:
   (run.py:368-372);
 - fixed-shape training batches (1s random crops) -> zero recompiles.
 
+Measured single-chip throughput frontier (v5e, PERF_NOTES.md round 4):
+the fast production configuration is ``batch_size: 1024`` +
+``model_args: {compute_dtype: bfloat16}`` + ``steps_per_dispatch: 16``
+= 84.3k clips/s trained (B=2048 regresses — HBM pressure; K=32 buys
+only +3% at coarser metric granularity). The shipped YAML configs keep
+the reference recipe (B=32, f32, per-step) for parity and document
+these levers; scale lr with batch size when raising it.
+
 Reference quirks intentionally fixed (documented, not copied):
 ``max_grad_norm`` applies to the non-PSL path too (reference drops it,
 run.py:220-234).
