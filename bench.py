@@ -203,7 +203,8 @@ def _train_bench(models, on_tpu):
         dt = (time.perf_counter() - t0) / (n_disp * K)
         assert np.isfinite(float(np.asarray(m["total_loss"])[-1]))
         record.update(train_fast_step_ms=round(dt * 1e3, 2),
-                      train_fast_clips_per_s=round(B / dt, 1),
+                      train_fast_clips_per_s=round(B_fast / dt, 1),
+                      train_fast_batch=B_fast,
                       train_fast_mode=f"bfloat16+scan{K}")
     except Exception as e:  # never let the fast record sink the headline
         print(f"# train fast record unavailable: {e}", file=sys.stderr)

@@ -113,3 +113,88 @@ def test_converter_from_synthetic_torch_state_dict():
 
     probs = mbv2.forward(cfg, params, state, jnp.zeros((1, 16000)))
     assert probs.shape == (1, 5)
+
+
+def _liven(params, state, seed=0):
+    """Random unit-gain BN affine/stats: fresh-init MobileNetV2 collapses
+    activations to ~0 (sigmoid==0.5 everywhere), which would hide any
+    dtype effect — give every BN a trained-net-like operating point."""
+    r = np.random.default_rng(seed)
+
+    def on_params(d):
+        if isinstance(d, dict):
+            if "scale" in d:
+                d = dict(d, scale=jnp.asarray(
+                    r.uniform(0.8, 1.2, d["scale"].shape).astype(np.float32)),
+                    bias=jnp.asarray(
+                    r.normal(0, 0.3, d["bias"].shape).astype(np.float32)))
+            return {k: (on_params(v) if k not in ("kernel", "scale", "bias")
+                        else v) for k, v in d.items()}
+        if isinstance(d, list):
+            return [on_params(v) for v in d]
+        return d
+
+    def on_state(d):
+        if isinstance(d, dict):
+            if "mean" in d:
+                return dict(
+                    mean=jnp.asarray(
+                        r.normal(0, 0.5, d["mean"].shape).astype(np.float32)),
+                    var=jnp.asarray(
+                        r.uniform(0.3, 1.5, d["var"].shape).astype(np.float32)))
+            return {k: on_state(v) for k, v in d.items()}
+        if isinstance(d, list):
+            return [on_state(v) for v in d]
+        return d
+
+    return on_params(params), on_state(state)
+
+
+def test_bfloat16_compute_mode_close_and_f32_default_unchanged():
+    """compute_dtype='bfloat16' runs conv MXU work in bf16 with f32
+    accumulation (the PSL-teacher fast mode, PERF_NOTES round 4): output
+    must stay f32, drift must be bf16 input-rounding grade on a
+    unit-gain network (measured 1.7e-4), and 'float32' must stay the
+    default."""
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+    cfg32 = mbv2.MobileNetV2Config(outputdim=17)
+    assert cfg32.compute_dtype == "float32"
+    params, state = mbv2.init(cfg32, jax.random.key(0))
+    params, state = _liven(params, state)
+    p32 = mbv2.forward(cfg32, params, state, wav)
+    assert float(p32.std()) > 0.01  # livened: outputs actually vary
+
+    cfg16 = mbv2.MobileNetV2Config(outputdim=17, compute_dtype="bfloat16")
+    p16 = mbv2.forward(cfg16, params, state, wav)
+    assert p16.dtype == jnp.float32
+    drift = float(jnp.max(jnp.abs(p16 - p32)))
+    assert 0 < drift <= 5e-3, drift  # bf16 engaged, rounding-grade only
+
+    # train mode threads state in f32 in both dtypes. (The numeric bound
+    # is loose on purpose: train-mode BN normalizes by the BATCH stats of
+    # the bf16-rounded conv outputs, so rounding feeds back through
+    # mean/var at B=2 — the teacher role that motivates this mode is
+    # eval-mode, covered by the tight bound above.)
+    (pt16, st16) = mbv2.forward(cfg16, params, state, wav, train=True,
+                                rng=jax.random.key(1))
+    (pt32, st32) = mbv2.forward(cfg32, params, state, wav, train=True,
+                                rng=jax.random.key(1))
+    assert float(jnp.max(jnp.abs(pt16 - pt32))) <= 1e-1
+    m16 = st16["features"][0]["bn"]["mean"]
+    m32 = st32["features"][0]["bn"]["mean"]
+    assert m16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(m16), np.asarray(m32),
+                               atol=2e-3, rtol=0)
+
+
+def test_load_psl_compute_dtype_key():
+    """psl: {compute_dtype: bfloat16} flows into the teacher config."""
+    from uit_mobile_tpu.train.loop import _load_psl
+
+    cfg, params, state = _load_psl({"psl": {
+        "model": "MobileNetV2", "pretrained": "/nonexistent.pt",
+        "allow_untrained": True, "compute_dtype": "bfloat16",
+    }})
+    assert cfg.compute_dtype == "bfloat16"
+    assert params is not None and state is not None

@@ -43,6 +43,14 @@ class MobileNetV2Config:
     dropout: float = 0.3
     n_mels: int = 64
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    # 'bfloat16' runs the conv stack's MXU work in bf16 (inputs/kernels
+    # cast per conv, f32 accumulation via preferred_element_type; BN,
+    # residual adds, classifier and sigmoid stay f32, master params stay
+    # f32) — the same recipe as UITConfig.compute_dtype. Measured for the
+    # PSL-teacher role where the 2.8 ms teacher forward is 26% of the
+    # B=1024 train step (PERF_NOTES round 4); probs drift is bf16
+    # input-rounding only (<=2e-3, pinned in tests/test_mobilenetv2.py).
+    compute_dtype: str = "float32"
 
 
 def _c(ch, width_mult):
@@ -118,20 +126,30 @@ def init(cfg: MobileNetV2Config, rng):
 
 # -------------------------------------------------------------------- forward
 
-def _conv2d(x, kernel, stride, groups=1):
-    """NHWC conv with torch-style symmetric padding (k-1)//2."""
+def _conv2d(x, kernel, stride, groups=1, compute_dtype="float32"):
+    """NHWC conv with torch-style symmetric padding (k-1)//2.
+
+    compute_dtype='bfloat16': operands cast to bf16 (the MXU's native
+    input width), accumulation forced back to f32 — everything around
+    the conv stays f32."""
     k = kernel.shape[0]
     pad = (k - 1) // 2
+    if compute_dtype == "bfloat16":
+        x = x.astype(jnp.bfloat16)
+        kernel = kernel.astype(jnp.bfloat16)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        preferred_element_type=jnp.float32,
     )
 
 
-def _conv_bn_relu6(p, s, x, stride, groups, *, train, momentum=0.1, relu=True):
-    x = _conv2d(x, p["conv"]["kernel"], stride, groups)
+def _conv_bn_relu6(p, s, x, stride, groups, *, train, momentum=0.1, relu=True,
+                   compute_dtype="float32"):
+    x = _conv2d(x, p["conv"]["kernel"], stride, groups,
+                compute_dtype=compute_dtype)
     if train:
         x, new_bn = batch_norm_train(p["bn"], s["bn"], x, axis=-1, momentum=momentum)
         new_s = {"bn": new_bn}
@@ -143,7 +161,7 @@ def _conv_bn_relu6(p, s, x, stride, groups, *, train, momentum=0.1, relu=True):
     return x, new_s
 
 
-def _invres_forward(spec, p, s, x, *, train):
+def _invres_forward(spec, p, s, x, *, train, compute_dtype="float32"):
     _, c_in, c_out, stride, t = spec
     hidden = int(round(c_in * t))
     use_res = stride == 1 and c_in == c_out
@@ -153,11 +171,14 @@ def _invres_forward(spec, p, s, x, *, train):
     h = x
     i = 0
     if t != 1:
-        h, ns = _conv_bn_relu6(layers[i], slayers[i], h, 1, 1, train=train)
+        h, ns = _conv_bn_relu6(layers[i], slayers[i], h, 1, 1, train=train,
+                               compute_dtype=compute_dtype)
         new_slayers.append(ns); i += 1
-    h, ns = _conv_bn_relu6(layers[i], slayers[i], h, stride, hidden, train=train)
+    h, ns = _conv_bn_relu6(layers[i], slayers[i], h, stride, hidden,
+                           train=train, compute_dtype=compute_dtype)
     new_slayers.append(ns); i += 1
-    h, ns = _conv_bn_relu6(layers[i], slayers[i], h, 1, 1, train=train, relu=False)
+    h, ns = _conv_bn_relu6(layers[i], slayers[i], h, 1, 1, train=train,
+                           relu=False, compute_dtype=compute_dtype)
     new_slayers.append(ns)
     out = x + h if use_res else h
     return out, {"layers": new_slayers}
@@ -167,13 +188,16 @@ def features_forward(cfg: MobileNetV2Config, params, state, mel, *, train=False)
     """(B, n_mels, T) log-mel -> (B, T', last_channel) freq-pooled features."""
     x = mel[..., None]  # NHWC: (B, F, T, 1)
     specs = layer_specs(cfg)
+    dtype = getattr(cfg, "compute_dtype", "float32")
     new_feats = []
     for spec, p, s in zip(specs, params["features"], state["features"]):
         if spec[0] == "convbnrelu":
             _, _, _, k, stride, groups = spec
-            x, ns = _conv_bn_relu6(p, s, x, stride, groups, train=train)
+            x, ns = _conv_bn_relu6(p, s, x, stride, groups, train=train,
+                                   compute_dtype=dtype)
         else:
-            x, ns = _invres_forward(spec, p, s, x, train=train)
+            x, ns = _invres_forward(spec, p, s, x, train=train,
+                                    compute_dtype=dtype)
         new_feats.append(ns)
     # AdaptiveAvgPool2d((1, None)): average the freq axis fully, keep time.
     x = x.mean(axis=1)  # (B, T', C)

@@ -102,6 +102,13 @@ def _load_psl(config):
         cfg = models.get_model_config(psl["model"],
                                       outputdim=psl.get("outputdim", 527))
         params, state = models.build(cfg, jax.random.key(0))
+    if psl.get("compute_dtype") and hasattr(cfg, "compute_dtype"):
+        # psl: {compute_dtype: bfloat16} — bf16 MXU work in the teacher
+        # forward (the teacher is 26% of the B=1024 step, PERF_NOTES r4);
+        # teacher probs drift is bf16 input rounding only
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, compute_dtype=psl["compute_dtype"])
     return cfg, params, state
 
 
