@@ -118,6 +118,10 @@ def _train_bench(models, on_tpu):
     B_fast = 1024 if on_tpu else 8  # frontier winner for the fast record
     K = 16 if on_tpu else 4  # multi-step scan depth for the fast record
     psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
+    # bf16 teacher for the fast record (+1.8% full-step, losses equal to
+    # 4 decimals — tools/probe_teacher_bf16.py); parity record keeps f32
+    psl_cfg_fast = models.get_model_config("MobileNetV2", outputdim=527,
+                                           compute_dtype="bfloat16")
     psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
     frontend = make_frontend_fn(None, use_pallas=on_tpu, precision="fast")
     rng = np.random.default_rng(0)
@@ -173,7 +177,7 @@ def _train_bench(models, on_tpu):
         multi = jax.jit(
             make_multi_step(
                 make_train_step(cfg, opt, mixup_alpha=0.3, max_grad_norm=1.0,
-                                psl_cfg=psl_cfg, psl_split=B_fast // 2,
+                                psl_cfg=psl_cfg_fast, psl_split=B_fast // 2,
                                 frontend_fn=frontend),
                 psl=True),
             donate_argnums=(0, 1, 2),
@@ -205,7 +209,7 @@ def _train_bench(models, on_tpu):
         record.update(train_fast_step_ms=round(dt * 1e3, 2),
                       train_fast_clips_per_s=round(B_fast / dt, 1),
                       train_fast_batch=B_fast,
-                      train_fast_mode=f"bfloat16+scan{K}")
+                      train_fast_mode=f"bfloat16+scan{K}+bf16teacher")
     except Exception as e:  # never let the fast record sink the headline
         print(f"# train fast record unavailable: {e}", file=sys.stderr)
     return record
