@@ -102,11 +102,14 @@ def _train_bench(models, on_tpu):
 
     Two records: the parity-grade f32 per-step mode (train_*, B=512 —
     the cross-round comparator) and the fastest known mode (train_fast_*)
-    — the round-4 frontier winner: B=1024, bfloat16 encoder, K=16
-    optimizer updates per dispatch (train.steps.make_multi_step; the
-    measured knee, tools/probe_train_frontier.py — B=2048 regresses and
-    K=32 buys only +3% over K=16), all opt-in production levers
-    (`batch_size`/`compute_dtype`/`steps_per_dispatch` config keys)."""
+    — the round-4 frontier winner: B=1024, tfb student layout, bfloat16
+    encoder + teacher, K=16 optimizer updates per dispatch
+    (tools/probe_train_frontier.py mapped the B x dtype x K knee:
+    B=2048 regresses, K=32 buys only +3%; tools/probe_tfb_train.py
+    measured the tfb train branch +12.4%; tools/probe_teacher_bf16.py
+    the bf16 teacher +1.8%), all opt-in production levers
+    (`batch_size` / `model_args: {compute_dtype, mel_layout}` /
+    `steps_per_dispatch` / `psl: {compute_dtype}` config keys)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -136,10 +139,11 @@ def _train_bench(models, on_tpu):
                               .astype(np.float32)),
     } for _ in range(2)]
 
-    def build(compute_dtype):
+    def build(compute_dtype, mel_layout="bft"):
         cfg = models.get_model_config("uit_xs", outputdim=537,
                                       target_length=102,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      mel_layout=mel_layout)
         params, state = models.build(cfg, jax.random.key(0))
         opt = optax.adamw(1e-3)
         return cfg, params, state, opt, opt.init(params)
@@ -170,15 +174,22 @@ def _train_bench(models, on_tpu):
               "train_clips_per_s": round(B / dt, 1),
               "train_batch": B}
 
-    # --- fastest known mode: B=1024 + bf16 encoder + K=16 updates per
-    # dispatch (the round-4 frontier winner)
+    # --- fastest known mode: B=1024 + bf16 encoder + tfb student layout
+    # + K=16 updates per dispatch + bf16 teacher (the round-4 frontier
+    # winner; the tfb TRAIN branch kills the bft row-kernel's 1.3 ms of
+    # frames-relayout/wav-transpose copies — +12.4% measured,
+    # tools/probe_tfb_train.py)
     try:
-        cfg, params, state, opt, opt_state = build("bfloat16")
+        cfg, params, state, opt, opt_state = build("bfloat16",
+                                                   mel_layout="tfb")
+        fe_tfb = make_frontend_fn(None, use_pallas=on_tpu, precision="fast",
+                                  layout="tfb")
         multi = jax.jit(
             make_multi_step(
                 make_train_step(cfg, opt, mixup_alpha=0.3, max_grad_norm=1.0,
                                 psl_cfg=psl_cfg_fast, psl_split=B_fast // 2,
-                                frontend_fn=frontend),
+                                frontend_fn=fe_tfb,
+                                psl_frontend_fn=frontend),
                 psl=True),
             donate_argnums=(0, 1, 2),
         )
@@ -209,7 +220,7 @@ def _train_bench(models, on_tpu):
         record.update(train_fast_step_ms=round(dt * 1e3, 2),
                       train_fast_clips_per_s=round(B_fast / dt, 1),
                       train_fast_batch=B_fast,
-                      train_fast_mode=f"bfloat16+scan{K}+bf16teacher")
+                      train_fast_mode=f"tfb+bfloat16+scan{K}+bf16teacher")
     except Exception as e:  # never let the fast record sink the headline
         print(f"# train fast record unavailable: {e}", file=sys.stderr)
     return record

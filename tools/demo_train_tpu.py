@@ -20,9 +20,11 @@ from uit_mobile_tpu.data.synthworld import build_world  # noqa: E402
 
 
 def main():
+    # args: [outdir] [compute_dtype] [steps_per_dispatch] [mel_layout]
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp(prefix="uit_demo_"))
     compute_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     steps_per_dispatch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    mel_layout = sys.argv[4] if len(sys.argv) > 4 else "bft"
     out.mkdir(parents=True, exist_ok=True)
 
     config = dict(
@@ -30,7 +32,8 @@ def main():
         num_classes=537,
         model="uit_xxxs",
         model_args={"target_length": 102, "init_bn": False,
-                    "compute_dtype": compute_dtype},  # GlobalNormer: no BN-stat warmup needed in a short demo
+                    "compute_dtype": compute_dtype,
+                    "mel_layout": mel_layout},  # GlobalNormer: no BN-stat warmup needed in a short demo
         batch_size=32,
         epochs=10,
         epoch_length=40,

@@ -18,11 +18,15 @@ def sample_mixup_lambdas(rng, batch_size: int, alpha: float):
     return jax.random.beta(rng, alpha, alpha, (batch_size,))
 
 
-def mixup_tensor(x: jax.Array, lamb: jax.Array) -> jax.Array:
-    """mixed = flip(x)*lamb + x*(1-lamb), lamb broadcast from the batch axis."""
-    shape = (-1,) + (1,) * (x.ndim - 1)
+def mixup_tensor(x: jax.Array, lamb: jax.Array, batch_axis: int = 0) -> jax.Array:
+    """mixed = flip(x)*lamb + x*(1-lamb), lamb broadcast from the batch
+    axis (axis 0 for the reference 'bft'/wav layouts; -1 for the
+    transpose-free 'tfb' mel whose batch lives in lanes)."""
+    batch_axis = batch_axis % x.ndim
+    shape = [1] * x.ndim
+    shape[batch_axis] = -1
     l = lamb.reshape(shape)
-    return jnp.flip(x, axis=0) * l + x * (1.0 - l)
+    return jnp.flip(x, axis=batch_axis) * l + x * (1.0 - l)
 
 
 def mixup_targets(y: jax.Array, lamb: jax.Array) -> jax.Array:

@@ -36,14 +36,27 @@ def _axis_mask(rng, batch, length, mask_param, iid):
     return mask  # (n, length) True where masked
 
 
-def time_masking(rng, spec, time_mask_param=20, iid_masks=True, mask_value=0.0):
-    """spec: (B, F, T)."""
+def time_masking(rng, spec, time_mask_param=20, iid_masks=True,
+                 mask_value=0.0, layout="bft"):
+    """spec: (B, F, T) for 'bft' (reference orientation) or (T, F, B) for
+    'tfb' (the transpose-free training layout). The mask DRAWS are layout-
+    independent (same rng stream), only the broadcast differs — the tfb
+    result is bitwise the transposed bft result (tests/test_tfb_train.py)."""
+    if layout == "tfb":
+        T, F, B = spec.shape
+        mask = _axis_mask(rng, B, T, time_mask_param, iid_masks)  # (B|1, T)
+        return jnp.where(mask.T[:, None, :], mask_value, spec)
     B, F, T = spec.shape
     mask = _axis_mask(rng, B, T, time_mask_param, iid_masks)  # (B|1, T)
     return jnp.where(mask[:, None, :], mask_value, spec)
 
 
-def frequency_masking(rng, spec, freq_mask_param=8, iid_masks=True, mask_value=0.0):
+def frequency_masking(rng, spec, freq_mask_param=8, iid_masks=True,
+                      mask_value=0.0, layout="bft"):
+    if layout == "tfb":
+        T, F, B = spec.shape
+        mask = _axis_mask(rng, B, F, freq_mask_param, iid_masks)  # (B|1, F)
+        return jnp.where(mask.T[None, :, :], mask_value, spec)
     B, F, T = spec.shape
     mask = _axis_mask(rng, B, F, freq_mask_param, iid_masks)  # (B|1, F)
     return jnp.where(mask[:, :, None], mask_value, spec)
@@ -55,8 +68,15 @@ SPEC_TRANSFORMS = {
 }
 
 
-def parse_spectransforms(transforms) -> Callable:
-    """List [{name: kwargs}] or dict {name: kwargs} -> fn(rng, spec)."""
+def parse_spectransforms(transforms, layout: str = "bft") -> Callable:
+    """List [{name: kwargs}] or dict {name: kwargs} -> fn(rng, spec).
+
+    ``layout`` must match the mel orientation the model trains in ('bft'
+    reference default, 'tfb' transpose-free) — the built callable carries
+    it as ``apply.layout`` so models.uit.forward can refuse a mismatched
+    pairing instead of silently masking the wrong axes."""
+    if layout not in ("bft", "tfb"):
+        raise ValueError(f"spec transforms support 'bft'/'tfb', got {layout!r}")
     items = []
     if isinstance(transforms, dict):
         items = list(transforms.items())
@@ -67,7 +87,8 @@ def parse_spectransforms(transforms) -> Callable:
         items = []
     else:
         raise ValueError(f"bad spectransforms {transforms!r}")
-    fns = [functools.partial(SPEC_TRANSFORMS[name], **(kw or {})) for name, kw in items]
+    fns = [functools.partial(SPEC_TRANSFORMS[name], layout=layout, **(kw or {}))
+           for name, kw in items]
 
     def apply(rng, spec):
         for fn in fns:
@@ -75,4 +96,5 @@ def parse_spectransforms(transforms) -> Callable:
             spec = fn(r, spec)
         return spec
 
+    apply.layout = layout
     return apply if fns else None

@@ -38,6 +38,12 @@ def main(argv=None):
     parser.add_argument("--train", action="store_true",
                         help="benchmark the fused PSL training step instead "
                         "of inference")
+    parser.add_argument("--train-layout", default="bft",
+                        choices=["bft", "tfb"],
+                        help="student mel layout for --train: 'tfb' is the "
+                        "transpose-free fast path (kills the 0.66 ms/step "
+                        "frames-relayout copy at B=1024 — PERF_NOTES "
+                        "round 4; the PSL teacher keeps 'bft')")
     parser.add_argument("--serve", action="store_true",
                         help="benchmark request latency through the "
                         "TaggingService under closed-loop load (p50/p95/p99 "
@@ -190,19 +196,31 @@ def main(argv=None):
         from ..train.steps import build_optimizer
 
         cfg = bench_cfg(args.model)
+        psl_frontend = None
+        if args.train_layout != "bft":
+            import dataclasses as _dc
+
+            if not hasattr(cfg, "mel_layout"):
+                raise SystemExit(
+                    f"--train-layout {args.train_layout} needs a UiT model")
+            cfg = _dc.replace(cfg, mel_layout=args.train_layout)
+            psl_frontend = make_frontend_fn(None, use_pallas=use_pallas,
+                                            precision=prec)
         psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
         params, state = models.build(cfg, jax.random.key(0))
         psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
         optimizer = build_optimizer("AdamW", 1e-3, weight_decay=5e-8)
         opt_state = optimizer.init(params)
-        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas, precision=prec)
+        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas,
+                                    precision=prec, layout=args.train_layout)
         half = B // 2
         # flat [audioset, kws] batches — the Trainer's preassembled fast
         # path (+23%/step vs dict batches, PERF_NOTES round 3)
         step = jax.jit(
             make_train_step(cfg, optimizer, mixup_alpha=0.3, max_grad_norm=1.0,
                             psl_cfg=psl_cfg, psl_split=half,
-                            frontend_fn=frontend),
+                            frontend_fn=frontend,
+                            psl_frontend_fn=psl_frontend),
             donate_argnums=(0, 1, 2),
         )
         rng = np.random.default_rng(0)
@@ -224,7 +242,8 @@ def main(argv=None):
             multi = jax.jit(make_multi_step(
                 make_train_step(cfg, optimizer, mixup_alpha=0.3,
                                 max_grad_norm=1.0, psl_cfg=psl_cfg,
-                                psl_split=half, frontend_fn=frontend),
+                                psl_split=half, frontend_fn=frontend,
+                                psl_frontend_fn=psl_frontend),
                 psl=True),
                 donate_argnums=(0, 1, 2))
             stacked = [jax.tree.map(lambda *xs: jnp.stack(xs),

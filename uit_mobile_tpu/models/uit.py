@@ -318,6 +318,27 @@ def patch_embed_tfb(cfg: UITConfig, params, state, x):
     return tokens + bias_f[None, :, None]          # (B, fg, tg, D)
 
 
+def patch_embed_tfb_train(cfg: UITConfig, p, x):
+    """(T, n_mels, B) NORMALIZED mel -> (B, fg, tg, D) tokens — the
+    UNfolded tfb patch embed for training: init_bn ran in train mode on
+    the mel already (live batch stats — the inference-affine fold of
+    patch_embed_tfb does not apply), so this is the plain linear patch
+    embed consuming the transposed layout directly. Same kernel
+    flattening contract as patch_embed (u = mel-in-patch major)."""
+    T, F, B = x.shape
+    ps = cfg.patch_size
+    fg, tg = F // ps, T // ps
+    if tg < 1:
+        raise ValueError(
+            f"input has {T} mel frames but one {ps}x{ps} patch needs at least {ps}"
+        )
+    x = x[: tg * ps, : fg * ps, :]
+    K = p["kernel"].reshape(ps, ps, -1)            # (mel_p u, time_p v, D)
+    x5 = x.reshape(tg, ps, fg, ps, B)              # [t, v, f, u, b]
+    tokens = jnp.einsum("tvfub,uvd->bftd", x5, K)
+    return tokens + p["bias"][None, None, None]    # (B, fg, tg, D)
+
+
 def chunk_long_mel_tfb(cfg: UITConfig, mel):
     """(T>target, F, B) -> (target, F, n_crops*B): the eval crop rule on
     the transposed layout — windows slice the MAJOR (frame) axis and
@@ -554,20 +575,56 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
             f"score padding as audio — drop lengths or use 'bft'"
         )
     if cfg.mel_layout == "tfb":
-        # fastest serving path: (T, F, B) mel straight from the TRANSPOSED
-        # Pallas kernel (the framing gather's native layout — no relayout
-        # copies anywhere), init_bn folded into the patch embed
-        if train:
-            raise ValueError(
-                "mel_layout='tfb' is an eval/serving optimization; train "
-                "with the default 'bft' layout (BN stat updates cannot be "
-                "folded into the patch embed)"
-            )
+        # fastest serving AND training path: (T, F, B) mel straight from
+        # the TRANSPOSED Pallas kernel (the framing gather's native
+        # layout — no relayout copies anywhere). Eval folds init_bn into
+        # the patch embed; training cannot (live batch stats), so the
+        # train branch runs BN in train mode on the tfb mel and the
+        # UNfolded patch_embed_tfb_train — the 0.66 ms/step frames
+        # relayout copy of the 'bft' row kernel still disappears
+        # (PERF_NOTES round 4; pinned == the bft step in
+        # tests/test_tfb_train.py).
         if frontend_fn is None:  # raise, not assert: survive python -O
             raise ValueError(
                 "mel_layout='tfb' needs a frontend_fn built with "
                 "make_frontend_fn(..., layout='tfb')"
             )
+        if train:
+            if wav.dtype == jnp.int16:
+                raise ValueError(
+                    "training expects normalized float32 waveforms")
+            if spec_augment is not None and (
+                    getattr(spec_augment, "layout", "bft") != "tfb"):
+                raise ValueError(
+                    "mel_layout='tfb' training needs spec transforms built "
+                    "with parse_spectransforms(..., layout='tfb') — a "
+                    "'bft'-layout augment would mask the wrong axes"
+                )
+            if wav_augment is not None:
+                rng, r = jax.random.split(rng)
+                wav = wav_augment(r, wav)
+            mel = frontend_fn(wav)  # (T, F, B)
+            if mixup_lamb is not None:
+                from ..augment.mixup import mixup_tensor
+                mel = mixup_tensor(mel, mixup_lamb, batch_axis=-1)
+            if spec_augment is not None:
+                rng, r = jax.random.split(rng)
+                mel = spec_augment(r, mel)
+            new_state = state
+            if cfg.init_bn:
+                x, bn_state = batch_norm_train(
+                    params["init_bn"], state["init_bn"], mel, axis=1,
+                    momentum=0.01,
+                )
+                new_state = dict(state, init_bn=bn_state)
+            else:
+                x = (mel + 10.0) / 40.0
+            rng, r = jax.random.split(rng)
+            feats = _finish_features(
+                cfg, params, patch_embed_tfb_train(cfg, params["patch_embed"], x),
+                train=True, rng=r,
+            )
+            return forward_head(cfg, params, feats), new_state
         mel = frontend_fn(wav)  # (T, F, B)
         T = mel.shape[0]
         if T > cfg.target_length:

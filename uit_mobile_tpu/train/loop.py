@@ -376,7 +376,17 @@ class Trainer:
             log.info(f"resumed from {resume} at epoch {start_epoch}")
 
         use_pallas = jax.devices()[0].platform == "tpu"
-        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas)
+        # the student trains in its config's mel layout ('bft' reference
+        # default; 'tfb' = the transpose-free fast path, PERF_NOTES round
+        # 4 — set model_args: {mel_layout: tfb}); the PSL teacher always
+        # reads 'bft', so it gets its own frontend when the layouts differ
+        mel_layout = getattr(cfg, "mel_layout", "bft")
+        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas,
+                                    layout=mel_layout)
+        psl_frontend = None
+        if psl_cfg is not None and mel_layout != "bft":
+            psl_frontend = make_frontend_fn(psl_cfg.frontend,
+                                            use_pallas=use_pallas)
         train_step = make_train_step(
             cfg, optimizer,
             loss_name=c.get("loss", "BCELoss"),
@@ -397,8 +407,10 @@ class Trainer:
             psl_split=(None if multihost
                        else c.get("as_batch_size", c["batch_size"] // 2)),
             wav_augment=parse_wavtransforms(c.get("wavtransforms", {})),
-            spec_augment=parse_spectransforms(c.get("spectransforms", {})),
+            spec_augment=parse_spectransforms(c.get("spectransforms", {}),
+                                              layout=mel_layout),
             frontend_fn=frontend,
+            psl_frontend_fn=psl_frontend,
         )
         eval_step = jax.jit(make_eval_step(cfg, frontend_fn=frontend))
 

@@ -231,6 +231,13 @@ def _pretrain_once(config: dict) -> Path:
     model_args.setdefault("target_length", 1012)
     from ..models import get_model_config
 
+    if model_args.get("mel_layout", "bft") != "bft":
+        raise ValueError(
+            "MAE pretraining runs the canonical 'bft' mel path (its masked "
+            "reconstruction target is the bft mel); drop mel_layout from "
+            "the pretrain model_args — the supervised stage picks its own "
+            "training layout (e.g. the 'tfb' fast path) independently"
+        )
     enc = get_model_config(c.get("model", "uit_xs"), outputdim=c.get("num_classes", 527),
                            **model_args)
     cfg = MAEConfig(encoder=enc, mask_ratio=c.get("mask_ratio", 0.75),

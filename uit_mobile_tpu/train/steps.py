@@ -158,6 +158,7 @@ def make_train_step(
     wav_augment: Optional[Callable] = None,
     spec_augment: Optional[Callable] = None,
     frontend_fn: Optional[Callable] = None,
+    psl_frontend_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the fused train step.
 
@@ -188,6 +189,18 @@ def make_train_step(
     """
     assert distill_mode in ("psl", "soft"), distill_mode
     from ..models import MoEUITConfig
+
+    # The teacher consumes the reference 'bft' mel orientation; when the
+    # STUDENT trains in the transpose-free 'tfb' layout (PERF_NOTES round
+    # 4) the shared frontend would hand the teacher a (T, F, B) mel it
+    # misreads — demand an explicit teacher frontend instead of guessing.
+    if (psl_cfg is not None and psl_frontend_fn is None
+            and getattr(model_cfg, "mel_layout", "bft") == "tfb"):
+        raise ValueError(
+            "mel_layout='tfb' training with a PSL teacher needs "
+            "psl_frontend_fn= (the teacher reads 'bft' mel; build one "
+            "with make_frontend_fn(psl_cfg.frontend, layout='bft'))"
+        )
 
     if isinstance(model_cfg, MoEUITConfig):
         raise TypeError(
@@ -233,7 +246,7 @@ def make_train_step(
             t_in = wav[:n_as] if distill_mode == "psl" else wav
             y_teacher = jax.lax.stop_gradient(
                 models.apply(psl_cfg, psl_params, psl_state, t_in,
-                             frontend_fn=frontend_fn)
+                             frontend_fn=psl_frontend_fn or frontend_fn)
             )
             if distill_mode == "psl":
                 # overwrite the audioset rows' first distill_classes target
