@@ -378,7 +378,7 @@ def main():
     train = _train_bench(models, on_tpu)
     peak = device_peak_flops(dev)
     serve_flops_per_clip = uit_forward_flops(cfg, 16000)
-    serve_mfu = train_mfu = None
+    serve_mfu = train_mfu = train_fast_mfu = None
     if peak is not None and on_tpu:
         serve_mfu = clips_per_s * serve_flops_per_clip / peak
         # train: student fwd+bwd (3x) + MobileNetV2 teacher fwd; the
@@ -395,6 +395,9 @@ def main():
             train_step_flops(serve_flops_per_clip) + teacher_per_clip / 2
         )  # teacher scores only the AudioSet half of each batch
         train_mfu = train["train_clips_per_s"] * train_flops_per_clip / peak
+        if "train_fast_clips_per_s" in train:
+            train_fast_mfu = (train["train_fast_clips_per_s"]
+                              * train_flops_per_clip / peak)
 
     # blocking per-batch p50 (diagnostic; includes dispatch/tunnel RTT)
     times = []
@@ -506,6 +509,8 @@ def main():
         record["serve_flops_per_clip"] = round(serve_flops_per_clip)
     if train_mfu is not None:
         record["train_mfu"] = round(train_mfu, 4)
+    if train_fast_mfu is not None:
+        record["train_fast_mfu"] = round(train_fast_mfu, 4)
     if cpu_clips_per_s is not None:
         record["cpu_clips_per_s"] = round(cpu_clips_per_s, 1)
         record["vs_cpu_baseline"] = round(clips_per_s / cpu_clips_per_s, 1)
