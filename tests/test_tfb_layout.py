@@ -105,18 +105,25 @@ def test_tfb_eval_avg_max_and_tail_rule():
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
 
 
-def test_tfb_requires_eval_mode_and_frontend():
+def test_tfb_requires_frontend_and_trains():
+    """Round 4 made tfb a TRAINING layout too (tests/test_tfb_train.py
+    pins equivalence with bft); what remains required is the matching
+    transposed frontend — with none, the guard must raise (ValueError,
+    not assert: it must survive python -O)."""
     cfg = models.get_model_config(
         "uit_xxxs", outputdim=8, target_length=102, depth=1, mel_layout="tfb"
     )
     params, state = models.build(cfg, jax.random.key(0))
     fe = make_frontend_fn(cfg.frontend, use_pallas=False, layout="tfb")
-    with pytest.raises(ValueError, match="tfb"):
-        models.apply(cfg, params, state, jnp.zeros((2, 16000)), train=True,
-                     rng=jax.random.key(1), frontend_fn=fe)
-    # ValueError, not assert: the guard must survive python -O
+    probs, new_state = models.apply(
+        cfg, params, state, jnp.zeros((2, 16000)), train=True,
+        rng=jax.random.key(1), frontend_fn=fe)
+    assert probs.shape == (2, 8) and np.isfinite(np.asarray(probs)).all()
     with pytest.raises(ValueError, match="tfb"):
         models.apply(cfg, params, state, jnp.zeros((2, 16000)))
+    with pytest.raises(ValueError, match="tfb"):
+        models.apply(cfg, params, state, jnp.zeros((2, 16000)), train=True,
+                     rng=jax.random.key(1))
 
 
 def test_tfb_xla_fallback_frontend():
