@@ -86,8 +86,22 @@ class WeakHDF5Dataset:
             cache[hdf5path] = _H5File(hdf5path, "r")
         return cache[hdf5path]
 
+    def _node(self, hdf5path: str, fname: str):
+        """The h5py dataset node for one manifest row, with a useful error:
+        h5py's bare KeyError doesn't say which FILE was searched, and a
+        basename-mode mismatch (manifest stores paths, HDF5 keys are
+        basenames or vice versa) is the most common way to hit it."""
+        try:
+            return self._file(hdf5path)[fname]
+        except KeyError:
+            raise KeyError(
+                f"waveform key {fname!r} not found in {hdf5path} — check "
+                f"the manifest's filename column against the HDF5 keys "
+                f"(a basename=True/False mismatch drops or mangles paths)"
+            ) from None
+
     def _read(self, hdf5path: str, fname: str) -> np.ndarray:
-        return _convert(self._file(hdf5path)[fname][:], self._dtype)
+        return _convert(self._node(hdf5path, fname)[:], self._dtype)
 
     def __getitem__(self, index: int):
         row = self._dataframe.iloc[index]
@@ -108,7 +122,7 @@ class WeakRandomCropHDF5Dataset(WeakHDF5Dataset):
         self._rng = rng or _random.Random()
 
     def _read(self, hdf5path: str, fname: str) -> np.ndarray:
-        node = self._file(hdf5path)[fname]
+        node = self._node(hdf5path, fname)
         n = node.shape[-1]
         L = self.chunk_length
         if n > L:
@@ -146,7 +160,7 @@ class WeakChunkedHDF5Dataset(WeakHDF5Dataset):
     def __getitem__(self, index: int):
         row = self._dataframe.iloc[index]
         target = multihot(row["labels"], self._num_classes)
-        node = self._file(row["hdf5path"])[row["filename"]]
+        node = self._node(row["hdf5path"], row["filename"])
         # clamp BOTH ends into the clip: an annotation overrun with
         # from >= len would slice empty (silence with positive labels);
         # a negative 'from' would h5py-wrap and read the clip's TAIL
@@ -215,7 +229,7 @@ class StrongFramewiseHDF5Dataset(WeakHDF5Dataset):
 
         rng = _random.Random(0x5ED0 + index) if self._det else self._rng
         row = self._dataframe.iloc[index]
-        node = self._file(row["hdf5path"])[row["filename"]]
+        node = self._node(row["hdf5path"], row["filename"])
         n, L = node.shape[-1], self._chunk
         if n > L:
             ws = rng.randint(0, n - L - 1)

@@ -174,6 +174,13 @@ def pad_batch_native(waves: Sequence[np.ndarray], threads: int = 4):
 
 
 def multihot_batch_native(label_lists: Sequence[Sequence[int]], n_classes: int):
+    """Batch multi-hot scatter (C++ when built, numpy fallback).
+
+    Contract note: out-of-range indices are silently DROPPED here (both
+    backends agree — tests/test_native.py), because this is the collate-
+    side utility for already-validated label lists. The dataset-level
+    ``data.manifest.multihot`` instead RAISES on an out-of-range label:
+    there it's a manifest/num_classes mismatch the user must fix."""
     lib = _load()
     b = len(label_lists)
     if lib is None:
