@@ -126,7 +126,11 @@ def _train_bench(models, on_tpu):
     psl_cfg_fast = models.get_model_config("MobileNetV2", outputdim=527,
                                            compute_dtype="bfloat16")
     psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
-    frontend = make_frontend_fn(None, use_pallas=on_tpu, precision="fast")
+    # built from the teacher's OWN frontend config (train/loop.py wiring);
+    # the UiT student's default frontend is identical, so the parity step
+    # shares it
+    frontend = make_frontend_fn(psl_cfg.frontend, use_pallas=on_tpu,
+                                precision="fast")
     rng = np.random.default_rng(0)
 
     # flat [audioset, kws] batches: the Trainer's preassembled fast path

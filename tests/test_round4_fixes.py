@@ -73,6 +73,19 @@ class TestGscTieMode:
         assert "tie_mode" in sig.parameters
         assert sig.parameters["tie_mode"].default == "first"
 
+    def test_sweep_uses_the_same_tie_protocol(self):
+        """--sweep rows must use the SAME tie protocol as the headline:
+        at the tied case the curve's Accuracy@0.2 equals gsc_accuracy
+        under the chosen mode, for BOTH modes."""
+        from uit_mobile_tpu.evaluate.metrics import kws_threshold_sweep
+
+        y_pred, y_true = self._tied_case()
+        for mode in ("first", "reference"):
+            curve = kws_threshold_sweep(y_pred, y_true, thresholds=(0.2,),
+                                        tie_mode=mode)
+            assert curve[0.2]["Accuracy"] == gsc_accuracy(
+                y_pred, y_true, threshold=0.2, tie_mode=mode)
+
 
 # ------------------------------------------------ dispatch-depth knob
 
@@ -300,3 +313,26 @@ def test_calibrate_defaults_num_classes_to_head_width(tmp_path):
     # a 12-wide head calibrates without --num-classes (pre-fix: shape
     # error from the hardcoded 537)
     assert "temperature" in res and np.isfinite(res["ECE_before"])
+
+
+# ------------------------------------------------ predictions dump
+
+
+def test_dump_predictions_npz(tmp_path):
+    """--dump-predictions: raw probs/targets/filenames land in one .npz,
+    row-aligned with the manifest, and the dumped probs reproduce the
+    reported metric exactly."""
+    from uit_mobile_tpu.evaluate import Evaluator
+    from uit_mobile_tpu.evaluate.metrics import gsc_accuracy
+
+    ckpt, tsv = _eval_fixture(tmp_path)
+    out = tmp_path / "preds.npz"
+    ev = Evaluator(str(ckpt), batch_size=4, num_workers=0)
+    res = ev.gsc(eval_data=str(tsv), dump_predictions=str(out))
+    dumped = np.load(out, allow_pickle=True)
+    assert dumped["preds"].shape == (10, 12)
+    assert dumped["targets"].shape == (10, 12)
+    assert list(dumped["filenames"]) == [f"c{i}.wav" for i in range(10)]
+    # the dump IS the metric input: recomputing from it matches the report
+    assert res["Accuracy@0.2"] == gsc_accuracy(
+        dumped["preds"], dumped["targets"], threshold=0.2)

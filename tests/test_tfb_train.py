@@ -137,6 +137,36 @@ def test_train_forward_tfb_rejects_bft_augments_and_int16():
                         rng=jax.random.key(0), frontend_fn=fe_t)
 
 
+def test_train_forward_bft_rejects_tfb_augments():
+    """The converse guard: a 'tfb'-built spec augment on a bft model
+    broadcasts without error ((B,1,T) onto (B,F,T)) but masks the wrong
+    axes — it must raise, symmetric to the tfb branch's check."""
+    cfg_b, _ = _cfgs()
+    params, state = models.build(cfg_b, jax.random.key(0))
+    fe_b = make_frontend_fn(cfg_b.frontend, use_pallas=False, layout="bft")
+    with pytest.raises(ValueError, match="layout='bft'"):
+        uit_mod.forward(cfg_b, params, state, _wav(), train=True,
+                        rng=jax.random.key(0),
+                        spec_augment=_spec_aug("tfb"), frontend_fn=fe_b)
+
+
+def test_train_forward_tfb_tolerates_rng_none():
+    """No augments, no mixup, no dropout -> rng=None trains on BOTH
+    layouts (BN-stat-only fine-tuning); the tfb branch used to crash in
+    jax.random.split where bft guarded."""
+    cfg_b, cfg_t = _cfgs(init_bn=True)
+    params, state = models.build(cfg_b, jax.random.key(0))
+    wav = _wav()
+    fe_b = make_frontend_fn(cfg_b.frontend, use_pallas=False, layout="bft")
+    fe_t = make_frontend_fn(cfg_t.frontend, use_pallas=False, layout="tfb")
+    pb, sb = uit_mod.forward(cfg_b, params, state, wav, train=True,
+                             rng=None, frontend_fn=fe_b)
+    pt, st = uit_mod.forward(cfg_t, params, state, wav, train=True,
+                             rng=None, frontend_fn=fe_t)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pt),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_full_psl_step_tfb_matches_bft():
     """One fused PSL train step in each layout: loss, grad norm, updated
     params agree (separate teacher frontend on the tfb side)."""

@@ -196,6 +196,7 @@ def main(argv=None):
         from ..train.steps import build_optimizer
 
         cfg = bench_cfg(args.model)
+        psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
         psl_frontend = None
         if args.train_layout != "bft":
             import dataclasses as _dc
@@ -204,9 +205,11 @@ def main(argv=None):
                 raise SystemExit(
                     f"--train-layout {args.train_layout} needs a UiT model")
             cfg = _dc.replace(cfg, mel_layout=args.train_layout)
-            psl_frontend = make_frontend_fn(None, use_pallas=use_pallas,
+            # the teacher's OWN frontend config (train/loop.py wiring) —
+            # make_frontend_fn(None) only coincidentally matches today
+            psl_frontend = make_frontend_fn(psl_cfg.frontend,
+                                            use_pallas=use_pallas,
                                             precision=prec)
-        psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
         params, state = models.build(cfg, jax.random.key(0))
         psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
         optimizer = build_optimizer("AdamW", 1e-3, weight_decay=5e-8)

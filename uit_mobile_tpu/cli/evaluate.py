@@ -29,6 +29,9 @@ def main(argv=None):
                       default="datasets/audioset/data/labels/eval.csv")
     p_as.add_argument("--batch-size", type=int, default=32)
     p_as.add_argument("--label-csv", default=None)
+    p_as.add_argument("--dump-predictions", default=None, metavar="NPZ",
+                      help="also write raw per-clip probs/targets/filenames "
+                      "to this .npz (offline error analysis / ensembling)")
 
     p_gsc = sub.add_parser("gsc")
     p_gsc.add_argument("experiment_path")
@@ -47,6 +50,9 @@ def main(argv=None):
                        "'reference' reproduces the reference's "
                        "keep-all-ties equality mask (evaluate.py:217-219) "
                        "bit-for-bit")
+    p_gsc.add_argument("--dump-predictions", default=None, metavar="NPZ",
+                       help="also write raw per-clip probs/targets/"
+                       "filenames to this .npz")
 
     p_ts = sub.add_parser("test_sample")
     p_ts.add_argument("experiment_path")
@@ -193,7 +199,8 @@ def main(argv=None):
         print({k: v for k, v in results.items() if not hasattr(v, "shape")})
     elif args.command == "audioset":
         results = ev.audioset(audioset_eval_data=args.audioset_eval_data,
-                              label_csv=args.label_csv)
+                              label_csv=args.label_csv,
+                              dump_predictions=args.dump_predictions)
         print({k: v for k, v in results.items() if not hasattr(v, "shape")})
     elif args.command == "calibrate":
         results = ev.calibrate(eval_data=args.eval_data,
@@ -207,7 +214,8 @@ def main(argv=None):
     elif args.command == "gsc":
         results = ev.gsc(eval_data=args.eval_data, threshold=args.threshold,
                          pad=args.pad, sweep=args.sweep,
-                         tie_mode=args.tie_mode)
+                         tie_mode=args.tie_mode,
+                         dump_predictions=args.dump_predictions)
         print({k: v for k, v in results.items() if not k.startswith("_")})
     elif args.command == "strong":
         strong_threshold = args.threshold

@@ -288,9 +288,24 @@ class Evaluator:
 
     # ---------------------------------------------------------------- targets
 
+    @staticmethod
+    def _dump_predictions(path, df, preds: np.ndarray, targets: np.ndarray):
+        """Raw per-clip probabilities + targets + filenames to one .npz —
+        the offline error-analysis / post-hoc-ensembling artifact the
+        metric numbers hide. Row order is the manifest's (the epoch loader
+        runs shuffle=False and the async/scan windows preserve order)."""
+        np.savez_compressed(
+            path, preds=preds.astype(np.float32),
+            targets=targets.astype(np.float32),
+            filenames=np.asarray(df["filename"], dtype=object),
+        )
+        log.info(f"wrote predictions ({preds.shape[0]} clips x "
+                 f"{preds.shape[1]} classes) to {path}")
+
     def audioset(self, experiment_path: Optional[str] = None,
                  audioset_eval_data: str = "datasets/audioset/data/labels/eval.csv",
-                 label_csv: Optional[str] = None):
+                 label_csv: Optional[str] = None,
+                 dump_predictions: Optional[str] = None):
         self._setup(experiment_path)
         df = read_tsv_data(audioset_eval_data)
         # Build targets at the checkpoint's head width (>=527): unified
@@ -300,6 +315,8 @@ class Evaluator:
         # (evaluate.py:100-110), with the sliced mAPs added when wider.
         num_classes = max(527, getattr(self._resolved[0], "outputdim", 527))
         preds, targets = self._run_epoch(df, num_classes=num_classes)
+        if dump_predictions is not None:
+            self._dump_predictions(dump_predictions, df, preds, targets)
         results = compute_metrics(AUDIOSET_METRICS, preds[:, :527], targets[:, :527])
         if num_classes > 527 and targets[:, 527:].any():
             # manifest carries keyword positives -> report the KWS slice
@@ -362,15 +379,18 @@ class Evaluator:
     def gsc(self, experiment_path: Optional[str] = None,
             eval_data: str = "datasets/gsc/data/labels/test_gsc_aslabels.tsv",
             threshold: float = 0.2, pad: bool = False, detailed: bool = False,
-            sweep: bool = False, tie_mode: str = "first"):
+            sweep: bool = False, tie_mode: str = "first",
+            dump_predictions: Optional[str] = None):
         return self._kws(experiment_path, eval_data, threshold=threshold,
                          label_name="GSC", pad=pad, detailed=detailed,
-                         sweep=sweep, tie_mode=tie_mode)
+                         sweep=sweep, tie_mode=tie_mode,
+                         dump_predictions=dump_predictions)
 
     def _kws(self, experiment_path, eval_data, threshold: float = 0.2,
              label_name: str = "GSC", pad: bool = False,
              detailed: bool = False, sweep: bool = False,
-             tie_mode: str = "first"):
+             tie_mode: str = "first",
+             dump_predictions: Optional[str] = None):
         self._setup(experiment_path)
         # the checkpoint's training config decides whether manifests index
         # by basename (reference evaluate.py:200-201: config.get('basename',
@@ -381,13 +401,15 @@ class Evaluator:
         num_classes = getattr(self._resolved[0], "outputdim", 537)
         preds, targets = self._run_epoch(df, num_classes=num_classes,
                                          pad_to_target=pad)
+        if dump_predictions is not None:
+            self._dump_predictions(dump_predictions, df, preds, targets)
         acc = gsc_accuracy(preds, targets, threshold=threshold,
                            tie_mode=tie_mode)
         results = {f"Accuracy@{threshold}": acc}
         if sweep:
             from .metrics import kws_threshold_sweep
 
-            curve = kws_threshold_sweep(preds, targets)
+            curve = kws_threshold_sweep(preds, targets, tie_mode=tie_mode)
             for t, row in curve.items():
                 log.info(
                     f"threshold {t:.2f}: "
@@ -686,10 +708,7 @@ class Evaluator:
                 row = {k: v for k, v in scores.items()
                        if not k.startswith("_")}
                 s_tp, s_fp, s_fn = sweep_seg[th]
-                row["Segment_Micro_F1"] = (
-                    float(2 * s_tp / (2 * s_tp + s_fp + s_fn))
-                    if 2 * s_tp + s_fp + s_fn else 0.0
-                )
+                row["Segment_Micro_F1"] = EventScorer._prf(s_tp, s_fp, s_fn)[2]
                 curve[th] = row
             results["_event_operating_curve"] = curve
             # operating-point guidance: the sweep thresholds that maximize

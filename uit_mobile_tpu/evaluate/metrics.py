@@ -334,11 +334,15 @@ def segment_scores_from_counts(tp: np.ndarray, fp: np.ndarray,
 
 
 def kws_threshold_sweep(y_pred: np.ndarray, y_true_multihot: np.ndarray,
-                        thresholds=None, n_audioset: int = 527) -> dict:
+                        thresholds=None, n_audioset: int = 527,
+                        tie_mode: str = "first") -> dict:
     """Operating curve across decision thresholds: GSC accuracy, filler
     false-accept rate and macro false-reject rate per threshold — the
     deployment tuning view behind the reference's single Accuracy@0.2
-    number. -> {threshold: {metric: value}} (sorted by threshold)."""
+    number. ``tie_mode`` is forwarded to gsc_accuracy so the curve uses
+    the SAME protocol as the headline number (a mixed-protocol curve
+    would disagree with Accuracy@t on exact-float ties).
+    -> {threshold: {metric: value}} (sorted by threshold)."""
     if thresholds is None:
         thresholds = (0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9)
     out: dict = {}
@@ -346,7 +350,8 @@ def kws_threshold_sweep(y_pred: np.ndarray, y_true_multihot: np.ndarray,
         op = kws_operating_metrics(y_pred, y_true_multihot, threshold=t,
                                    n_audioset=n_audioset)
         row = {"Accuracy": gsc_accuracy(y_pred, y_true_multihot, threshold=t,
-                                        n_audioset=n_audioset)}
+                                        n_audioset=n_audioset,
+                                        tie_mode=tie_mode)}
         for k in ("filler_false_accept_rate", "macro_false_reject_rate"):
             if k in op:
                 row[k] = op[k]

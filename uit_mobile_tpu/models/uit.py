@@ -619,7 +619,10 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
                 new_state = dict(state, init_bn=bn_state)
             else:
                 x = (mel + 10.0) / 40.0
-            rng, r = jax.random.split(rng)
+            if rng is not None:  # same rng=None tolerance as the bft path
+                rng, r = jax.random.split(rng)
+            else:
+                r = None
             feats = _finish_features(
                 cfg, params, patch_embed_tfb_train(cfg, params["patch_embed"], x),
                 train=True, rng=r,
@@ -684,6 +687,14 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
         from ..augment.mixup import mixup_tensor
         mel = mixup_tensor(mel, mixup_lamb)
     if train and spec_augment is not None:
+        # symmetric to the tfb branch's guard: a 'tfb'-layout augment on a
+        # (B, F, T) mel broadcasts without error but masks the wrong axes
+        if getattr(spec_augment, "layout", "bft") != "bft":
+            raise ValueError(
+                f"mel_layout='bft' training needs spec transforms built "
+                f"with parse_spectransforms(..., layout='bft'); got "
+                f"layout={getattr(spec_augment, 'layout', None)!r}"
+            )
         rng, r = jax.random.split(rng)
         mel = spec_augment(r, mel)
 

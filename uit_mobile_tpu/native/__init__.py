@@ -77,7 +77,9 @@ def parse_wav16_native(buf: bytes):
 
     -> (rc, pcm_int16_view_or_None, channels, sample_rate). rc is
     uit_parse_wav16's error code (0 ok, 1 bad header, 2 no fmt before
-    data, 3 unsupported codec, 4 no data chunk — uitdata.cc:28-77); on
+    data, 3 unsupported codec, 4 no data chunk — uitdata.cc:28-77;
+    5 parsed but zero frames or channels, produced HERE so callers have
+    one success condition); on
     rc==0 the int16 array VIEWS `buf` (caller keeps `buf` alive). The
     parser is defensive against untrusted bytes: lying chunk lengths
     clamp to the buffer, truncated chunks terminate the walk — fuzzed in
