@@ -188,12 +188,17 @@ def _train_bench(models, on_tpu):
                                                    mel_layout="tfb")
         fe_tfb = make_frontend_fn(None, use_pallas=on_tpu, precision="fast",
                                   layout="tfb")
+        # teacher mel through the transposed kernel + one transpose back
+        # to bft: bitwise-equal, 1.15x teacher / +6% full step
+        # (tools/probe_teacher_tfb.py)
+        fe_teacher = make_frontend_fn(psl_cfg.frontend, use_pallas=on_tpu,
+                                      precision="fast", layout="tfb_to_bft")
         multi = jax.jit(
             make_multi_step(
                 make_train_step(cfg, opt, mixup_alpha=0.3, max_grad_norm=1.0,
                                 psl_cfg=psl_cfg_fast, psl_split=B_fast // 2,
                                 frontend_fn=fe_tfb,
-                                psl_frontend_fn=frontend),
+                                psl_frontend_fn=fe_teacher),
                 psl=True),
             donate_argnums=(0, 1, 2),
         )
@@ -224,7 +229,8 @@ def _train_bench(models, on_tpu):
         record.update(train_fast_step_ms=round(dt * 1e3, 2),
                       train_fast_clips_per_s=round(B_fast / dt, 1),
                       train_fast_batch=B_fast,
-                      train_fast_mode=f"tfb+bfloat16+scan{K}+bf16teacher")
+                      train_fast_mode=(f"tfb+bfloat16+scan{K}+bf16teacher"
+                                       f"+tfbTeacherMel"))
     except Exception as e:  # never let the fast record sink the headline
         print(f"# train fast record unavailable: {e}", file=sys.stderr)
     return record

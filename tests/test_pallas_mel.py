@@ -65,3 +65,33 @@ def test_make_frontend_fn_model_integration():
     a = models.apply(cfg, params, state, wav)
     b = models.apply(cfg, params, state, wav, frontend_fn=make_frontend_fn(cfg.frontend, use_pallas=True))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_tfb_to_bft_frontend_matches_bft():
+    """layout='tfb_to_bft' (the PSL-teacher fast route: transposed kernel
+    + one transpose back) emits the canonical (B, F, T) mel equal to the
+    row kernel's; exact precision and small batches route through the row
+    kernel itself (identity). On the real TPU the fast route is BITWISE
+    (tools/probe_teacher_tfb.py drift 0.0); interpret mode runs the same
+    program in f32 so a tiny reassociation tolerance applies."""
+    import numpy as np
+
+    from uit_mobile_tpu.frontend import FrontendConfig
+
+    cfg = FrontendConfig()
+    rng = np.random.default_rng(3)
+    for B, prec, tol in ((4, "fast", 0), (4, "exact", 0),
+                         (128, "fast", 1e-4), (128, "exact", 0)):
+        wav = (rng.standard_normal((B, 16000)) * 0.1).astype(np.float32)
+        ref = make_frontend_fn(cfg, use_pallas=True, precision=prec)(wav)
+        got = make_frontend_fn(cfg, use_pallas=True, precision=prec,
+                               layout="tfb_to_bft")(wav)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=tol, rtol=0)
+
+    # non-pallas path: plain bft chain
+    wav = (rng.standard_normal((4, 16000)) * 0.1).astype(np.float32)
+    a = make_frontend_fn(cfg, use_pallas=False)(wav)
+    b = make_frontend_fn(cfg, use_pallas=False, layout="tfb_to_bft")(wav)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

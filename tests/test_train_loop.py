@@ -364,3 +364,19 @@ def test_train_smoke_ema_and_grad_accum(tmp_path, synth_env):
     diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
              for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(raw))]
     assert max(diffs) > 0
+
+
+def test_frontend_precision_knob(tmp_path, synth_env):
+    """frontend_precision: 'fast' trains end-to-end (the measured
+    frontier mode); anything else fails loudly before training."""
+    from uit_mobile_tpu.train.loop import train_from_config
+
+    cfg = base_config(tmp_path, synth_env, frontend_precision="fast",
+                      epochs=1, epoch_length=2)
+    assert train_from_config(cfg).exists()
+
+    import pytest as _pytest
+    bad = base_config(tmp_path, synth_env, frontend_precision="speedy",
+                      epochs=1, epoch_length=2)
+    with _pytest.raises(ValueError, match="frontend_precision"):
+        train_from_config(bad)

@@ -206,10 +206,13 @@ def main(argv=None):
                     f"--train-layout {args.train_layout} needs a UiT model")
             cfg = _dc.replace(cfg, mel_layout=args.train_layout)
             # the teacher's OWN frontend config (train/loop.py wiring) —
-            # make_frontend_fn(None) only coincidentally matches today
+            # make_frontend_fn(None) only coincidentally matches today;
+            # tfb_to_bft = transposed kernel + transpose back (bitwise at
+            # fast precision, 1.15x teacher — tools/probe_teacher_tfb.py)
             psl_frontend = make_frontend_fn(psl_cfg.frontend,
                                             use_pallas=use_pallas,
-                                            precision=prec)
+                                            precision=prec,
+                                            layout="tfb_to_bft")
         params, state = models.build(cfg, jax.random.key(0))
         psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
         optimizer = build_optimizer("AdamW", 1e-3, weight_decay=5e-8)

@@ -392,10 +392,36 @@ def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = Tr
 
     layout='btf'/'tfb' must pair with a model config whose mel_layout
     matches (models.uit consumes the layout directly, no transposes).
+    layout='tfb_to_bft' emits the canonical (B, F, T) mel but computes
+    it through the TRANSPOSED kernel + one explicit transpose — bitwise
+    equal to the row kernel on TPU and 1.15x faster at B>=128 (the row
+    kernel's internal frames-relayout copy costs more than the output
+    transpose; tools/probe_teacher_tfb.py) — built for bft consumers
+    like the PSL teacher; small batches and the non-pallas path fall
+    back to the plain bft chain.
     block_rows tunes the kernel's grid block (pallas path only; for
     'tfb' it is the batch-block width)."""
     config = config or FrontendConfig()
     if use_pallas:
+        if layout == "tfb_to_bft":
+            def fe(wav):
+                # the transposed-kernel route engages only where it is
+                # BITWISE equal to the row kernel: fast precision (pinned
+                # on-chip) at tfb-gate batch sizes. Exact precision keeps
+                # the row kernel (the exact tfb kernel carries a 6.9e-5 dB
+                # accumulation-direction drift — PERF_NOTES round 2);
+                # below the lane gate the tfb kernel IS the row kernel
+                # plus transposes.
+                if precision != "fast" or wav.shape[0] < 128:
+                    return pallas_log_mel(wav, config, precision=precision,
+                                          layout="bft",
+                                          block_rows=block_rows)
+                return jnp.transpose(
+                    pallas_log_mel(wav, config, precision=precision,
+                                   layout="tfb", block_rows=block_rows),
+                    (2, 1, 0))
+
+            return fe
         return lambda wav: pallas_log_mel(wav, config, precision=precision,
                                           layout=layout, block_rows=block_rows)
     from ..frontend.mel import log_mel_spectrogram  # accepts int16 PCM too
@@ -405,4 +431,4 @@ def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = Tr
     if layout == "tfb":
         return lambda wav: jnp.transpose(log_mel_spectrogram(wav, config),
                                          (2, 1, 0))
-    return lambda wav: log_mel_spectrogram(wav, config)
+    return lambda wav: log_mel_spectrogram(wav, config)  # 'bft'/'tfb_to_bft'

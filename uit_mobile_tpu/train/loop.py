@@ -379,14 +379,26 @@ class Trainer:
         # the student trains in its config's mel layout ('bft' reference
         # default; 'tfb' = the transpose-free fast path, PERF_NOTES round
         # 4 — set model_args: {mel_layout: tfb}); the PSL teacher always
-        # reads 'bft', so it gets its own frontend when the layouts differ
+        # reads 'bft', through the tfb_to_bft route (bitwise-equal mel,
+        # 1.15x teacher / +6% full-step at the frontier —
+        # tools/probe_teacher_tfb.py; engages only at fast precision).
+        # frontend_precision: 'exact' (default, bit-parity kernels) or
+        # 'fast' (3-pass bf16 DFT, <=3e-4 prob drift — the measured
+        # training-frontier mode; convergence verified on-chip).
+        fe_prec = str(c.get("frontend_precision", "exact"))
+        if fe_prec not in ("exact", "fast"):
+            raise ValueError(
+                f"frontend_precision must be 'exact' or 'fast', got "
+                f"{fe_prec!r}")
         mel_layout = getattr(cfg, "mel_layout", "bft")
         frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas,
-                                    layout=mel_layout)
+                                    precision=fe_prec, layout=mel_layout)
         psl_frontend = None
-        if psl_cfg is not None and mel_layout != "bft":
+        if psl_cfg is not None:
             psl_frontend = make_frontend_fn(psl_cfg.frontend,
-                                            use_pallas=use_pallas)
+                                            use_pallas=use_pallas,
+                                            precision=fe_prec,
+                                            layout="tfb_to_bft")
         train_step = make_train_step(
             cfg, optimizer,
             loss_name=c.get("loss", "BCELoss"),

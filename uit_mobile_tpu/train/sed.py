@@ -218,8 +218,13 @@ def _train_sed_body(c: dict, outputdir) -> Path:
     opt_state = optimizer.init(params)
     wav_aug = parse_wavtransforms(c["wavtransforms"]) if c.get("wavtransforms") else None
     spec_aug = parse_spectransforms(c["spectransforms"]) if c.get("spectransforms") else None
+    fe_prec = str(c.get("frontend_precision", "exact"))
+    if fe_prec not in ("exact", "fast"):
+        raise ValueError(f"frontend_precision must be 'exact' or 'fast', "
+                         f"got {fe_prec!r}")
     frontend = make_frontend_fn(
-        cfg.frontend, use_pallas=(jax.devices()[0].platform == "tpu")
+        cfg.frontend, use_pallas=(jax.devices()[0].platform == "tpu"),
+        precision=fe_prec,
     )
     step_fn = make_framewise_train_step(
         cfg, optimizer, loss_name=c.get("loss", "BCELoss"),
