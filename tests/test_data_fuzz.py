@@ -242,3 +242,46 @@ def test_dataset_fuzz_manifest_rows(h5file):
         assert wav.ndim == 1 and wav.dtype == np.float32
         assert target.shape == (10,)
         assert set(np.unique(target)) <= {0.0, 1.0}
+
+
+# ------------------------------------------------------------- config YAML
+
+def test_config_non_mapping_yaml_rejected(tmp_path):
+    from uit_mobile_tpu.utils.config import parse_config_or_kwargs
+
+    for bad in ("just a string\n", "- a\n- b\n", "3.14\n"):
+        p = tmp_path / "c.yaml"
+        p.write_text(bad)
+        with pytest.raises(ValueError, match="YAML mapping"):
+            parse_config_or_kwargs(str(p))
+
+
+def test_config_yaml_fuzz(tmp_path):
+    """Random mutations of a valid config: parse or raise ValueError/
+    yaml errors — never an unnamed crash."""
+    import yaml as _yaml
+
+    from uit_mobile_tpu.utils.config import parse_config_or_kwargs
+
+    base = "model: uit_xs\nbatch_size: 32\nmixup: null\noptimizer: AdamW\n"
+    rng = random.Random(0xC0F6)
+    junk = [":", "-", "{", "}", "[", "\t", "!!", "&", "*", "#", "%"]
+    for _ in range(150):
+        chars = list(base)
+        for _ in range(rng.randint(1, 4)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(chars))
+            if op == 0:
+                chars[pos] = rng.choice(junk)
+            elif op == 1:
+                chars.insert(pos, rng.choice(junk))
+            else:
+                del chars[pos]
+        p = tmp_path / "fuzz.yaml"
+        p.write_text("".join(chars))
+        try:
+            cfg = parse_config_or_kwargs(str(p))
+        except Exception as e:
+            assert isinstance(e, (ValueError, _yaml.YAMLError)), repr(e)
+        else:
+            assert isinstance(cfg, dict) and "batch_size" in cfg

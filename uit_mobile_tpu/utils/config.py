@@ -54,6 +54,13 @@ def parse_config_or_kwargs(config_file, default_args: dict | None = None, **kwar
     """YAML <- CLI kwargs <- defaults merge (reference utils.py:209-222)."""
     with open(config_file) as f:
         yaml_config = yaml.safe_load(f) or {}
+    if not isinstance(yaml_config, dict):
+        # a scalar/list top level would die in dict() with a message that
+        # names neither the file nor the problem
+        raise ValueError(
+            f"config {config_file} must be a YAML mapping of option keys, "
+            f"got {type(yaml_config).__name__}"
+        )
     arguments = dict(yaml_config, **kwargs)
     for key, value in (default_args or DEFAULT_ARGS).items():
         arguments.setdefault(key, value)
