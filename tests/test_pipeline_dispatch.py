@@ -73,3 +73,31 @@ def test_scanned_forward_int16_and_unroll():
     b = np.asarray(jax.jit(make_scanned_forward(fwd, unroll=2))(pcm))
     np.testing.assert_array_equal(a, b)
     assert a.shape == (2, 3, 9)
+
+
+def test_forward_fn_routes_mbv2_through_tfb_to_bft():
+    """Non-UiT configs (MobileNetV2) route their mel through the
+    transposed kernel + transpose back (bitwise at fast precision,
+    +8.3% serving on the v5e — PERF_NOTES round 4): make_forward_fn's
+    probs must equal the direct bft-frontend forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uit_mobile_tpu import models
+    from uit_mobile_tpu.ops import make_frontend_fn
+    from uit_mobile_tpu.ops.pipeline import make_forward_fn
+
+    cfg = models.get_model_config("MobileNetV2", outputdim=21)
+    params, state = models.build(cfg, jax.random.key(0))
+    wav = (np.random.default_rng(0).standard_normal((4, 16000)) * 0.1
+           ).astype(np.float32)
+    for prec in ("fast", "exact"):
+        fn = make_forward_fn(cfg, params, state, use_pallas=True,
+                             precision=prec)
+        direct = models.apply(
+            cfg, params, state, jnp.asarray(wav),
+            frontend_fn=make_frontend_fn(cfg.frontend, use_pallas=True,
+                                         precision=prec))
+        np.testing.assert_allclose(np.asarray(fn(jnp.asarray(wav))),
+                                   np.asarray(direct), atol=2e-5)

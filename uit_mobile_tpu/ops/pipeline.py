@@ -65,6 +65,14 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
     eligible = use_pallas and isinstance(cfg, models.UITConfig)
     use_fast_layout = eligible if btf is None else (btf and eligible)
     layout = "tfb" if use_fast_layout else "bft"
+    if use_pallas and not isinstance(cfg, models.UITConfig):
+        # bft consumers (MobileNetV2): mel via the transposed kernel + one
+        # transpose back — bitwise at fast precision (exact/small batches
+        # keep the row kernel inside the helper) and it skips the row
+        # kernel's internal frames-relayout: 156.4k -> 169.5k clips/s
+        # (+8.3%, drift 0.0) at B=2048 int16 fast on the v5e
+        # (PERF_NOTES round 4, MobileNetV2 serving)
+        layout = "tfb_to_bft"
     fe_cfg = getattr(cfg, "frontend", None)
     if top_db_mode is not None and fe_cfg is not None:
         fe_cfg = dataclasses.replace(fe_cfg, top_db_mode=top_db_mode)
