@@ -305,8 +305,13 @@ def main(argv=None):
     else:
         cfg = bench_cfg(args.model)
         params, state = models.build(cfg, jax.random.key(0))
-        frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas, precision=prec)
-        fwd = jax.jit(lambda w: models.apply(cfg, params, state, w, frontend_fn=frontend))
+        # the PRODUCTION serving policy (auto layout: tfb for UiT,
+        # tfb_to_bft mel for MobileNetV2) — measuring anything else here
+        # would quote a path serving never runs
+        from ..ops.pipeline import make_forward_fn
+
+        fwd = jax.jit(make_forward_fn(cfg, params, state,
+                                      use_pallas=use_pallas, precision=prec))
         label = f"{args.model}({'pallas' if use_pallas else 'xla'} frontend)"
 
     clips_per_call = B
