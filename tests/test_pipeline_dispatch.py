@@ -88,8 +88,12 @@ def test_forward_fn_routes_mbv2_through_tfb_to_bft():
     from uit_mobile_tpu.ops import make_frontend_fn
     from uit_mobile_tpu.ops.pipeline import make_forward_fn
 
+    from uit_mobile_tpu.ops.pallas_mel import TFB_MIN_BATCH
+
     cfg = models.get_model_config("MobileNetV2", outputdim=21)
     params, state = models.build(cfg, jax.random.key(0))
+    # below the lane gate both legs take the row-kernel fallback — pins
+    # the fallback equality at both precisions
     wav = (np.random.default_rng(0).standard_normal((4, 16000)) * 0.1
            ).astype(np.float32)
     for prec in ("fast", "exact"):
@@ -101,3 +105,17 @@ def test_forward_fn_routes_mbv2_through_tfb_to_bft():
                                          precision=prec))
         np.testing.assert_allclose(np.asarray(fn(jnp.asarray(wav))),
                                    np.asarray(direct), atol=2e-5)
+    # at fast precision and B >= TFB_MIN_BATCH the transposed kernel
+    # actually engages — short clips keep the CPU (interpret-mode) cost
+    # down while exercising the real make_forward_fn -> tfb_to_bft wiring
+    wav_big = (np.random.default_rng(1)
+               .standard_normal((TFB_MIN_BATCH, 3200)) * 0.1
+               ).astype(np.float32)
+    fn = make_forward_fn(cfg, params, state, use_pallas=True,
+                         precision="fast")
+    direct = models.apply(
+        cfg, params, state, jnp.asarray(wav_big),
+        frontend_fn=make_frontend_fn(cfg.frontend, use_pallas=True,
+                                     precision="fast"))
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(wav_big))),
+                               np.asarray(direct), atol=2e-5)

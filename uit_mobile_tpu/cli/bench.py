@@ -197,7 +197,6 @@ def main(argv=None):
 
         cfg = bench_cfg(args.model)
         psl_cfg = models.get_model_config("MobileNetV2", outputdim=527)
-        psl_frontend = None
         if args.train_layout != "bft":
             import dataclasses as _dc
 
@@ -205,14 +204,16 @@ def main(argv=None):
                 raise SystemExit(
                     f"--train-layout {args.train_layout} needs a UiT model")
             cfg = _dc.replace(cfg, mel_layout=args.train_layout)
-            # the teacher's OWN frontend config (train/loop.py wiring) —
-            # make_frontend_fn(None) only coincidentally matches today;
-            # tfb_to_bft = transposed kernel + transpose back (bitwise at
-            # fast precision, 1.15x teacher — tools/probe_teacher_tfb.py)
-            psl_frontend = make_frontend_fn(psl_cfg.frontend,
-                                            use_pallas=use_pallas,
-                                            precision=prec,
-                                            layout="tfb_to_bft")
+        # the teacher's OWN frontend, mirroring train/loop.py's
+        # UNCONDITIONAL wiring (any student layout): tfb_to_bft =
+        # transposed kernel + transpose back — bitwise at fast precision,
+        # 1.15x teacher (tools/probe_teacher_tfb.py); exact precision and
+        # sub-lane batches fall back to the row kernel inside the helper,
+        # so this measures exactly the teacher mel path the Trainer runs
+        psl_frontend = make_frontend_fn(psl_cfg.frontend,
+                                        use_pallas=use_pallas,
+                                        precision=prec,
+                                        layout="tfb_to_bft")
         params, state = models.build(cfg, jax.random.key(0))
         psl_params, psl_state = models.build(psl_cfg, jax.random.key(1))
         optimizer = build_optimizer("AdamW", 1e-3, weight_decay=5e-8)

@@ -41,6 +41,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Batch floor for the transposed ('tfb') kernel: batch rides the LANE
+# dimension there, so below one VPU/MXU lane width the kernel runs
+# mostly-empty tiles (B=1 would be 1/128 utilization). pallas_log_mel
+# and the make_frontend_fn 'tfb_to_bft' route both gate on this — keep
+# them in sync through this one constant.
+TFB_MIN_BATCH = 128
+
+
 def _bf16_split(M):
     """hi/lo bf16 decomposition of an f32 matrix for 3-pass split matmuls
     (numpy or jax input; returns jax arrays)."""
@@ -253,7 +261,7 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
 
     G = G * np.float32(wav_scale)  # exact: power-of-two exponent shift
 
-    if layout == "tfb" and B < 128:
+    if layout == "tfb" and B < TFB_MIN_BATCH:
         # degenerate-batch guard: the transposed kernel puts BATCH in
         # lanes, so below a VPU/MXU lane width it runs mostly-empty tiles
         # (B=1 would be 1/128 utilization). Small batches take the row
@@ -401,6 +409,14 @@ def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = Tr
     back to the plain bft chain.
     block_rows tunes the kernel's grid block (pallas path only; for
     'tfb' it is the batch-block width)."""
+    if layout not in ("bft", "btf", "tfb", "tfb_to_bft"):
+        # validate on BOTH paths: the pallas path would hit
+        # pallas_log_mel's assert, but the non-pallas fallthrough below
+        # used to map typos silently to the bft chain
+        raise ValueError(
+            f"unknown frontend layout {layout!r}; expected one of "
+            f"'bft', 'btf', 'tfb', 'tfb_to_bft'"
+        )
     config = config or FrontendConfig()
     if use_pallas:
         if layout == "tfb_to_bft":
@@ -412,7 +428,7 @@ def make_frontend_fn(config: FrontendConfig | None = None, use_pallas: bool = Tr
                 # accumulation-direction drift — PERF_NOTES round 2);
                 # below the lane gate the tfb kernel IS the row kernel
                 # plus transposes.
-                if precision != "fast" or wav.shape[0] < 128:
+                if precision != "fast" or wav.shape[0] < TFB_MIN_BATCH:
                     return pallas_log_mel(wav, config, precision=precision,
                                           layout="bft",
                                           block_rows=block_rows)

@@ -40,12 +40,15 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
     <=3e-4 prob drift — serving).
     top_db_mode: override the frontend's dB-clamp reference
     ('per_sample' for serving isolation); None keeps the config's mode.
-    btf: force (True) / disable (False) the transpose-free fast layout;
-    None = auto — on whenever the Pallas kernel runs and the model
-    supports it. Historically this engaged the (B, T, F) layout; it now
-    selects 'tfb' (frames, mels, batch) — the framing gather's native
+    btf: force (True) / disable (False) the transposed-kernel mel
+    routes; None = auto — on whenever the Pallas kernel runs.
+    Historically this engaged the (B, T, F) layout; it now selects
+    'tfb' (frames, mels, batch) — the framing gather's native
     orientation, which also removes the 0.69 ms/batch frames relayout
-    (PERF_NOTES). Only ever engages under pallas on a UiT config.
+    (PERF_NOTES) — for UiT configs, and 'tfb_to_bft' (transposed kernel
+    + one transpose back to the canonical bft mel) for non-UiT configs
+    under pallas. btf=False disables BOTH and pins the plain row-kernel
+    bft chain — the A/B-debugging escape hatch.
 
     Ensembles: pass ``params``/``state`` as equal-length LISTS of
     checkpoints sharing this config -> fn(wav) returns the MEAN of the
@@ -65,7 +68,7 @@ def make_forward_fn(cfg, params, state, use_pallas: Optional[bool] = None,
     eligible = use_pallas and isinstance(cfg, models.UITConfig)
     use_fast_layout = eligible if btf is None else (btf and eligible)
     layout = "tfb" if use_fast_layout else "bft"
-    if use_pallas and not isinstance(cfg, models.UITConfig):
+    if use_pallas and not isinstance(cfg, models.UITConfig) and btf is not False:
         # bft consumers (MobileNetV2): mel via the transposed kernel + one
         # transpose back — bitwise at fast precision (exact/small batches
         # keep the row kernel inside the helper) and it skips the row

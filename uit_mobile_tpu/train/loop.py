@@ -56,7 +56,7 @@ from ..data import (
     read_tsv_data,
 )
 from ..evaluate.metrics import compute_metrics
-from ..utils import add_file_sink, get_logger
+from ..utils import add_file_sink, get_logger, validate_frontend_precision
 from .schedule import cosine_with_warmup
 from .steps import (
     build_optimizer,
@@ -134,6 +134,10 @@ class Trainer:
 
         self.config = config
         self.run_config = _json_safe_config(config)
+        # reject a bad frontend_precision BEFORE any side effects (the
+        # experiment outputdir below, model/data builds in train()) —
+        # shared validator with train/sed.py
+        validate_frontend_precision(config)
         # Multi-host: every process runs the identical control flow (the
         # train step and validation are collective programs over the global
         # mesh); only process 0 touches the filesystem (checkpoints,
@@ -319,6 +323,8 @@ class Trainer:
 
         c = self.config
         multihost = self.n_proc > 1
+        # (already validated in __init__, before the outputdir side effect)
+        fe_prec = validate_frontend_precision(c)
         cfg, params, state = self._build_model()
         psl_cfg, psl_params, psl_state = _load_psl(c)
         train_loader, test_loader = self._build_data()
@@ -385,11 +391,8 @@ class Trainer:
         # frontend_precision: 'exact' (default, bit-parity kernels) or
         # 'fast' (3-pass bf16 DFT, <=3e-4 prob drift — the measured
         # training-frontier mode; convergence verified on-chip).
-        fe_prec = str(c.get("frontend_precision", "exact"))
-        if fe_prec not in ("exact", "fast"):
-            raise ValueError(
-                f"frontend_precision must be 'exact' or 'fast', got "
-                f"{fe_prec!r}")
+        # Validated up top (validate_frontend_precision) before any side
+        # effects.
         mel_layout = getattr(cfg, "mel_layout", "bft")
         frontend = make_frontend_fn(cfg.frontend, use_pallas=use_pallas,
                                     precision=fe_prec, layout=mel_layout)

@@ -35,7 +35,7 @@ from ..augment import parse_spectransforms, parse_wavtransforms
 from ..ckpt.io import save_checkpoint
 from ..data import DataLoader, StrongFramewiseHDF5Dataset, read_tsv_data
 from ..evaluate.metrics import segment_f1
-from ..utils import add_file_sink, get_logger
+from ..utils import add_file_sink, get_logger, validate_frontend_precision
 from .loop import _json_safe_config, _make_outputdir
 from .schedule import cosine_with_warmup
 from .steps import (
@@ -105,6 +105,9 @@ def _train_sed_once(config: dict) -> Path:
     from ..ops import make_frontend_fn
 
     c = config
+    # reject a bad frontend_precision before any side effects, same as
+    # the wavtransforms check below (shared validator with train/loop.py)
+    validate_frontend_precision(c)
     if c.get("wavtransforms"):
         # per-segment targets are rasterized from the ORIGINAL event times:
         # a time-shifting augment (Shift) would silently misalign the
@@ -218,13 +221,11 @@ def _train_sed_body(c: dict, outputdir) -> Path:
     opt_state = optimizer.init(params)
     wav_aug = parse_wavtransforms(c["wavtransforms"]) if c.get("wavtransforms") else None
     spec_aug = parse_spectransforms(c["spectransforms"]) if c.get("spectransforms") else None
-    fe_prec = str(c.get("frontend_precision", "exact"))
-    if fe_prec not in ("exact", "fast"):
-        raise ValueError(f"frontend_precision must be 'exact' or 'fast', "
-                         f"got {fe_prec!r}")
+    # already validated before side effects in _train_sed_once; this
+    # call just resolves the default
     frontend = make_frontend_fn(
         cfg.frontend, use_pallas=(jax.devices()[0].platform == "tpu"),
-        precision=fe_prec,
+        precision=validate_frontend_precision(c),
     )
     step_fn = make_framewise_train_step(
         cfg, optimizer, loss_name=c.get("loss", "BCELoss"),

@@ -50,6 +50,20 @@ def parse_override(value: str):
         return value
 
 
+def validate_frontend_precision(config: dict) -> str:
+    """Resolve + validate the `frontend_precision` key ('exact' default,
+    'fast' = the measured training-frontier kernels, PERF_NOTES round 4).
+
+    Shared by the weak and SED training loops so a typo fails BEFORE any
+    side effects (output dir, data loaders, model build) with one
+    consistent message."""
+    fe_prec = str(config.get("frontend_precision", "exact"))
+    if fe_prec not in ("exact", "fast"):
+        raise ValueError(
+            f"frontend_precision must be 'exact' or 'fast', got {fe_prec!r}")
+    return fe_prec
+
+
 def parse_config_or_kwargs(config_file, default_args: dict | None = None, **kwargs):
     """YAML <- CLI kwargs <- defaults merge (reference utils.py:209-222)."""
     with open(config_file) as f:
