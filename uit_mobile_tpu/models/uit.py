@@ -590,9 +590,15 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
                 "make_frontend_fn(..., layout='tfb')"
             )
         if train:
-            if wav.dtype == jnp.int16:
+            if wav.dtype == jnp.int16 and wav_augment is not None:
+                # int16 PCM trains bitwise-identically to f32/32768 (the
+                # frontends fold the scale — ops/pallas_mel.py:231-236)
+                # and halves the framing gather's HBM traffic; only wav
+                # augments need the normalized-f32 convention (the step's
+                # _step_wav restores it when any augment is configured)
                 raise ValueError(
-                    "training expects normalized float32 waveforms")
+                    "wav augments expect normalized float32 waveforms; "
+                    "train int16 PCM only with wavtransforms: []")
             if spec_augment is not None and (
                     getattr(spec_augment, "layout", "bft") != "tfb"):
                 raise ValueError(
@@ -672,11 +678,14 @@ def forward(cfg: UITConfig, params, state, wav, *, train=False, rng=None,
         )
         return forward_head(cfg, params, feats)
 
-    if train and wav.dtype == jnp.int16:
-        # int16 PCM is an eval/serving input convention (every frontend
-        # normalizes it by 1/32768, bitwise-exactly); training augments
-        # (wav_augment, mixup lambdas) assume normalized f32.
-        raise ValueError("training expects normalized float32 waveforms")
+    if train and wav.dtype == jnp.int16 and wav_augment is not None:
+        # int16 PCM trains bitwise-identically to f32/32768 (every
+        # frontend folds the 1/32768 scale exactly) and halves the framing
+        # gather's HBM traffic; only wav augments assume normalized f32
+        # (mixup is mel-domain here), so the guard fires just for them
+        raise ValueError(
+            "wav augments expect normalized float32 waveforms; "
+            "train int16 PCM only with wavtransforms: []")
     if frontend_fn is None:
         frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
     if train and wav_augment is not None:
@@ -854,8 +863,12 @@ def forward_train_framewise(cfg: UITConfig, params, state, wav, *, rng,
     must be TIME-PRESERVING (a Shift would move the audio away from the
     fixed per-segment targets)."""
     assert cfg.mel_layout == "bft", "train uses the reference bft layout"
-    if wav.dtype == jnp.int16:
-        raise ValueError("training expects normalized float32 waveforms")
+    if wav.dtype == jnp.int16 and wav_augment is not None:
+        # same policy as forward(): int16 PCM is bitwise via the frontend
+        # fold; only wav augments need the normalized-f32 convention
+        raise ValueError(
+            "wav augments expect normalized float32 waveforms; "
+            "train int16 PCM only with wavtransforms: []")
     if frontend_fn is None:
         frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
     if wav_augment is not None:

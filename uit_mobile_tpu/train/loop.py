@@ -200,7 +200,10 @@ class Trainer:
         chunk_length = c.get("chunk_length")
         use_crop = c.get("psl") is not None or chunk_length is not None
         # 'int16' ships raw PCM to the device (half the transfer bytes);
-        # the train step normalizes on device, bitwise-equal to f32 loaders
+        # with no wavtransforms the step passes it straight to the mel
+        # kernels (2-byte framing gather — tools/probe_int16_train.py),
+        # otherwise it normalizes on device. Bitwise-equal to f32 loaders
+        # either way (the frontends fold 1/32768 exactly).
         data_dtype = c.get("data_dtype", "float32")
 
         import random as _random

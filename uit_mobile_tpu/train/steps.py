@@ -45,6 +45,20 @@ def _norm(w: jax.Array) -> jax.Array:
     return w.astype(jnp.float32) * (1.0 / 32768.0) if w.dtype == jnp.int16 else w
 
 
+def _step_wav(w: jax.Array, wav_augment) -> jax.Array:
+    """The step's wav-dtype policy: with NO wav augment, int16 PCM rides
+    RAW into the forwards — every frontend folds the 1/32768 scale into
+    its DFT matrices bitwise-exactly (ops/pallas_mel.py:231-236,
+    frontend/mel.py), so the framing gather materializes 2-byte frames
+    (half the HBM traffic of the f32 convention) and scanned multi-step
+    input blocks halve too. Wav augments (reference uit.py:453-454 puts
+    them inside the student's train forward) assume normalized f32, so
+    any configured wav_augment restores the f32 convention here."""
+    if wav_augment is None and w.dtype == jnp.int16:
+        return w
+    return _norm(w)
+
+
 def _reduce(x: jax.Array, reduction: str) -> jax.Array:
     if reduction == "mean":
         return jnp.mean(x)
@@ -218,7 +232,7 @@ def make_train_step(
         if psl_cfg is not None:
             if "wav" in batch:
                 # flat fast path: halves pre-stacked [audioset, kws]
-                wav = _norm(batch["wav"])
+                wav = _step_wav(batch["wav"], wav_augment)
                 target = batch["target"]
                 n_as = psl_split
                 if distill_mode == "psl" and not (
@@ -230,10 +244,17 @@ def make_train_step(
                     )
             else:
                 # dict compatibility path: concatenate on device, then the
-                # same math as the flat path
-                wav = jnp.concatenate(
-                    [_norm(batch["audioset"]["wav"]),
-                     _norm(batch["kws"]["wav"])], axis=0)
+                # same math as the flat path. int16 passthrough only when
+                # BOTH halves are int16 — a mixed concat would silently
+                # type-promote raw PCM without the 1/32768 scale.
+                as_w = batch["audioset"]["wav"]
+                kws_w = batch["kws"]["wav"]
+                if (wav_augment is None and as_w.dtype == jnp.int16
+                        and kws_w.dtype == jnp.int16):
+                    wav = jnp.concatenate([as_w, kws_w], axis=0)
+                else:
+                    wav = jnp.concatenate([_norm(as_w), _norm(kws_w)],
+                                          axis=0)
                 target = jnp.concatenate(
                     [batch["audioset"]["target"], batch["kws"]["target"]],
                     axis=0)
@@ -258,7 +279,7 @@ def make_train_step(
                 target = (distill_alpha * y_teacher
                           + (1.0 - distill_alpha) * target)
         else:
-            wav = _norm(batch["wav"])
+            wav = _step_wav(batch["wav"], wav_augment)
             target = batch["target"]
 
         mixup_lamb = None
@@ -311,7 +332,7 @@ def make_framewise_train_step(
     loss_fn_inner = make_loss(loss_name, **(loss_args or {}))
 
     def train_step(params, state, opt_state, batch, rng):
-        wav, target = _norm(batch["wav"]), batch["target"]
+        wav, target = _step_wav(batch["wav"], wav_augment), batch["target"]
 
         def loss_of(p):
             probs, new_state = uit_mod.forward_train_framewise(
