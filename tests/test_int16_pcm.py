@@ -64,13 +64,23 @@ def test_model_forward_int16_btf_pallas(pcm):
     assert float(jnp.max(jnp.abs(a - b))) == 0.0
 
 
-def test_train_rejects_int16(pcm):
+def test_train_forward_int16_bitwise(pcm):
+    """Round-4 contract: train-mode forward ACCEPTS raw int16 PCM whenever
+    no wav augment is configured and is bitwise the f32/32768 run (the
+    frontends fold the scale exactly; mixup/spec augments are mel-domain).
+    Rejection survives only for the wav-augment case — pinned in
+    tests/test_int16_train.py::test_wav_augment_rejects_int16."""
     cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
                                   depth=1)
     params, state = models.build(cfg, jax.random.key(0))
-    with pytest.raises(ValueError, match="float32"):
-        models.apply(cfg, params, state, jnp.asarray(pcm), train=True,
-                     rng=jax.random.key(1))
+    key = jax.random.key(1)
+    a, sa = models.apply(cfg, params, state, jnp.asarray(_f32(pcm)),
+                         train=True, rng=key)
+    b, sb = models.apply(cfg, params, state, jnp.asarray(pcm),
+                         train=True, rng=key)
+    assert float(jnp.max(jnp.abs(a - b))) == 0.0
+    for x, y in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def _eval_fixture(tmp_path):
@@ -168,12 +178,18 @@ def test_dataset_int16_rejects_wide_integer_storage(tmp_path):
     assert wav.dtype == np.float32
 
 
-def test_mobilenetv2_train_rejects_int16(pcm):
+def test_mobilenetv2_train_rejects_int16_only_with_wav_augment(pcm):
+    """Same relaxed policy as uit.forward (ADVICE round 4): int16 trains
+    whenever no wav augment is configured; the bitwise equivalence is
+    pinned in tests/test_int16_train.py."""
+    from uit_mobile_tpu.augment import parse_wavtransforms
+
     cfg = models.get_model_config("MobileNetV2", outputdim=527)
     params, state = models.build(cfg, jax.random.key(0))
-    with pytest.raises(ValueError, match="float32"):
+    with pytest.raises(ValueError, match="wav augments"):
         models.apply(cfg, params, state, jnp.asarray(pcm), train=True,
-                     rng=jax.random.key(1))
+                     rng=jax.random.key(1),
+                     wav_augment=parse_wavtransforms({"Gain": {"p": 1.0}}))
 
 
 def test_train_step_int16_batch_matches_float32(pcm):

@@ -156,6 +156,25 @@ def test_wav_augment_rejects_int16(student):
     assert float(m_i["total_loss"]) == float(m_f["total_loss"])
 
 
+def test_mobilenetv2_train_int16_policy_mirrors_uit():
+    """Direct MobileNetV2 train callers get the same relaxed policy as
+    uit.forward: int16 succeeds bitwise without wav augments, raises only
+    with one configured (ADVICE round 4)."""
+    cfg = models.get_model_config("MobileNetV2", outputdim=527, width_mult=0.25)
+    params, state = models.build(cfg, jax.random.key(0))
+    rng = np.random.default_rng(6)
+    wav_i, wav_f = _pcm(rng, 2)
+    key = jax.random.key(8)
+    p_i, s_i = models.apply(cfg, params, state, wav_i, train=True, rng=key)
+    p_f, s_f = models.apply(cfg, params, state, wav_f, train=True, rng=key)
+    np.testing.assert_array_equal(np.asarray(p_i), np.asarray(p_f))
+    _assert_tree_equal(s_i, s_f)
+    aug = parse_wavtransforms({"Gain": {"p": 1.0}})
+    with pytest.raises(ValueError, match="wav augments"):
+        models.apply(cfg, params, state, wav_i, train=True,
+                     rng=jax.random.key(0), wav_augment=aug)
+
+
 def test_dict_psl_mixed_dtype_normalizes(student):
     """Dict batches with MIXED wav dtypes must not type-promote raw PCM:
     both halves are normalized to f32 and the step equals the all-f32 run."""

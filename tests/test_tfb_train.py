@@ -121,7 +121,11 @@ def test_train_forward_tfb_matches_bft():
             atol=1e-5, rtol=1e-5)
 
 
-def test_train_forward_tfb_rejects_bft_augments_and_int16():
+def test_train_forward_tfb_rejects_bft_augments_accepts_int16():
+    """Round-4 contract: the tfb TRAIN branch rejects mismatched-layout
+    spec augments, accepts raw int16 PCM bitwise (no wav augments), and
+    rejects int16 only when a wav augment is configured (augments assume
+    normalized f32 — reference uit.py:453-454)."""
     cfg_b, cfg_t = _cfgs()
     params, state = models.build(cfg_b, jax.random.key(0))
     fe_t = make_frontend_fn(cfg_t.frontend, use_pallas=False, layout="tfb")
@@ -129,12 +133,24 @@ def test_train_forward_tfb_rejects_bft_augments_and_int16():
         uit_mod.forward(cfg_t, params, state, _wav(), train=True,
                         rng=jax.random.key(0),
                         spec_augment=_spec_aug("bft"), frontend_fn=fe_t)
+    from uit_mobile_tpu.augment import parse_wavtransforms
     from uit_mobile_tpu.frontend import quantize_pcm16
 
-    with pytest.raises(ValueError, match="float32"):
-        uit_mod.forward(cfg_t, params, state,
-                        quantize_pcm16(np.asarray(_wav())), train=True,
-                        rng=jax.random.key(0), frontend_fn=fe_t)
+    pcm = quantize_pcm16(np.asarray(_wav()) * 0.1)
+    with pytest.raises(ValueError, match="wav augments"):
+        uit_mod.forward(cfg_t, params, state, pcm, train=True,
+                        rng=jax.random.key(0), frontend_fn=fe_t,
+                        wav_augment=parse_wavtransforms({"Gain": {"p": 1.0}}))
+    key = jax.random.key(0)
+    p_i, s_i = uit_mod.forward(cfg_t, params, state, pcm, train=True,
+                               rng=key, frontend_fn=fe_t)
+    from uit_mobile_tpu.frontend import normalize_pcm16
+
+    p_f, s_f = uit_mod.forward(cfg_t, params, state, normalize_pcm16(pcm),
+                               train=True, rng=key, frontend_fn=fe_t)
+    np.testing.assert_array_equal(np.asarray(p_i), np.asarray(p_f))
+    for x, y in zip(jax.tree.leaves(s_i), jax.tree.leaves(s_f)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_train_forward_bft_rejects_tfb_augments():

@@ -1,5 +1,10 @@
 from .audio_io import read_wav, read_wav_bytes, write_wav
 from .manifest import read_tsv_data, multihot
+from .psl_cache import (
+    PSLCachedRandomCropHDF5Dataset,
+    build_psl_cache,
+    cache_starts,
+)
 from .hdf5 import (
     WeakHDF5Dataset,
     WeakRandomCropHDF5Dataset,
@@ -35,4 +40,7 @@ __all__ = [
     "device_prefetch",
     "collate",
     "pad_batch",
+    "PSLCachedRandomCropHDF5Dataset",
+    "build_psl_cache",
+    "cache_starts",
 ]

@@ -209,12 +209,14 @@ def forward(cfg: MobileNetV2Config, params, state, wav, *, train=False, rng=None
     """(B, T_wav) waveform -> (B, outputdim) probs ('dm' head).
 
     Train mode returns (probs, new_state)."""
-    if train and wav.dtype == jnp.int16:
-        # same contract as uit.forward: int16 PCM is an eval/serving input
-        # convention; train-mode augments assume normalized f32 (an augment
-        # would promote int16 to a 32768x-scaled float, silently skipping
-        # the frontend's normalization)
-        raise ValueError("training expects normalized float32 waveforms")
+    if train and wav.dtype == jnp.int16 and wav_augment is not None:
+        # same contract as uit.forward: int16 PCM trains bitwise-identically
+        # to f32/32768 (the frontend folds the scale exactly); only wav
+        # augments assume normalized f32 (an augment would promote int16 to
+        # a 32768x-scaled float, silently skipping the normalization)
+        raise ValueError(
+            "wav augments expect normalized float32 waveforms; "
+            "train int16 PCM only with wavtransforms: []")
     if frontend_fn is None:
         frontend_fn = lambda w: log_mel_spectrogram(w, cfg.frontend)
     if train and wav_augment is not None:

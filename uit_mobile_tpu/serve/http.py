@@ -348,8 +348,22 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
                 BaseHTTPRequestHandler.log_message(self, fmt, *args)
 
         # ----------------------------------------------------------- util
+        def _record_now(self, code: int):
+            """Flush the pending stats record BEFORE the response reaches
+            the client: a caller that reads our response and immediately
+            GETs /healthz must see this request counted (the old
+            after-the-fact `finally` record raced that read —
+            tests/test_serve_http.py::test_healthz_stats_track_requests)."""
+            import time
+
+            t0 = getattr(self, "_record_t0", None)
+            if t0 is not None:
+                self._record_t0 = None
+                stats.record(time.perf_counter() - t0, code < 400)
+
         def _json(self, code: int, payload: dict):
             self._status = code
+            self._record_now(code)
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -424,15 +438,19 @@ def make_http_server(service, labels=None, host: str = "127.0.0.1",
         def do_POST(self):  # noqa: N802
             import time
 
-            t0 = time.perf_counter()
+            path = urlparse(self.path).path
+            recordable = (path in ("/tag", "/events")
+                          or path.startswith("/stream/"))
+            self._record_t0 = time.perf_counter() if recordable else None
             self._status = 200
             try:
                 self._handle_post()
             finally:
-                path = urlparse(self.path).path
-                if path in ("/tag", "/events") or path.startswith("/stream/"):
-                    stats.record(time.perf_counter() - t0,
-                                 self._status < 400)
+                # fallback for handlers that never reached _json (raised
+                # before responding); the normal path records in _json
+                # BEFORE the body is written
+                if recordable:
+                    self._record_now(self._status)
 
         def _handle_post(self):
             url = urlparse(self.path)

@@ -83,9 +83,27 @@ def _make_outputdir(config: dict) -> Path:
 
 
 def _load_psl(config):
-    """Load the frozen distillation teacher (reference run.py:160-173)."""
+    """Load the frozen distillation teacher (reference run.py:160-173).
+
+    psl: {mode: offline} loads NOTHING — the teacher ran once at data-prep
+    time (uit-psl-cache) and the cached targets ride in through
+    data.PSLCachedRandomCropHDF5Dataset; the train step is teacher-free
+    (the in-step teacher was 26% of the frontier step, PERF_NOTES r4)."""
     psl = config.get("psl")
     if psl is None:
+        return None, None, None
+    if psl.get("mode") == "offline":
+        cache = psl.get("cache")
+        if not cache:
+            raise ValueError(
+                "psl: {mode: offline} needs cache: <psl_cache.h5> "
+                "(build it with uit-psl-cache)")
+        if not Path(cache).exists():
+            raise FileNotFoundError(
+                f"PSL cache {cache} does not exist — build it with "
+                f"uit-psl-cache or switch to psl: {{mode: psl}}")
+        log.info(f"offline PSL: cached teacher targets from {cache} "
+                 f"(teacher-free train step)")
         return None, None, None
     from ..cli.common import resolve_model
 
@@ -216,8 +234,27 @@ class Trainer:
         # + no rng) — every host must score the same data in lockstep.
         data_seed = c.get("seed", 42) + self.rank * 7919
 
-        def make_ds(df):
+        psl_conf = c.get("psl") or {}
+        psl_cache = (psl_conf.get("cache")
+                     if psl_conf.get("mode") == "offline" else None)
+
+        def make_ds(df, psl_cache=None):
             rng = _random.Random(data_seed * 1000 + next(ds_counter))
+            if psl_cache is not None:
+                if "from" in df.columns and "to" in df.columns:
+                    raise ValueError(
+                        "psl: {mode: offline} expects a weak (filename/"
+                        "labels/hdf5path) audioset manifest — strong "
+                        "interval manifests have no cached-crop grid")
+                from ..data import PSLCachedRandomCropHDF5Dataset
+
+                # cached-teacher targets ride in as data; the step is the
+                # plain (teacher-free) make_train_step
+                return PSLCachedRandomCropHDF5Dataset(
+                    df, chunk_length=chunk_length or 1.0,
+                    num_classes=num_classes, cache_path=psl_cache,
+                    rng=rng, dtype=data_dtype,
+                )
             if "from" in df.columns and "to" in df.columns:
                 # strong-label manifest (one labeled event interval per
                 # row): crop/pad WITHIN the interval — the reference ships
@@ -300,7 +337,8 @@ class Trainer:
                 shuffle=True, drop_last=True, seed=data_seed,
             ),
             audioset=DataLoader(
-                make_ds(as_train), batch_size=as_bs, num_workers=num_workers,
+                make_ds(as_train, psl_cache=psl_cache),
+                batch_size=as_bs, num_workers=num_workers,
                 sampler=sampler_for("as_sampler", as_train),
                 shuffle=True, drop_last=True, seed=data_seed,
             ),
@@ -329,6 +367,7 @@ class Trainer:
         # (already validated in __init__, before the outputdir side effect)
         fe_prec = validate_frontend_precision(c)
         cfg, params, state = self._build_model()
+        psl_mode = (c.get("psl") or {}).get("mode", "psl")
         psl_cfg, psl_params, psl_state = _load_psl(c)
         train_loader, test_loader = self._build_data()
 
@@ -412,7 +451,9 @@ class Trainer:
             mixup_alpha=c.get("mixup"),
             max_grad_norm=c.get("max_grad_norm"),
             psl_cfg=psl_cfg,
-            distill_mode=(c.get("psl") or {}).get("mode", "psl"),
+            # mode 'offline' loads no teacher (psl_cfg is None, targets
+            # arrive cached from the data pipeline) — the step is plain
+            distill_mode=("psl" if psl_mode == "offline" else psl_mode),
             distill_alpha=(c.get("psl") or {}).get("alpha", 1.0),
             distill_classes=(c.get("psl") or {}).get("classes", 527),
             # Trainer preassembles [audioset, kws] host-side (fast path).

@@ -41,22 +41,49 @@ PEAK_BF16_FLOPS = {
 }
 
 
-def device_peak_flops(device=None) -> Optional[float]:
-    """Dense bf16 peak for a jax device (None if unknown kind)."""
+# chip -> HBM bandwidth (bytes/s per chip). Public datasheet numbers:
+# v5e 819 GB/s, v4 1228, v5p 2765, v6e/Trillium 1640. The roofline
+# denominator for the bytes side of the bench record (serve_hbm_util).
+HBM_BANDWIDTH = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
+
+
+def _device_lookup(table: dict, device=None) -> Optional[float]:
     import jax
 
     if device is None:
         device = jax.devices()[0]
     kind = getattr(device, "device_kind", "")
-    for name, peak in PEAK_BF16_FLOPS.items():
+    for name, val in table.items():
         if kind.startswith(name):
-            return peak
+            return val
     return None
 
 
-def xla_flops(fn, *args, **kwargs) -> Optional[float]:
-    """FLOPs of one call of a jit-compiled ``fn(*args)`` per XLA's cost
-    analysis (None when the backend does not report it)."""
+def device_peak_flops(device=None) -> Optional[float]:
+    """Dense bf16 peak for a jax device (None if unknown kind)."""
+    return _device_lookup(PEAK_BF16_FLOPS, device)
+
+
+def device_hbm_bandwidth(device=None) -> Optional[float]:
+    """HBM bandwidth (bytes/s) for a jax device (None if unknown kind)."""
+    return _device_lookup(HBM_BANDWIDTH, device)
+
+
+def xla_cost(fn, *args, **kwargs) -> dict:
+    """XLA's full cost analysis of a jit-compiled ``fn(*args)``:
+    ``{'flops': ..., 'bytes': ...}`` (either value None when the backend
+    does not report it). 'bytes accessed' is fusion-aware — fused
+    elementwise chains count only their HBM operands/outputs, so it is
+    the honest numerator for the HBM-roofline side of the bench record.
+    Pallas kernels contribute their declared ``pl.CostEstimate``."""
     import jax
 
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
@@ -66,9 +93,22 @@ def xla_flops(fn, *args, **kwargs) -> Optional[float]:
         if isinstance(cost, (list, tuple)):  # some backends wrap in a list
             cost = cost[0]
         flops = cost.get("flops")
-        return float(flops) if flops else None
+        by = cost.get("bytes accessed")
+        return {"flops": float(flops) if flops else None,
+                "bytes": float(by) if by else None}
     except Exception:
-        return None
+        return {"flops": None, "bytes": None}
+
+
+def xla_flops(fn, *args, **kwargs) -> Optional[float]:
+    """FLOPs of one call of a jit-compiled ``fn(*args)`` per XLA's cost
+    analysis (None when the backend does not report it)."""
+    return xla_cost(fn, *args, **kwargs)["flops"]
+
+
+def xla_bytes(fn, *args, **kwargs) -> Optional[float]:
+    """HBM bytes accessed by one call per XLA's cost analysis."""
+    return xla_cost(fn, *args, **kwargs)["bytes"]
 
 
 # ------------------------------------------------------- analytic hand model
@@ -125,3 +165,75 @@ def mfu(flops_per_second: float, device=None) -> Optional[float]:
     if peak is None:
         return None
     return flops_per_second / peak
+
+
+def hbm_util(bytes_per_second: float, device=None) -> Optional[float]:
+    """Achieved HBM traffic / datasheet bandwidth (None if unknown chip).
+    The bytes-side twin of :func:`mfu` — together they certify (or break)
+    a "device limit" claim: a path near 1.0 here is bandwidth-bound and
+    no kernel rewrite that moves the same bytes can beat it."""
+    bw = device_hbm_bandwidth(device)
+    if bw is None:
+        return None
+    return bytes_per_second / bw
+
+
+# ------------------------------------------- analytic per-stage byte model
+
+def uit_serve_stage_bytes(cfg, batch: int, n_samples: int,
+                          dtype: str = "int16") -> dict:
+    """Hand model of HBM bytes per serving batch, stage by stage, for the
+    production tfb path (ops.pipeline.make_forward_fn auto mode). Each
+    stage counts its HBM reads + writes once; VMEM-resident reuse inside
+    the Pallas kernel and XLA fusions is NOT charged (matching the
+    fusion-aware convention of ``xla_cost``'s 'bytes accessed').
+
+    Returns ``{stage: bytes, ..., 'total': bytes}``. Cross-checked
+    against XLA's own accounting in tests/test_flops.py; the on-chip
+    roofline (tools/probe_roofline.py) divides by measured device time
+    to publish serve_hbm_util.
+    """
+    fe = cfg.frontend
+    wav_b = 2 if dtype == "int16" else 4
+    P = fe.num_frames(n_samples)  # 101 frames for a 1 s clip
+    Tp = n_samples + fe.n_fft  # reflect pad n_fft//2 each side
+    F = fe.n_mels
+    D = cfg.embed_dim
+    fg, tg = cfg.grid_size
+    N = fg * tg + (1 if cfg.pooling == "token" else 0)
+    inner = cfg.inner_dim
+    hidden = int(D * cfg.mlp_ratio)
+
+    stages = {
+        # (B, T) wav -> padded transposed (Tp, B): read + write
+        "wav_transpose_pad": batch * (n_samples + Tp) * wav_b,
+        # hop-strided framing gather: read padded wav, write (P*n_fft, B)
+        # frames (the 3.2x duplication — the biggest frontend stream)
+        "framing_gather": batch * (Tp + P * fe.n_fft) * wav_b,
+        # fused mel kernel: read frames, write (P, F, B) f32 dB mel
+        # (DFT/filterbank matrices stay VMEM-resident across the grid)
+        "mel_kernel": batch * (P * fe.n_fft * wav_b + P * F * 4),
+        # top_db clamp: read mel, write clamped mel (per-sample max rides
+        # the same pass)
+        "top_db": batch * 2 * P * F * 4,
+        # BN-folded patch embed: read mel once, write (B, N, D) tokens
+        "patch_embed": batch * (P * F * 4 + N * D * 4),
+        # encoder: per block LN->qkv->attn->proj->(+res)->LN->MLP->(+res).
+        # Charged streams per block: x in/out twice (residuals), qkv out,
+        # attention intermediates (bmr formulation keeps per-head products
+        # in registers; scores (h, N, N) are negligible at N=24), proj out,
+        # MLP hidden out+in. Weights stream once per BATCH, not per clip.
+        "encoder_activations": batch * cfg.depth * (
+            4 * N * D * 4          # residual reads/writes x2
+            + 3 * N * inner * 4    # qkv out + attn out read/write
+            + N * D * 4            # proj out
+            + 2 * N * hidden * 4   # MLP hidden write + read
+        ),
+        "weights_stream": (
+            cfg.depth * (D * 3 * inner + inner * D + 2 * D * hidden) + D * cfg.outputdim
+        ) * 4,
+        # head: read pooled (B, D), write (B, outputdim) probs
+        "head": batch * (D + cfg.outputdim) * 4,
+    }
+    stages["total"] = sum(stages.values())
+    return stages
