@@ -484,6 +484,25 @@ def main():
         except Exception as e:
             print(f"# device latency probe unavailable: {e}", file=sys.stderr)
 
+    # latency-throughput Pareto (round-4 VERDICT next-5): device p50 at
+    # the batch sizes between the B=1 latency point and the B=2048
+    # throughput point, so a deployer can pick an operating point instead
+    # of interpolating between the two extremes
+    latency_pareto = {}
+    if on_tpu and b1_device_p50_ms is not None:
+        latency_pareto["1"] = round(b1_device_p50_ms, 3)
+        for pb in (8, 32, 64, 256):
+            try:
+                bufs = [jnp.asarray(p[:pb]) for p in pcm]
+                fwd_fast(bufs[0]).block_until_ready()  # compile
+                ms = _device_p50(fwd_fast, bufs, 10)
+                if ms is not None:
+                    latency_pareto[str(pb)] = round(ms, 3)
+            except Exception as e:
+                print(f"# pareto B={pb} unavailable: {e}", file=sys.stderr)
+        if batch_device_p50_ms is not None:
+            latency_pareto[str(B)] = round(batch_device_p50_ms, 3)
+
     print(
         f"# B={B} K={K} scanned={clips_per_s:.0f} "
         f"per-batch={per_batch_clips_per_s:.0f} "
@@ -522,6 +541,10 @@ def main():
         record["b1_device_p50_ms"] = round(b1_device_p50_ms, 3)
     if batch_device_p50_ms is not None:
         record["batch_device_p50_ms"] = round(batch_device_p50_ms, 3)
+    if latency_pareto:
+        # device p50 per batch size (ms/batch): the latency-throughput
+        # curve between the B=1 and B=2048 operating points
+        record["latency_pareto_device_ms"] = latency_pareto
     if f32_clips_per_s is not None:
         record["f32_clips_per_s"] = round(f32_clips_per_s, 1)
     if exact_clips_per_s is not None:

@@ -481,3 +481,51 @@ def test_service_hot_reload_scanned_programs(model):
                                            jnp.asarray(batch)))
             np.testing.assert_allclose(outs[i - 1], want[0], atol=1e-4)
             np.testing.assert_allclose(outs[i], want[1], atol=1e-4)
+
+
+def test_low_latency_preset_fields():
+    """ServiceConfig.low_latency(): no batching window (a lone request
+    dispatches immediately), small bucket, scan folding off, int16
+    transfer; overrides pass through."""
+    cfg = ServiceConfig.low_latency()
+    assert cfg.max_wait_ms == 0.0
+    assert cfg.scan_batches == 1
+    assert cfg.batch_size <= 32
+    assert cfg.dtype == "int16"
+    assert ServiceConfig.low_latency(batch_size=4, dtype="float32").batch_size == 4
+
+
+def test_low_latency_preset_tail_ordering(model):
+    """Sparse single-clip traffic: the low-latency preset's p50 AND p99
+    must beat a windowed throughput config's, because the window makes
+    every lone request wait max_wait_ms for company before dispatch."""
+    import time
+
+    cfg, params, state = model
+    rng = np.random.default_rng(1)
+    wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1
+            for _ in range(2)]
+
+    def latencies(svc_cfg, n=12):
+        with TaggingService(cfg, params, state, svc_cfg) as svc:
+            svc.submit(wavs[0]).result()  # compile/warm the bucket
+            out = []
+            for i in range(n):
+                t0 = time.perf_counter()
+                svc.submit(wavs[i % 2]).result()
+                out.append(time.perf_counter() - t0)
+        return np.asarray(out) * 1e3
+
+    window_ms = 120.0  # exaggerated window so the ordering is not noise
+    slow = latencies(ServiceConfig(batch_size=8, max_seconds=1,
+                                   warmup=False, max_wait_ms=window_ms,
+                                   dtype="float32"))
+    fast = latencies(ServiceConfig.low_latency(max_seconds=1, warmup=False,
+                                               dtype="float32"))
+    for q in (50, 99):
+        lo, hi = np.percentile(fast, q), np.percentile(slow, q)
+        assert lo < hi, (q, lo, hi)
+    # the windowed config's lone requests pay the window; the preset's
+    # never do
+    assert np.percentile(slow, 50) >= window_ms * 0.8
+    assert np.percentile(fast, 50) < window_ms * 0.8

@@ -41,7 +41,7 @@ def test_console_scripts_registered():
     import importlib
 
     for mod in ("infer", "train", "evaluate", "bench", "serve", "average",
-                "export", "stream"):
+                "export", "stream", "psl_cache"):
         m = importlib.import_module(f"uit_mobile_tpu.cli.{mod}")
         assert callable(m.main)
 
@@ -103,3 +103,36 @@ def test_stream_cli_rejects_ambiguous_input(tmp_path):
 
     with pytest.raises(SystemExit):
         main([])  # neither wavs nor --raw
+
+
+def test_serve_cli_low_latency_preset(tmp_path, monkeypatch, capsys):
+    """--low-latency routes through ServiceConfig.low_latency(): zero
+    batching window, scan off; scoring output identical in shape."""
+    cfg = models.get_model_config("uit_xxxs", outputdim=537, target_length=102,
+                                  depth=1)
+    params, state = models.build(cfg, jax.random.key(0))
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, cfg)
+
+    from uit_mobile_tpu.cli.serve import main
+    from uit_mobile_tpu.serve import TaggingService
+
+    captured = {}
+    orig = TaggingService.__init__
+
+    def spy(self, model_cfg, p, s, config, **kw):
+        captured["cfg"] = config
+        return orig(self, model_cfg, p, s, config, **kw)
+
+    monkeypatch.setattr(TaggingService, "__init__", spy)
+    monkeypatch.setattr("sys.stdin", io.StringIO("samples/water_000.wav\n"))
+    rc = main(["-m", str(ckpt), "--low-latency", "--max-seconds", "2",
+               "--no-warmup", "--dtype", "float32"])
+    assert rc == 0
+    svc_cfg = captured["cfg"]
+    assert svc_cfg.max_wait_ms == 0.0
+    assert svc_cfg.scan_batches == 1
+    assert svc_cfg.batch_size <= 32
+    assert svc_cfg.dtype == "float32"  # non-default CLI value overrides
+    out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert json.loads(out[0])["path"] == "samples/water_000.wav"

@@ -38,9 +38,11 @@ def test_world_is_deterministic(tmp_path):
 
 
 def test_gate_passes_on_cpu(tmp_path):
-    """Full gate: train via the real CLI, evaluate via the real CLI,
-    mAPKWS must clear the pinned minimum (chance ~0.1)."""
+    """Full gate: train via the real CLI, evaluate via the real CLI;
+    run_gate itself asserts BOTH pinned minimums (mAPKWS >= 0.80 and
+    GSC-protocol Accuracy@0.2 >= 0.80 — the observed band is 1.000 /
+    0.977 at this size, chance ~0.1)."""
     from tools.gate_synthetic import run_gate
 
     score = run_gate(tmp_path, small=True, quiet=True)
-    assert score >= 0.30, score
+    assert score >= 0.80, score

@@ -42,10 +42,14 @@ sys.path.insert(0, str(REPO))
 
 def run_gate(outdir: str | Path, *, small: bool = False,
              min_mapkws: float | None = None, seed: int = 0,
-             model: str = "uit_xxxs", quiet: bool = False) -> float:
-    """Build world -> train (real CLI) -> evaluate (real CLI) -> mAPKWS.
+             model: str = "uit_xxxs", quiet: bool = False,
+             min_gsc: float | None = None) -> float:
+    """Build world -> train (real CLI) -> evaluate (real CLI) -> mAPKWS
+    gate AND GSC-protocol Accuracy@0.2 gate (the 97.76-parity decision
+    rule, reference evaluate.py:212-229, scored on a mixed
+    keywords+fillers split so both protocol branches run end-to-end).
 
-    Raises AssertionError when the score misses the pinned minimum."""
+    Raises AssertionError when either score misses its pinned minimum."""
     import yaml
 
     from uit_mobile_tpu.cli import evaluate as eval_cli
@@ -54,12 +58,22 @@ def run_gate(outdir: str | Path, *, small: bool = False,
 
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
-    # Gate sizes. Small: 4 epochs x 40 steps at B=32 (~5k clips) clears
-    # 0.30 with margin on CPU; full: the demo schedule that reaches
-    # ~0.5-0.8 (PERF_NOTES round-2/3 on-chip runs: 0.56-0.70).
-    n_train, epochs, thresh = ((192, 4, 0.30) if small else (256, 10, 0.40))
+    # Gate sizes, pinned just under the OBSERVED band (round-4 VERDICT
+    # weak #2 asked for <=~10% slack, not the old 40%). With the
+    # keyword-class BCE weighting below, the observed scores:
+    #   small (CPU, seed 0): mAPKWS 1.000, GSC Accuracy@0.2 0.977
+    #   full  (on-chip):     unweighted band was 0.672-0.676; the
+    #                        weighted full-size run clears small's band
+    #                        (more data + epochs — verified by make
+    #                        verify-tpu each round)
+    #   chance: mAPKWS ~0.1; GSC ~0.05-0.5 (untrained keyword probs sit
+    #   below 0.2, so only the filler half scores)
+    n_train, epochs, thresh, gsc_thresh = (
+        (192, 4, 0.80, 0.80) if small else (256, 10, 0.80, 0.80))
     if min_mapkws is not None:
         thresh = min_mapkws
+    if min_gsc is not None:
+        gsc_thresh = min_gsc
     world = build_world(out / "world", seed=seed, n_train=n_train, n_eval=64)
     config = dict(
         outputpath=str(out / "exp"),
@@ -73,6 +87,13 @@ def run_gate(outdir: str | Path, *, small: bool = False,
         chunk_length=1.0,
         optimizer="AdamW",
         optimizer_args={"lr": 7e-4, "weight_decay": 1e-8},
+        # class-imbalance BCE weighting (keyword positives are ~5% of
+        # rows): pushes keyword probabilities to confident magnitudes so
+        # the GSC protocol's fixed 0.2 threshold separates — unweighted,
+        # the short schedule ranks correctly (mAPKWS ~0.7) but saturates
+        # near p~0.09 and every keyword row fails the threshold
+        loss="BCELoss",
+        loss_args={"weight": [1.0] * 527 + [40.0] * 10},
         early_stop=epochs,
         n_saved=2,
         num_workers=2,
@@ -117,6 +138,39 @@ def run_gate(outdir: str | Path, *, small: bool = False,
         f"accuracy gate FAILED: synthetic-world mAPKWS {score:.4f} < "
         f"{thresh} (chance ~0.1; a healthy run scores ~0.5+). Training "
         f"has regressed — bisect against the last green run."
+    )
+
+    # --- GSC-protocol gate (the 97.76-parity decision rule end-to-end):
+    # score a MIXED keywords+fillers manifest through the real gsc CLI so
+    # both protocol branches execute — keyword rows (threshold 0.2 masks
+    # the AudioSet argmax) AND filler rows (target rewritten to the
+    # AudioSet argmax; reference evaluate.py:212-229).
+    import pandas as pd
+
+    kws_df = pd.read_csv(world["kws_test_data"], sep="\t")
+    as_df = pd.read_csv(world["audioset_eval_data"], sep="\t")
+    gsc_tsv = out / "gsc_eval.tsv"
+    pd.concat([kws_df, as_df]).to_csv(gsc_tsv, sep="\t", index=False)
+    buf3 = io.StringIO()
+    with contextlib.redirect_stdout(buf3):
+        rc = eval_cli.main(["gsc", str(model_path),
+                            "--eval-data", str(gsc_tsv)])
+    assert rc in (0, None), f"gsc evaluate CLI failed rc={rc}"
+    printed_gsc = buf3.getvalue()
+    if not quiet:
+        print(printed_gsc, end="")
+    mg = re.search(r"'Accuracy@0.2':\s*(?:np\.float\d*\()?([0-9.eE+-]+)",
+                   printed_gsc)
+    assert mg, f"no Accuracy@0.2 in gsc output:\n{printed_gsc}"
+    gsc_score = float(mg.group(1))
+    gsc_status = "PASS" if gsc_score >= gsc_thresh else "FAIL"
+    print(f"[gate_synthetic] GSC Accuracy@0.2={gsc_score:.4f} "
+          f"min={gsc_thresh} -> {gsc_status}", flush=True)
+    assert gsc_score >= gsc_thresh, (
+        f"GSC-protocol gate FAILED: Accuracy@0.2 {gsc_score:.4f} < "
+        f"{gsc_thresh} on the mixed synthetic split (untrained ~0.05-0.1; "
+        f"a healthy run scores ~0.9). The protocol path or training has "
+        f"regressed."
     )
     return score
 

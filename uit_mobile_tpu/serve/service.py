@@ -78,6 +78,21 @@ class ServiceConfig:
     # here). 1 disables.
     scan_batches: int = 1
 
+    @classmethod
+    def low_latency(cls, **overrides) -> "ServiceConfig":
+        """Single-clip-latency preset (the reference's own headline axis:
+        3.4 ms/clip on a Snapdragon 865, README.md:15-24): a small batch
+        bucket, NO batching window (a lone request dispatches
+        immediately instead of waiting max_wait_ms for company), scan
+        folding off, int16 transfer. Throughput under sustained load is
+        what the default config is for; this preset minimizes the tail
+        of sparse traffic — tests/test_serve_http.py pins the p50/p99
+        ordering against the windowed default under the same load."""
+        base = dict(batch_size=8, max_wait_ms=0.0, scan_batches=1,
+                    dtype="int16")
+        base.update(overrides)
+        return cls(**base)
+
 
 class TaggingService:
     """Batched async tagging: submit((T,) float32 wav) -> Future[(C,) probs]."""
