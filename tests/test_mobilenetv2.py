@@ -198,3 +198,46 @@ def test_load_psl_compute_dtype_key():
     }})
     assert cfg.compute_dtype == "bfloat16"
     assert params is not None and state is not None
+
+
+def test_mobilenetv2_trains_through_make_train_step_with_mixup():
+    """MobileNetV2 as a TRAINABLE model (the reference's AT baseline, not
+    just its frozen teacher): the shared make_train_step applies
+    mel-domain mixup to it exactly as to the UiT students."""
+    import numpy as np
+    import optax
+
+    from uit_mobile_tpu import models
+    from uit_mobile_tpu.augment.mixup import mixup_tensor
+    from uit_mobile_tpu.train.steps import make_train_step
+
+    cfg = models.get_model_config("MobileNetV2", outputdim=32,
+                                  width_mult=0.25)
+    params, state = models.build(cfg, jax.random.key(0))
+
+    # forward with mixup_lamb == manual mel mixup through the same frontend
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((4, 16000)).astype(np.float32) * 0.1)
+    lamb = jnp.asarray([0.8, 0.6, 0.9, 0.7])
+    probs, _ = models.apply(cfg, params, state, wav, train=True,
+                            rng=jax.random.key(1), mixup_lamb=lamb)
+    from uit_mobile_tpu.frontend.mel import log_mel_spectrogram
+
+    mel = mixup_tensor(log_mel_spectrogram(wav, cfg.frontend), lamb)
+    ref, _ = models.apply(cfg, params, state, wav, train=True,
+                          rng=jax.random.key(1), mixup_lamb=None,
+                          frontend_fn=lambda w: mel)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # one optimizer step with mixup enabled: finite loss, params move
+    opt = optax.adam(1e-3)
+    step = make_train_step(cfg, opt, mixup_alpha=0.3)
+    target = jnp.zeros((4, 32), jnp.float32).at[jnp.arange(4), 0].set(1.0)
+    p2, s2, o2, metrics = step(params, state, opt.init(params),
+                               {"wav": wav, "target": target},
+                               jax.random.key(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), params, p2)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0

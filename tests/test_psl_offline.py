@@ -310,3 +310,106 @@ def test_trainer_offline_missing_cache_is_loud(tmp_path, world):
     )
     with pytest.raises(FileNotFoundError, match="PSL cache"):
         train_from_config(cfg)
+
+
+# ------------------------------------------------------------- shards
+@pytest.fixture(scope="module")
+def shards(world, tmp_path_factory):
+    """The same world built as two --shard i/2 files by two 'hosts'."""
+    tmp = tmp_path_factory.mktemp("psl_shards")
+    df = read_tsv_data(world["tsv"], basename=True)
+    paths = []
+    for i in range(2):
+        p = tmp / f"cache.{i}of2.h5"
+        build_psl_cache(
+            df, lambda w: np.asarray(world["fwd"](jnp.asarray(w))),
+            p, chunk_length=1.0, grid=GRID, batch_size=8,
+            teacher_name="toy-mbv2", shard=(i, 2))
+        paths.append(p)
+    return dict(tmp=tmp, paths=paths)
+
+
+def test_shard_union_equals_single_cache(world, shards):
+    """Every clip lands in exactly one shard; its rows are byte-equal to
+    the single-file build's (same teacher, same grid)."""
+    seen = {}
+    for p in shards["paths"]:
+        with h5py.File(p, "r") as f:
+            assert f.attrs["shard_count"] == 2
+            for fname in f.keys():
+                assert fname not in seen, f"{fname} in two shards"
+                seen[fname] = np.asarray(f[fname][:])
+    with h5py.File(world["cache"], "r") as c:
+        assert set(seen) == set(c.keys())
+        for fname, rows in seen.items():
+            np.testing.assert_array_equal(rows, np.asarray(c[fname][:]))
+
+
+def test_sharded_dataset_equals_single(world, shards):
+    """The reader over [shard0, shard1] draws the SAME crops/targets as
+    over the single cache (identical rng stream, identical rows)."""
+    df = read_tsv_data(world["tsv"], basename=True)
+    ds1 = PSLCachedRandomCropHDF5Dataset(
+        df, chunk_length=1.0, num_classes=537, cache_path=world["cache"],
+        rng=random.Random(13))
+    ds2 = PSLCachedRandomCropHDF5Dataset(
+        df, chunk_length=1.0, num_classes=537,
+        cache_path=[str(p) for p in shards["paths"]], rng=random.Random(13))
+    for idx in range(len(ds1)):
+        w1, t1, f1 = ds1[idx]
+        w2, t2, f2 = ds2[idx]
+        assert f1 == f2
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(t1, t2)
+
+
+def test_shard_glob_resolves(world, shards):
+    df = read_tsv_data(world["tsv"], basename=True)
+    ds = PSLCachedRandomCropHDF5Dataset(
+        df, chunk_length=1.0, num_classes=537,
+        cache_path=str(shards["tmp"] / "cache.*of2.h5"),
+        rng=random.Random(2))
+    wav, target, fname = ds[0]
+    assert wav.shape == (L,)
+
+
+def test_incomplete_shard_set_is_loud(world, shards):
+    df = read_tsv_data(world["tsv"], basename=True)
+    with pytest.raises(ValueError, match="incomplete PSL shard set"):
+        PSLCachedRandomCropHDF5Dataset(
+            df, chunk_length=1.0, num_classes=537,
+            cache_path=[str(shards["paths"][0])], rng=random.Random(2))
+
+
+def test_mixed_build_shards_are_loud(world, shards, tmp_path):
+    """A shard built on a different grid is not 'one build' — refuse."""
+    df = read_tsv_data(world["tsv"], basename=True)
+    odd = tmp_path / "odd.h5"
+    build_psl_cache(
+        df, lambda w: np.asarray(world["fwd"](jnp.asarray(w))),
+        odd, chunk_length=1.0, grid=3200, batch_size=8, shard=(1, 2))
+    with pytest.raises(ValueError, match="disagree on grid"):
+        PSLCachedRandomCropHDF5Dataset(
+            df, chunk_length=1.0, num_classes=537,
+            cache_path=[str(shards["paths"][0]), str(odd)],
+            rng=random.Random(2))
+
+
+def test_resolve_cache_paths_failures(tmp_path):
+    from uit_mobile_tpu.data.psl_cache import resolve_cache_paths
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        resolve_cache_paths(str(tmp_path / "nope.h5"))
+    with pytest.raises(FileNotFoundError, match="matches no files"):
+        resolve_cache_paths(str(tmp_path / "cache.*of4.h5"))
+
+
+def test_shard_cli_arg_validation(world, tmp_path):
+    from uit_mobile_tpu.cli import psl_cache as cli
+
+    with pytest.raises(SystemExit):
+        cli.main([str(world["tsv"]), "-t", "x", "-o", str(tmp_path / "o.h5"),
+                  "--shard", "4"])
+    with pytest.raises(SystemExit):
+        cli.main([str(world["tsv"]), "-t", "x", "-o", str(tmp_path / "o.h5"),
+                  "--shard", "2/2"])

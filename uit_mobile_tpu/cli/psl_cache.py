@@ -1,13 +1,20 @@
 """Offline PSL cache builder CLI.
 
     uit-psl-cache MANIFEST.tsv -t TEACHER_CKPT -o psl_cache.h5 \\
-        [--grid 1600] [--chunk-length 1.0] [--batch-size 256] [--classes 527]
+        [--grid 1600] [--chunk-length 1.0] [--batch-size 256] [--classes 527] \\
+        [--shard I/N]
 
 Scores every grid-aligned crop of every manifest clip with the frozen
 teacher once (data.psl_cache.build_psl_cache) so training can run
 teacher-free with ``psl: {mode: offline, cache: psl_cache.h5}`` — the
 in-step teacher (reference run.py:199-202) was 26% of the frontier train
 step (PERF_NOTES round 4).
+
+Multi-host prep: host i of N runs ``--shard i/N -o cache.iofN.h5`` over
+the SAME manifest (rows i::N — no coordination needed), and training
+takes the whole set: ``psl: {mode: offline, cache: 'cache.*ofN.h5'}``
+(glob or YAML list). The reader refuses incomplete or mixed-build shard
+sets loudly.
 """
 
 from __future__ import annotations
@@ -43,7 +50,20 @@ def main(argv=None):
     parser.add_argument("--precision", choices=("exact", "fast"),
                         default="exact",
                         help="frontend kernel precision for the teacher")
+    parser.add_argument("--shard", default=None, metavar="I/N",
+                        help="build only manifest rows i::N (multi-host "
+                        "prep: each host runs its own i with a distinct "
+                        "-o; train with cache: <glob-or-list> of all N)")
     args = parser.parse_args(argv)
+    shard = None
+    if args.shard is not None:
+        try:
+            i, n = (int(p) for p in args.shard.split("/"))
+        except ValueError:
+            parser.error(f"--shard expects I/N (e.g. 0/4), got {args.shard!r}")
+        if not (0 <= i < n):
+            parser.error(f"--shard needs 0 <= I < N, got {args.shard}")
+        shard = (i, n)
 
     import jax
     import numpy as np
@@ -76,7 +96,7 @@ def main(argv=None):
         chunk_length=args.chunk_length,
         grid=args.grid if args.grid is not None else DEFAULT_GRID,
         batch_size=args.batch_size, classes=args.classes,
-        teacher_name=str(args.teacher), progress=progress,
+        teacher_name=str(args.teacher), progress=progress, shard=shard,
     )
     dt = time.time() - t0
     print(f"{args.output}: {summary['clips']} clips, {summary['crops']} "

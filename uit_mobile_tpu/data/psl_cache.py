@@ -34,6 +34,16 @@ chunk-length mismatch, or a clip whose length changed since the cache
 was built all raise with the clip name and the fix (rebuild the cache or
 set ``psl: {mode: online}``) — never a silent fall-back to stale
 targets.
+
+Sharded builds (multi-host prep): ``build_psl_cache(..., shard=(i, n))``
+scores every n-th manifest clip starting at i (strided assignment — long
+and short clips balance across hosts), so N hosts each run
+``uit-psl-cache --shard i/N -o cache.iofN.h5`` over the SAME manifest
+with no coordination. At train time ``psl: {mode: offline, cache: ...}``
+accepts a list of shard paths or one glob (``cache.*of4.h5``);
+:class:`PSLCachedRandomCropHDF5Dataset` validates that the shards came
+from one build (equal grid/chunk/classes, a complete 0..N-1 index set)
+and serves the union. A clip in no shard still raises by name.
 """
 
 from __future__ import annotations
@@ -53,6 +63,39 @@ except ImportError:  # pragma: no cover
 
 CACHE_VERSION = 1
 DEFAULT_GRID = 1600  # samples: 0.1 s at 16 kHz = 10 mel hops
+
+
+def resolve_cache_paths(cache) -> list[str]:
+    """Normalize the ``psl: {cache: ...}`` config value to a list of
+    existing shard paths.
+
+    Accepts one path, a glob pattern (expands sorted), or a list/tuple of
+    either. Raises FileNotFoundError naming the offending entry when a
+    literal path is missing or a glob matches nothing — offline PSL never
+    starts against a partial cache silently.
+    """
+    import glob as _glob
+    import os
+
+    entries = list(cache) if isinstance(cache, (list, tuple)) else [cache]
+    paths: list[str] = []
+    for entry in entries:
+        entry = str(entry)
+        if _glob.has_magic(entry):
+            hits = sorted(_glob.glob(entry))
+            if not hits:
+                raise FileNotFoundError(
+                    f"PSL cache glob {entry!r} matches no files — build the "
+                    f"shards with uit-psl-cache (--shard i/N) or fix the "
+                    f"pattern")
+            paths.extend(hits)
+        else:
+            if not os.path.exists(entry):
+                raise FileNotFoundError(
+                    f"PSL cache {entry} does not exist — build it with "
+                    f"uit-psl-cache or switch to psl: {{mode: psl}}")
+            paths.append(entry)
+    return paths
 
 
 def cache_starts(n: int, L: int, grid: int) -> list[int]:
@@ -94,6 +137,7 @@ def build_psl_cache(
     classes: Optional[int] = None,
     teacher_name: str = "",
     progress: Optional[Callable[[int, int], None]] = None,
+    shard: Optional[tuple[int, int]] = None,
 ) -> dict:
     """Score every grid crop of every manifest clip with the teacher and
     write the float16 probability cache.
@@ -103,7 +147,10 @@ def build_psl_cache(
     different clips share batches; the final partial batch is padded and
     the pad rows dropped, so the teacher compiles ONE program.
 
-    Returns a summary dict (clips, crops, bytes).
+    ``shard=(i, n)`` scores only manifest rows ``i::n`` (strided, so clip
+    lengths balance across the n independent builders) and stamps the
+    shard identity into the file; the reader refuses incomplete shard
+    sets. Returns a summary dict (clips, crops, bytes).
     """
     if _H5File is None:  # pragma: no cover
         raise RuntimeError("h5py is required to build a PSL cache")
@@ -112,6 +159,12 @@ def build_psl_cache(
     if grid <= 0:
         raise ValueError(f"grid must be positive, got {grid}")
     df = data_frame.reset_index(drop=True)
+    if shard is not None:
+        si, sn = int(shard[0]), int(shard[1])
+        if not (0 <= si < sn):
+            raise ValueError(f"shard index must satisfy 0 <= i < n, "
+                             f"got {si}/{sn}")
+        df = df.iloc[si::sn].reset_index(drop=True)
 
     # (fname, n_starts) in manifest order; crops stream through flat batches
     pending_meta: list[tuple[str, int]] = []  # clips flushed in order
@@ -185,6 +238,9 @@ def build_psl_cache(
         out.attrs["sample_rate"] = sample_rate
         out.attrs["classes"] = int(n_classes_seen or 0)
         out.attrs["teacher"] = teacher_name
+        if shard is not None:
+            out.attrs["shard_index"] = si
+            out.attrs["shard_count"] = sn
     import os
 
     return {
@@ -204,6 +260,10 @@ class PSLCachedRandomCropHDF5Dataset(WeakRandomCropHDF5Dataset):
     Crop starts are drawn uniformly over the cache grid (the grid snap of
     the reference's uniform ``randint``), from the SAME per-dataset rng
     stream the online crop dataset uses.
+
+    ``cache_path`` may be one file, a glob, or a list of shard files from
+    a ``--shard i/N`` build; shards must agree on grid/chunk/classes and
+    form a complete 0..N-1 index set (validated here, loudly).
     """
 
     def __init__(self, data_frame, chunk_length: float, num_classes: int,
@@ -214,44 +274,82 @@ class PSLCachedRandomCropHDF5Dataset(WeakRandomCropHDF5Dataset):
                          rng=rng, dtype=dtype)
         if _H5File is None:  # pragma: no cover
             raise RuntimeError("h5py is required for the offline PSL cache")
-        self._cache_path = str(cache_path)
+        self._cache_paths = resolve_cache_paths(cache_path)
         self._cache_local = threading.local()
-        with _H5File(self._cache_path, "r") as f:
-            attrs = dict(f.attrs)
-        for key in ("grid", "chunk_length", "classes"):
-            if key not in attrs:
+        attrs0 = None
+        shard_ids: list[tuple[int, int]] = []
+        self._clip_shard: dict[str, int] = {}  # fname -> index in _cache_paths
+        for pi, path in enumerate(self._cache_paths):
+            with _H5File(path, "r") as f:
+                attrs = dict(f.attrs)
+                for key in ("grid", "chunk_length", "classes"):
+                    if key not in attrs:
+                        raise ValueError(
+                            f"{path} is not a PSL cache (missing attribute "
+                            f"{key!r}); build one with uit-psl-cache")
+                if attrs0 is None:
+                    attrs0 = attrs
+                else:
+                    for key in ("grid", "chunk_length", "classes",
+                                "sample_rate"):
+                        if int(attrs.get(key, -1)) != int(attrs0.get(key, -1)):
+                            raise ValueError(
+                                f"PSL cache shards disagree on {key}: "
+                                f"{self._cache_paths[0]} has "
+                                f"{attrs0.get(key)}, {path} has "
+                                f"{attrs.get(key)} — they are not one "
+                                f"build; regenerate the shard set")
+                if "shard_index" in attrs:
+                    shard_ids.append((int(attrs["shard_index"]),
+                                      int(attrs["shard_count"])))
+                # the union lookup: which shard file holds each clip
+                for fname in f.keys():
+                    self._clip_shard[fname] = pi
+        if shard_ids:
+            counts = {n for _, n in shard_ids}
+            if len(counts) != 1:
                 raise ValueError(
-                    f"{self._cache_path} is not a PSL cache (missing "
-                    f"attribute {key!r}); build one with uit-psl-cache")
-        if int(attrs["chunk_length"]) != self.chunk_length:
+                    f"PSL cache shards come from different --shard N builds "
+                    f"({sorted(counts)}) across {self._cache_paths}")
+            n = counts.pop()
+            missing = set(range(n)) - {i for i, _ in shard_ids}
+            if missing:
+                raise ValueError(
+                    f"incomplete PSL shard set: built as {n} shards but "
+                    f"indices {sorted(missing)} are absent from "
+                    f"{self._cache_paths} — pass every shard (glob or list)")
+        if int(attrs0["chunk_length"]) != self.chunk_length:
             raise ValueError(
-                f"PSL cache {self._cache_path} was built for "
-                f"chunk_length={int(attrs['chunk_length'])} samples but the "
+                f"PSL cache {self._cache_paths[0]} was built for "
+                f"chunk_length={int(attrs0['chunk_length'])} samples but the "
                 f"training config crops {self.chunk_length} — rebuild the "
                 f"cache or fix chunk_length")
-        self._grid = int(attrs["grid"])
-        self._psl_classes = int(attrs["classes"])
+        self._grid = int(attrs0["grid"])
+        self._psl_classes = int(attrs0["classes"])
         if self._psl_classes > num_classes:
             raise ValueError(
                 f"PSL cache stores {self._psl_classes} classes but targets "
                 f"have {num_classes}")
 
-    def _cache(self):
-        f = getattr(self._cache_local, "f", None)
+    def _cache(self, pi: int):
+        files = getattr(self._cache_local, "files", None)
+        if files is None:
+            files = self._cache_local.files = {}
+        f = files.get(pi)
         if f is None:
-            f = self._cache_local.f = _H5File(self._cache_path, "r")
+            f = files[pi] = _H5File(self._cache_paths[pi], "r")
         return f
 
     def _cache_row(self, fname: str, n: int):
         """(grid index, cached probs row) for one clip of n samples."""
-        try:
-            node = self._cache()[fname]
-        except KeyError:
+        pi = self._clip_shard.get(fname)
+        if pi is None:
             raise KeyError(
-                f"clip {fname!r} has no entry in the PSL cache "
-                f"{self._cache_path} — rebuild the cache over this "
+                f"clip {fname!r} has no entry in the PSL cache(s) "
+                f"{self._cache_paths} — rebuild the cache over this "
                 f"manifest (uit-psl-cache) or train with psl: "
-                f"{{mode: online}}") from None
+                f"{{mode: online}}")
+        node = self._cache(pi)[fname]
         starts = cache_starts(n, self.chunk_length, self._grid)
         if node.shape[0] != len(starts):
             raise ValueError(

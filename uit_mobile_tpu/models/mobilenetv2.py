@@ -205,10 +205,15 @@ def features_forward(cfg: MobileNetV2Config, params, state, mel, *, train=False)
 
 
 def forward(cfg: MobileNetV2Config, params, state, wav, *, train=False, rng=None,
-            wav_augment=None, spec_augment=None, frontend_fn=None):
+            wav_augment=None, spec_augment=None, mixup_lamb=None,
+            frontend_fn=None):
     """(B, T_wav) waveform -> (B, outputdim) probs ('dm' head).
 
-    Train mode returns (probs, new_state)."""
+    Train mode returns (probs, new_state). Mixup is mel-domain with the
+    same (lamb, reversed-batch) rule as uit.forward, so MobileNetV2
+    trains through the same make_train_step the UiT students use (the
+    reference only ever loads this net as a frozen teacher; here it is
+    also a trainable AT baseline)."""
     if train and wav.dtype == jnp.int16 and wav_augment is not None:
         # same contract as uit.forward: int16 PCM trains bitwise-identically
         # to f32/32768 (the frontend folds the scale exactly); only wav
@@ -222,7 +227,11 @@ def forward(cfg: MobileNetV2Config, params, state, wav, *, train=False, rng=None
     if train and wav_augment is not None:
         rng, r = jax.random.split(rng)
         wav = wav_augment(r, wav)
-    mel = frontend_fn(wav)
+    mel = frontend_fn(wav)  # (B, n_mels, T)
+    if train and mixup_lamb is not None:
+        from ..augment.mixup import mixup_tensor
+
+        mel = mixup_tensor(mel, mixup_lamb)
     if train and spec_augment is not None:
         rng, r = jax.random.split(rng)
         mel = spec_augment(r, mel)

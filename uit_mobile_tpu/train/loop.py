@@ -97,12 +97,13 @@ def _load_psl(config):
         if not cache:
             raise ValueError(
                 "psl: {mode: offline} needs cache: <psl_cache.h5> "
-                "(build it with uit-psl-cache)")
-        if not Path(cache).exists():
-            raise FileNotFoundError(
-                f"PSL cache {cache} does not exist — build it with "
-                f"uit-psl-cache or switch to psl: {{mode: psl}}")
-        log.info(f"offline PSL: cached teacher targets from {cache} "
+                "(one file, a shard glob, or a list — build with "
+                "uit-psl-cache [--shard i/N])")
+        from ..data.psl_cache import resolve_cache_paths
+
+        paths = resolve_cache_paths(cache)  # raises on missing/empty
+        log.info(f"offline PSL: cached teacher targets from "
+                 f"{paths if len(paths) > 1 else paths[0]} "
                  f"(teacher-free train step)")
         return None, None, None
     from ..cli.common import resolve_model
