@@ -80,6 +80,10 @@ def main(argv=None):
     ap.add_argument("--grids", default="1600,4800,16000")
     ap.add_argument("--n-train", type=int, default=128)
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--teacher-epochs", type=int, default=12)
+    ap.add_argument("--teacher-iters", type=int, default=80)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="student seeds per variant (mean reported)")
     args = ap.parse_args(argv)
 
     import jax
@@ -111,13 +115,13 @@ def main(argv=None):
         model="MobileNetV2",
         model_args={"width_mult": 0.5},
         batch_size=32,
-        epochs=args.epochs,
-        epoch_length=60,
-        warmup_iters=60,
+        epochs=args.teacher_epochs,
+        epoch_length=args.teacher_iters,
+        warmup_iters=args.teacher_iters,
         chunk_length=1.0,
         optimizer="AdamW",
-        optimizer_args={"lr": 1e-3, "weight_decay": 1e-8},
-        early_stop=args.epochs,
+        optimizer_args={"lr": 2e-3, "weight_decay": 1e-8},
+        early_stop=args.teacher_epochs,
         n_saved=2,
         num_workers=2,
         seed=args.seed,
@@ -147,7 +151,7 @@ def main(argv=None):
               f"{s['bytes'] / 1e6:.1f} MB", flush=True)
 
     # ---- students: identical schedule, only the PSL source varies
-    def student_cfg(stem, psl):
+    def student_cfg(stem, psl, seed):
         c = dict(
             outputpath=str(out / "students"),
             num_classes=537,
@@ -165,7 +169,7 @@ def main(argv=None):
             early_stop=args.epochs,
             n_saved=2,
             num_workers=2,
-            seed=args.seed,
+            seed=seed,
             config_stem=stem,
             **world,
         )
@@ -181,18 +185,32 @@ def main(argv=None):
 
     rows = []
     for stem, psl in variants:
-        mp = _run_train(student_cfg(stem.replace("@", "_"), psl), out,
-                        stem.replace("@", "_"))
-        scores = _eval_model(mp, world["audioset_eval_data"])
-        kws = _eval_model(mp, world["kws_test_data"])
-        rows.append((stem, scores.get("mAPAudioset"), kws.get("mAPKWS")))
-        print(f"student {stem:<14} mAPAudioset={scores.get('mAPAudioset')} "
-              f"mAPKWS={kws.get('mAPKWS')}", flush=True)
+        aa, kk = [], []
+        for s in range(args.seeds):
+            seed = args.seed + s * 101
+            mp = _run_train(
+                student_cfg(f"{stem.replace('@', '_')}_s{seed}", psl, seed),
+                out, f"{stem.replace('@', '_')}_s{seed}")
+            scores = _eval_model(mp, world["audioset_eval_data"])
+            kws = _eval_model(mp, world["kws_test_data"])
+            # single-manifest audioset evals report plain 'mAP' (the
+            # mAPAudioset/mAPKWS split keys appear on mixed validations)
+            a = scores.get("mAPAudioset") or scores.get("mAP")
+            k = kws.get("mAPKWS") or kws.get("mAP")
+            aa.append(a)
+            kk.append(k)
+            print(f"student {stem:<14} seed {seed}: "
+                  f"mAP(audioset eval)={a:.4f} mAPKWS={k:.4f}", flush=True)
+        rows.append((stem, aa, kk))
 
-    print(f"\n{'psl source':<16} {'mAPAudioset':>12} {'mAPKWS':>8}",
+    import numpy as _np
+
+    print(f"\n{'psl source':<16} {'mAP(as eval)':>22} {'mAPKWS':>8}",
           flush=True)
-    for stem, a, k in rows:
-        print(f"{stem:<16} {a:>12.4f} {k:>8.4f}", flush=True)
+    for stem, aa, kk in rows:
+        spread = f" ± {_np.std(aa):.4f}" if len(aa) > 1 else ""
+        print(f"{stem:<16} {_np.mean(aa):>12.4f}{spread:<10} "
+              f"{_np.mean(kk):>8.4f}", flush=True)
     return 0
 
 

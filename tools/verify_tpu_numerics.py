@@ -97,6 +97,15 @@ def main():
     gate("mel kernel vs committed frontend golden (dB)",
          np.abs(mel - fg["rand_batch_logmel"]).max(), 3e-2)
 
+    # B=1 pad-to-2 guard (PERF_NOTES round 5: the unguarded B=1 program
+    # sat in one 426 us serial fusion): kernel rows are per-frame
+    # independent, so the guarded batch-1 mel must be BITWISE the first
+    # row of a batch-2 call
+    m1 = np.asarray(pallas_log_mel(gwav[:1], precision="fast"))
+    m2 = np.asarray(pallas_log_mel(gwav[:2], precision="fast"))
+    gate("mel B=1 guard vs B=2 row0 (bitwise)",
+         np.abs(m1 - m2[:1]).max(), 0.0)
+
     # StableHLO artifact roundtrip ON CHIP: serialize -> file -> reload
     # -> run; budget 1e-3 (exported-module fusion regroups the default-
     # precision matmul passes — measured 8e-5 at B=256 on v5e)

@@ -235,6 +235,20 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     pcm16 = wav.dtype == jnp.int16
     wav_scale = (1.0 / 32768.0) if pcm16 else 1.0
     B, T = wav.shape
+    if B == 1 and not interpret:
+        # XLA's B=1 lowering degenerates the framing/pad ops into one
+        # serial fusion: 426 of the 474 us/dispatch at B=1 sat in a single
+        # fusion op while B=2 runs the whole mel in 113 us (v5e,
+        # tools/probe_b1_stage.py, PERF_NOTES round 5). One zero pad row
+        # buys the fast B=2 program; kernel rows are per-frame independent
+        # so sample 0 is bitwise unchanged, and in batch-global ('torch')
+        # top_db mode the pad row's dB max is the amin floor (-100) — it
+        # can tie the reference max, never raise it.
+        mel2 = pallas_log_mel(jnp.concatenate([wav, jnp.zeros_like(wav)]),
+                              config, interpret=interpret,
+                              precision=precision, layout=layout,
+                              block_rows=block_rows)
+        return mel2[..., :1] if layout == "tfb" else mel2[:1]
     wav_in = wav  # pre-padding, for the small-batch tfb fallback below
     if config.center:
         pad = n_fft // 2
