@@ -201,7 +201,8 @@ def _mel_kernel_fast_t(framesT_ref, gthi_ref, gtlo_ref, fbthi_ref, fbtlo_ref,
 def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
                    interpret: bool | None = None,
                    precision: str = "exact", layout: str = "bft",
-                   block_rows: int | None = None) -> jax.Array:
+                   block_rows: int | None = None,
+                   framing: str = "slices") -> jax.Array:
     """(B, T) waveform -> log-mel dB, fused on TPU.
 
     Drop-in replacement for frontend.mel.log_mel_spectrogram (same
@@ -221,9 +222,17 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     0.69 ms/batch frames relayout copy disappears too (fastest serving
     path; consumed by models.uit patch_embed_tfb; bitwise identical to
     the row kernel).
+    framing: 'slices' (default) builds frames as a stack of n_frames
+    static hop-strided slices; 'gather' is the 2-D-index gather that was
+    the default through round 5. Both are pure indexing — BITWISE
+    identical frames — but the gather lowering carries a ~92 us fixed
+    device latency (394 us in the degenerate B=1 program) and loses at
+    every batch size standalone (B=2048: 1292 vs 563 us;
+    tools/probe_small_framing.py, PERF_NOTES round 5).
     """
     assert precision in ("exact", "fast")
     assert layout in ("bft", "btf", "tfb")
+    assert framing in ("slices", "gather")
     config = config or FrontendConfig()
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -247,7 +256,7 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
         mel2 = pallas_log_mel(jnp.concatenate([wav, jnp.zeros_like(wav)]),
                               config, interpret=interpret,
                               precision=precision, layout=layout,
-                              block_rows=block_rows)
+                              block_rows=block_rows, framing=framing)
         return mel2[..., :1] if layout == "tfb" else mel2[:1]
     wav_in = wav  # pre-padding, for the small-batch tfb fallback below
     if config.center:
@@ -283,7 +292,7 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
         # (T, F, B) contract is preserved for the caller.
         mel_btf = pallas_log_mel(wav_in, config, interpret=interpret,
                                  precision=precision, layout="btf",
-                                 block_rows=block_rows)
+                                 block_rows=block_rows, framing=framing)
         return jnp.transpose(mel_btf, (1, 2, 0))
 
     if layout == "tfb":
@@ -291,9 +300,13 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
         # (n_frames, n_fft, B) — physically the layout XLA's gather
         # produces anyway, so no relayout copy on either side
         wavT = wav.T
-        idxT = (np.arange(n_frames)[:, None] * hop
-                + np.arange(n_fft)[None, :]).reshape(-1)
-        framesT = wavT[idxT, :].reshape(n_frames, n_fft, B)
+        if framing == "slices":
+            framesT = jnp.stack([wavT[i * hop:i * hop + n_fft, :]
+                                 for i in range(n_frames)], axis=0)
+        else:
+            idxT = (np.arange(n_frames)[:, None] * hop
+                    + np.arange(n_fft)[None, :]).reshape(-1)
+            framesT = wavT[idxT, :].reshape(n_frames, n_fft, B)
         b_blk = min(block_rows if block_rows is not None else 1024, B)
         fbt_hi, fbt_lo = split(np.ascontiguousarray(fb.T))
         xt_spec = pl.BlockSpec((1, n_fft, b_blk), lambda p, b: (p, 0, b),
@@ -338,15 +351,23 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
             x_db = jnp.maximum(x_db, ref - config.top_db)
         return x_db
 
-    # hop-strided framing as one XLA gather (static indices, clamped so the
-    # sublane-alignment rows read in-bounds garbage that we slice away).
-    # Measured alternatives on v5e (B=2048, same process): flat-index
-    # gather +29%, chunk-slice+concat framing +17% — and for the row
-    # kernels the gather output still pays a relayout copy (see the 'tfb'
-    # path above, which eliminates it).
-    idx = np.arange(frames_pad)[:, None] * hop + np.arange(n_fft)[None, :]
-    idx = np.minimum(idx, Tp - 1)
-    frames = wav[:, idx].reshape(B * frames_pad, n_fft)  # free reshape
+    # hop-strided framing. 'slices' (default): n_frames static slices
+    # stacked — beats the 2-D-index gather at every batch size (the
+    # gather lowering carries ~92 us fixed latency; PERF_NOTES round 5).
+    # 'gather': one clamped 2-D-index gather (sublane-alignment rows read
+    # in-bounds garbage that the post-kernel slice discards) — the
+    # round-2-4 default, kept for A/Bs. (Round-2 alternatives at B=2048:
+    # flat-index gather +29%, 4-chunk slice+concat +17% vs the gather.)
+    if framing == "slices":
+        sl = [wav[:, i * hop:i * hop + n_fft] for i in range(n_frames)]
+        # frames_pad - n_frames alignment rows: content is irrelevant
+        # (sliced away after the kernel) — repeat the last frame
+        sl += [sl[-1]] * (frames_pad - n_frames)
+        frames = jnp.stack(sl, axis=1).reshape(B * frames_pad, n_fft)
+    else:
+        idx = np.arange(frames_pad)[:, None] * hop + np.arange(n_fft)[None, :]
+        idx = np.minimum(idx, Tp - 1)
+        frames = wav[:, idx].reshape(B * frames_pad, n_fft)  # free reshape
 
     rows = B * frames_pad
     # 1024 measured best on v5e (512: more grid overhead; 2048: VMEM
