@@ -590,11 +590,11 @@ def main():
         # curve between the B=1 and B=2048 operating points
         record["latency_pareto_device_ms"] = latency_pareto
     if "8" in latency_pareto:
-        # the SHIPPED single-request path: serving buckets pad a lone
-        # clip to the bucket size (ServiceConfig.low_latency uses 8).
-        # Same program/shape as pareto B=8. Since the round-5 B=1 mel
-        # guard (pallas_log_mel pads 1->2; PERF_NOTES) the raw b1 number
-        # matches this instead of being 3x slower.
+        # the serving-bucket single-request path: buckets pad a lone
+        # clip to the bucket size (ServiceConfig.low_latency uses 8) —
+        # same program/shape as pareto B=8. Since round 5's slices
+        # framing (pallas_log_mel framing='auto', PERF_NOTES) the raw
+        # B=1 program is the faster of the two (~51 vs ~66 us).
         record["b1_padded_bucket_device_p50_ms"] = latency_pareto["8"]
     if f32_clips_per_s is not None:
         record["f32_clips_per_s"] = round(f32_clips_per_s, 1)

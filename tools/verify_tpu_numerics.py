@@ -97,13 +97,14 @@ def main():
     gate("mel kernel vs committed frontend golden (dB)",
          np.abs(mel - fg["rand_batch_logmel"]).max(), 3e-2)
 
-    # B=1 pad-to-2 guard (PERF_NOTES round 5: the unguarded B=1 program
-    # sat in one 426 us serial fusion): kernel rows are per-frame
-    # independent, so the guarded batch-1 mel must be BITWISE the first
-    # row of a batch-2 call
+    # batch-size independence of the small-batch route (PERF_NOTES
+    # round 5: framing='auto' takes slices framing below B=1024; the
+    # old gather framing sat in a 426 us serial fusion at B=1): kernel
+    # rows are per-frame independent, so the batch-1 mel must be
+    # BITWISE the first row of a batch-2 call
     m1 = np.asarray(pallas_log_mel(gwav[:1], precision="fast"))
     m2 = np.asarray(pallas_log_mel(gwav[:2], precision="fast"))
-    gate("mel B=1 guard vs B=2 row0 (bitwise)",
+    gate("mel B=1 vs B=2 row0 (bitwise)",
          np.abs(m1 - m2[:1]).max(), 0.0)
 
     # StableHLO artifact roundtrip ON CHIP: serialize -> file -> reload

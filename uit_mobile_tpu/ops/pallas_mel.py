@@ -202,7 +202,8 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
                    interpret: bool | None = None,
                    precision: str = "exact", layout: str = "bft",
                    block_rows: int | None = None,
-                   framing: str = "slices") -> jax.Array:
+                   framing: str = "auto",
+                   _pad_b1: bool = True) -> jax.Array:
     """(B, T) waveform -> log-mel dB, fused on TPU.
 
     Drop-in replacement for frontend.mel.log_mel_spectrogram (same
@@ -222,17 +223,22 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     0.69 ms/batch frames relayout copy disappears too (fastest serving
     path; consumed by models.uit patch_embed_tfb; bitwise identical to
     the row kernel).
-    framing: 'slices' (default) builds frames as a stack of n_frames
-    static hop-strided slices; 'gather' is the 2-D-index gather that was
-    the default through round 5. Both are pure indexing — BITWISE
-    identical frames — but the gather lowering carries a ~92 us fixed
-    device latency (394 us in the degenerate B=1 program) and loses at
-    every batch size standalone (B=2048: 1292 vs 563 us;
-    tools/probe_small_framing.py, PERF_NOTES round 5).
+    framing: how the hop-strided frames are built — both pure indexing,
+    BITWISE-identical mels (pinned on-chip across layouts/precisions):
+    - 'slices': a stack of n_frames static slices. The XLA gather
+      lowering carries a ~90 us fixed device latency (394 us in the
+      degenerate B=1 program), so slices win the latency shapes
+      in-program: full forward B=1 162->56 us, B=64 -24%, B=256 -20%
+      (tools/probe_small_framing.py + PERF_NOTES round 5).
+    - 'gather': the 2-D-index gather — fuses better at throughput
+      shapes (B=1024 +0.3%, B=2048 +0.6% for slices), and is what the
+      round-5 serving roofline certified at B=2048.
+    - 'auto' (default): slices below B=1024, gather at and above — the
+      measured in-program crossover.
     """
     assert precision in ("exact", "fast")
     assert layout in ("bft", "btf", "tfb")
-    assert framing in ("slices", "gather")
+    assert framing in ("auto", "slices", "gather")
     config = config or FrontendConfig()
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -244,15 +250,19 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     pcm16 = wav.dtype == jnp.int16
     wav_scale = (1.0 / 32768.0) if pcm16 else 1.0
     B, T = wav.shape
-    if B == 1 and not interpret:
-        # XLA's B=1 lowering degenerates the framing/pad ops into one
-        # serial fusion: 426 of the 474 us/dispatch at B=1 sat in a single
-        # fusion op while B=2 runs the whole mel in 113 us (v5e,
+    if framing == "auto":
+        framing = "slices" if B < 1024 else "gather"
+    if B == 1 and not interpret and _pad_b1 and framing == "gather":
+        # GATHER-framing only: XLA's B=1 gather lowering degenerates into
+        # one serial fusion (426 of the 474 us/dispatch sat in a single
+        # fusion op while B=2 ran the whole mel in 113 us — v5e,
         # tools/probe_b1_stage.py, PERF_NOTES round 5). One zero pad row
         # buys the fast B=2 program; kernel rows are per-frame independent
         # so sample 0 is bitwise unchanged, and in batch-global ('torch')
         # top_db mode the pad row's dB max is the amin floor (-100) — it
-        # can tie the reference max, never raise it.
+        # can tie the reference max, never raise it. Slices framing has
+        # no B=1 pathology (13.3 us with or without the pad), so the
+        # default 'auto' route never needs this.
         mel2 = pallas_log_mel(jnp.concatenate([wav, jnp.zeros_like(wav)]),
                               config, interpret=interpret,
                               precision=precision, layout=layout,
