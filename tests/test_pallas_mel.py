@@ -95,3 +95,41 @@ def test_tfb_to_bft_frontend_matches_bft():
     a = make_frontend_fn(cfg, use_pallas=False)(wav)
     b = make_frontend_fn(cfg, use_pallas=False, layout="tfb_to_bft")(wav)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_framing_variants_bitwise_equal():
+    """'slices' and 'gather' framings build the SAME frames (pure
+    indexing) — mels must be exactly equal in every layout/precision,
+    and the 'auto' default must match both. The on-chip counterpart
+    (real Mosaic kernels + the B=1 route) is gated in make verify-tpu;
+    this pins the interpret path so CI catches indexing regressions."""
+    from uit_mobile_tpu.frontend import FrontendConfig
+    from uit_mobile_tpu.ops import pallas_log_mel
+
+    cfg = FrontendConfig()
+    rng = np.random.default_rng(7)
+    for B in (1, 3):
+        wav = (rng.standard_normal((B, 16000)) * 0.1).astype(np.float32)
+        pcm = (wav * 32768).clip(-32768, 32767).astype(np.int16)
+        for precision in ("exact", "fast"):
+            for layout in ("bft", "btf", "tfb"):
+                for x in (wav, pcm):
+                    s = pallas_log_mel(x, cfg, precision=precision,
+                                       layout=layout, framing="slices")
+                    g = pallas_log_mel(x, cfg, precision=precision,
+                                       layout=layout, framing="gather")
+                    a = pallas_log_mel(x, cfg, precision=precision,
+                                       layout=layout)
+                    np.testing.assert_array_equal(np.asarray(s),
+                                                  np.asarray(g))
+                    np.testing.assert_array_equal(np.asarray(a),
+                                                  np.asarray(s))
+
+
+def test_framing_rejects_unknown():
+    from uit_mobile_tpu.frontend import FrontendConfig
+    from uit_mobile_tpu.ops import pallas_log_mel
+
+    wav = np.zeros((2, 16000), np.float32)
+    with pytest.raises(AssertionError):
+        pallas_log_mel(wav, FrontendConfig(), framing="stride")
