@@ -131,5 +131,6 @@ def test_framing_rejects_unknown():
     from uit_mobile_tpu.ops import pallas_log_mel
 
     wav = np.zeros((2, 16000), np.float32)
-    with pytest.raises(AssertionError):
+    # ValueError, not assert: must survive python -O (house convention)
+    with pytest.raises(ValueError, match="unknown framing"):
         pallas_log_mel(wav, FrontendConfig(), framing="stride")

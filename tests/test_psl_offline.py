@@ -413,3 +413,52 @@ def test_shard_cli_arg_validation(world, tmp_path):
     with pytest.raises(SystemExit):
         cli.main([str(world["tsv"]), "-t", "x", "-o", str(tmp_path / "o.h5"),
                   "--shard", "2/2"])
+
+
+def test_mixed_teacher_shards_are_loud(world, shards, tmp_path):
+    """Same grid/classes but a DIFFERENT teacher build must not pass the
+    one-build check (the cached targets would silently mix teachers)."""
+    df = read_tsv_data(world["tsv"], basename=True)
+    other = tmp_path / "other_teacher.1of2.h5"
+    build_psl_cache(
+        df, lambda w: np.asarray(world["fwd"](jnp.asarray(w))),
+        other, chunk_length=1.0, grid=GRID, batch_size=8,
+        teacher_name="retrained-mbv2", shard=(1, 2))
+    with pytest.raises(ValueError, match="disagree on teacher"):
+        PSLCachedRandomCropHDF5Dataset(
+            df, chunk_length=1.0, num_classes=537,
+            cache_path=[str(shards["paths"][0]), str(other)],
+            rng=random.Random(2))
+
+
+def test_duplicate_shard_clips_are_loud(world, shards):
+    """The same shard passed twice (or two builds of the same index) is
+    not a complete set — refuse before serving last-wins targets."""
+    df = read_tsv_data(world["tsv"], basename=True)
+    with pytest.raises(ValueError, match="appears in two PSL shards|duplicate PSL shard"):
+        PSLCachedRandomCropHDF5Dataset(
+            df, chunk_length=1.0, num_classes=537,
+            cache_path=[str(shards["paths"][0]), str(shards["paths"][0]),
+                        str(shards["paths"][1])],
+            rng=random.Random(2))
+
+
+def test_empty_shard_in_complete_set_is_tolerated(world, tmp_path):
+    """More prep hosts than clips: a shard with zero manifest rows
+    (attrs classes=0) must not poison the consistency check."""
+    df = read_tsv_data(world["tsv"], basename=True)
+    n = len(df) + 2  # guarantees at least one empty stride
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"wide.{i}of{n}.h5"
+        build_psl_cache(
+            df, lambda w: np.asarray(world["fwd"](jnp.asarray(w))),
+            p, chunk_length=1.0, grid=GRID, batch_size=8,
+            teacher_name="toy-mbv2", shard=(i, n))
+        paths.append(str(p))
+    ds = PSLCachedRandomCropHDF5Dataset(
+        df, chunk_length=1.0, num_classes=537, cache_path=paths,
+        rng=random.Random(5))
+    wav, target, fname = ds[0]
+    assert wav.shape == (L,)
+    assert ds._psl_classes == C_T

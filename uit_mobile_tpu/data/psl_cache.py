@@ -276,7 +276,8 @@ class PSLCachedRandomCropHDF5Dataset(WeakRandomCropHDF5Dataset):
             raise RuntimeError("h5py is required for the offline PSL cache")
         self._cache_paths = resolve_cache_paths(cache_path)
         self._cache_local = threading.local()
-        attrs0 = None
+        attrs0 = None  # reference attrs, from the first NON-EMPTY shard
+        attrs0_path = None
         shard_ids: list[tuple[int, int]] = []
         self._clip_shard: dict[str, int] = {}  # fname -> index in _cache_paths
         for pi, path in enumerate(self._cache_paths):
@@ -287,23 +288,51 @@ class PSLCachedRandomCropHDF5Dataset(WeakRandomCropHDF5Dataset):
                         raise ValueError(
                             f"{path} is not a PSL cache (missing attribute "
                             f"{key!r}); build one with uit-psl-cache")
-                if attrs0 is None:
-                    attrs0 = attrs
+                keys = list(f.keys())
+                # a shard whose manifest stride got zero rows is legal
+                # (more hosts than clips) but stores classes=0 — exclude
+                # it from the classes consistency check
+                check = ["grid", "chunk_length", "sample_rate", "teacher"]
+                if keys:
+                    check.append("classes")
+                if attrs0 is None or (not attrs0.get("_nonempty") and keys):
+                    attrs = dict(attrs, _nonempty=bool(keys))
+                    if attrs0 is not None:
+                        # re-check the earlier (empty) reference against
+                        # the new non-empty one for the shared keys
+                        for key in ("grid", "chunk_length", "sample_rate",
+                                    "teacher"):
+                            if str(attrs0.get(key)) != str(attrs.get(key)):
+                                raise ValueError(
+                                    f"PSL cache shards disagree on {key}: "
+                                    f"{attrs0_path} has {attrs0.get(key)}, "
+                                    f"{path} has {attrs.get(key)} — they "
+                                    f"are not one build; regenerate the "
+                                    f"shard set")
+                    attrs0, attrs0_path = attrs, path
                 else:
-                    for key in ("grid", "chunk_length", "classes",
-                                "sample_rate"):
-                        if int(attrs.get(key, -1)) != int(attrs0.get(key, -1)):
+                    for key in check:
+                        a0, a1 = attrs0.get(key), attrs.get(key)
+                        same = (str(a0) == str(a1) if key == "teacher"
+                                else int(a0 if a0 is not None else -1)
+                                == int(a1 if a1 is not None else -1))
+                        if not same:
                             raise ValueError(
                                 f"PSL cache shards disagree on {key}: "
-                                f"{self._cache_paths[0]} has "
-                                f"{attrs0.get(key)}, {path} has "
-                                f"{attrs.get(key)} — they are not one "
-                                f"build; regenerate the shard set")
+                                f"{attrs0_path} has {a0}, {path} has {a1} "
+                                f"— they are not one build; regenerate "
+                                f"the shard set")
                 if "shard_index" in attrs:
                     shard_ids.append((int(attrs["shard_index"]),
                                       int(attrs["shard_count"])))
                 # the union lookup: which shard file holds each clip
-                for fname in f.keys():
+                for fname in keys:
+                    if fname in self._clip_shard:
+                        raise ValueError(
+                            f"clip {fname!r} appears in two PSL shards "
+                            f"({self._cache_paths[self._clip_shard[fname]]} "
+                            f"and {path}) — the files are not one "
+                            f"--shard i/N build; regenerate the shard set")
                     self._clip_shard[fname] = pi
         if shard_ids:
             counts = {n for _, n in shard_ids}
@@ -312,7 +341,14 @@ class PSLCachedRandomCropHDF5Dataset(WeakRandomCropHDF5Dataset):
                     f"PSL cache shards come from different --shard N builds "
                     f"({sorted(counts)}) across {self._cache_paths}")
             n = counts.pop()
-            missing = set(range(n)) - {i for i, _ in shard_ids}
+            indices = [i for i, _ in shard_ids]
+            dups = sorted({i for i in indices if indices.count(i) > 1})
+            if dups:
+                raise ValueError(
+                    f"duplicate PSL shard indices {dups} across "
+                    f"{self._cache_paths} — the files mix more than one "
+                    f"--shard i/{n} build; pass each shard exactly once")
+            missing = set(range(n)) - set(indices)
             if missing:
                 raise ValueError(
                     f"incomplete PSL shard set: built as {n} shards but "

@@ -79,8 +79,10 @@ def synth_eventful_clip(rng: np.random.Generator, labels, sr: int = 16000,
     w = rng.standard_normal(n) * rng.uniform(0.02, 0.08)
     for lab in labels:
         f = AS_FREQS[int(lab)]
-        dur = int(sr * rng.uniform(0.8, 1.5))
-        start = int(rng.integers(0, n - dur))
+        # clamp: a burst can at most fill the clip (short `seconds`
+        # worlds are legal — the event then spans the whole clip)
+        dur = min(int(sr * rng.uniform(0.8, 1.5)), n)
+        start = int(rng.integers(0, max(1, n - dur)))
         t = np.arange(dur) / sr
         tone = rng.uniform(0.3, 0.8) * np.sin(
             2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))

@@ -238,7 +238,12 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
     """
     assert precision in ("exact", "fast")
     assert layout in ("bft", "btf", "tfb")
-    assert framing in ("auto", "slices", "gather")
+    if framing not in ("auto", "slices", "gather"):
+        # raise, not assert: a typo must not silently fall through to the
+        # gather branch under python -O
+        raise ValueError(
+            f"unknown framing {framing!r}; expected 'auto', 'slices' or "
+            f"'gather'")
     config = config or FrontendConfig()
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -361,13 +366,15 @@ def pallas_log_mel(wav: jax.Array, config: FrontendConfig | None = None,
             x_db = jnp.maximum(x_db, ref - config.top_db)
         return x_db
 
-    # hop-strided framing. 'slices' (default): n_frames static slices
-    # stacked — beats the 2-D-index gather at every batch size (the
-    # gather lowering carries ~92 us fixed latency; PERF_NOTES round 5).
-    # 'gather': one clamped 2-D-index gather (sublane-alignment rows read
-    # in-bounds garbage that the post-kernel slice discards) — the
-    # round-2-4 default, kept for A/Bs. (Round-2 alternatives at B=2048:
-    # flat-index gather +29%, 4-chunk slice+concat +17% vs the gather.)
+    # hop-strided framing. 'slices': n_frames static slices stacked —
+    # the gather lowering carries ~92 us fixed latency, so slices win
+    # every latency shape in-program (B=256 -20%) but TIE/LOSE noise-
+    # level at B>=1024 (+0.3%/+0.6%), which is why 'auto' keeps the
+    # gather there (PERF_NOTES round 5). 'gather': one clamped
+    # 2-D-index gather (sublane-alignment rows read in-bounds garbage
+    # that the post-kernel slice discards) — the round-2-4 default and
+    # the program the serving roofline certified. (Round-2 alternatives
+    # at B=2048: flat-index gather +29%, 4-chunk slice+concat +17%.)
     if framing == "slices":
         sl = [wav[:, i * hop:i * hop + n_fft] for i in range(n_frames)]
         # frames_pad - n_frames alignment rows: content is irrelevant
