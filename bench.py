@@ -619,6 +619,21 @@ def main():
         tf = record["train_fast_clips_per_s"]
         record["train_fast_minmax"] = [round(min(tlo, tf), 1),
                                        round(max(thi, tf), 1)]
+    if "train_offline_clips_per_s" in record:
+        # same session-range honesty for the round-5 offline frontier
+        # (recorded 130.0-132.9k in bench runs; probes saw 135.6-140.5k
+        # across sessions — seed the band with the bench-run floor)
+        olo, ohi = 129900.0, 140547.0
+        try:
+            prev = json.loads(
+                (Path(__file__).parent / "BENCH_LAST.json").read_text())
+            plo, phi = prev.get("train_offline_minmax", (olo, ohi))
+            olo, ohi = min(olo, plo), max(ohi, phi)
+        except Exception:
+            pass
+        to = record["train_offline_clips_per_s"]
+        record["train_offline_minmax"] = [round(min(olo, to), 1),
+                                          round(max(ohi, to), 1)]
     if serve_mfu is not None:
         record["serve_mfu"] = round(serve_mfu, 4)
         record["serve_flops_per_clip"] = round(serve_flops_per_clip)
