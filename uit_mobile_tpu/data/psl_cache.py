@@ -276,10 +276,9 @@ class PSLCachedRandomCropHDF5Dataset(WeakRandomCropHDF5Dataset):
             raise RuntimeError("h5py is required for the offline PSL cache")
         self._cache_paths = resolve_cache_paths(cache_path)
         self._cache_local = threading.local()
-        attrs0 = None  # reference attrs, from the first NON-EMPTY shard
-        attrs0_path = None
         shard_ids: list[tuple[int, int]] = []
         self._clip_shard: dict[str, int] = {}  # fname -> index in _cache_paths
+        infos: list[tuple[str, dict, bool]] = []  # (path, attrs, nonempty)
         for pi, path in enumerate(self._cache_paths):
             with _H5File(path, "r") as f:
                 attrs = dict(f.attrs)
@@ -289,39 +288,7 @@ class PSLCachedRandomCropHDF5Dataset(WeakRandomCropHDF5Dataset):
                             f"{path} is not a PSL cache (missing attribute "
                             f"{key!r}); build one with uit-psl-cache")
                 keys = list(f.keys())
-                # a shard whose manifest stride got zero rows is legal
-                # (more hosts than clips) but stores classes=0 — exclude
-                # it from the classes consistency check
-                check = ["grid", "chunk_length", "sample_rate", "teacher"]
-                if keys:
-                    check.append("classes")
-                if attrs0 is None or (not attrs0.get("_nonempty") and keys):
-                    attrs = dict(attrs, _nonempty=bool(keys))
-                    if attrs0 is not None:
-                        # re-check the earlier (empty) reference against
-                        # the new non-empty one for the shared keys
-                        for key in ("grid", "chunk_length", "sample_rate",
-                                    "teacher"):
-                            if str(attrs0.get(key)) != str(attrs.get(key)):
-                                raise ValueError(
-                                    f"PSL cache shards disagree on {key}: "
-                                    f"{attrs0_path} has {attrs0.get(key)}, "
-                                    f"{path} has {attrs.get(key)} — they "
-                                    f"are not one build; regenerate the "
-                                    f"shard set")
-                    attrs0, attrs0_path = attrs, path
-                else:
-                    for key in check:
-                        a0, a1 = attrs0.get(key), attrs.get(key)
-                        same = (str(a0) == str(a1) if key == "teacher"
-                                else int(a0 if a0 is not None else -1)
-                                == int(a1 if a1 is not None else -1))
-                        if not same:
-                            raise ValueError(
-                                f"PSL cache shards disagree on {key}: "
-                                f"{attrs0_path} has {a0}, {path} has {a1} "
-                                f"— they are not one build; regenerate "
-                                f"the shard set")
+                infos.append((path, attrs, bool(keys)))
                 if "shard_index" in attrs:
                     shard_ids.append((int(attrs["shard_index"]),
                                       int(attrs["shard_count"])))
@@ -334,6 +301,24 @@ class PSLCachedRandomCropHDF5Dataset(WeakRandomCropHDF5Dataset):
                             f"and {path}) — the files are not one "
                             f"--shard i/N build; regenerate the shard set")
                     self._clip_shard[fname] = pi
+        # one-build consistency: compare every shard against a NON-EMPTY
+        # reference. A shard whose manifest stride got zero rows is legal
+        # (more prep hosts than clips) but stores classes=0, so empty
+        # shards skip the classes comparison. 'teacher' is part of the
+        # build identity: same grid/classes from a DIFFERENT teacher
+        # checkpoint must not silently mix targets.
+        ref_path, attrs0, _ = next((i for i in infos if i[2]), infos[0])
+        for path, attrs, nonempty in infos:
+            check = ["grid", "chunk_length", "sample_rate", "teacher"]
+            if nonempty:
+                check.append("classes")
+            for key in check:
+                a0, a1 = attrs0.get(key), attrs.get(key)
+                if str(a0) != str(a1):
+                    raise ValueError(
+                        f"PSL cache shards disagree on {key}: {ref_path} "
+                        f"has {a0}, {path} has {a1} — they are not one "
+                        f"build; regenerate the shard set")
         if shard_ids:
             counts = {n for _, n in shard_ids}
             if len(counts) != 1:
