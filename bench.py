@@ -601,39 +601,40 @@ def main():
     if exact_clips_per_s is not None:
         record["exact_clips_per_s"] = round(exact_clips_per_s, 1)
     record.update(train)
-    if "train_fast_clips_per_s" in record:
-        # Session-range honesty for the train-fast headline (round-4
-        # VERDICT weak #6): the relay wall clock varies ~±5-20% across
-        # sessions, so the record carries the accumulated min/max (seeded
-        # with the measured round-4 span: 81.0k integrated-record low,
-        # 101.5k idle-host high) — docs must quote record+range, never a
-        # naked number.
-        tlo, thi = 81000.0, 101529.0
+
+    # Session-range honesty (round-4 VERDICT weak #6): the relay wall
+    # clock varies ~±5-20% across sessions, so each train headline
+    # carries an accumulated min/max merged from the previous committed
+    # record — docs must quote record+range, never a naked number.
+    try:
+        prev = json.loads(
+            (Path(__file__).parent / "BENCH_LAST.json").read_text())
+    except Exception:
+        prev = {}
+
+    def session_minmax(value_key, minmax_key, seed_lo, seed_hi):
+        if value_key not in record:
+            return
+        lo, hi = seed_lo, seed_hi
         try:
-            prev = json.loads(
-                (Path(__file__).parent / "BENCH_LAST.json").read_text())
-            plo, phi = prev.get("train_fast_minmax", (tlo, thi))
-            tlo, thi = min(tlo, plo), max(thi, phi)
+            plo, phi = prev.get(minmax_key, (lo, hi))
+            lo, hi = min(lo, plo), max(hi, phi)
         except Exception:
             pass
-        tf = record["train_fast_clips_per_s"]
-        record["train_fast_minmax"] = [round(min(tlo, tf), 1),
-                                       round(max(thi, tf), 1)]
-    if "train_offline_clips_per_s" in record:
-        # same session-range honesty for the round-5 offline frontier
-        # (recorded 130.0-132.9k in bench runs; probes saw 135.6-140.5k
-        # across sessions — seed the band with the bench-run floor)
-        olo, ohi = 129900.0, 140547.0
-        try:
-            prev = json.loads(
-                (Path(__file__).parent / "BENCH_LAST.json").read_text())
-            plo, phi = prev.get("train_offline_minmax", (olo, ohi))
-            olo, ohi = min(olo, plo), max(ohi, phi)
-        except Exception:
-            pass
-        to = record["train_offline_clips_per_s"]
-        record["train_offline_minmax"] = [round(min(olo, to), 1),
-                                          round(max(ohi, to), 1)]
+        v = record[value_key]
+        record[minmax_key] = [round(min(lo, v), 1), round(max(hi, v), 1)]
+
+    # seeds: measured round-4 span (81.0k integrated-record low, 101.5k
+    # idle-host high) and the round-5 offline span (130.0k bench floor,
+    # 140.5k probe high)
+    session_minmax("train_fast_clips_per_s", "train_fast_minmax",
+                   81000.0, 101529.0)
+    session_minmax("train_offline_clips_per_s", "train_offline_minmax",
+                   129900.0, 140547.0)
+    # the plain f32-B=512 step has shipped a 2.7x-degraded sample once
+    # (busy relay session: 21.6 ms/step vs the documented ~8 ms band) —
+    # carry its range too; seeds = the documented rounds-2-5 span
+    session_minmax("train_clips_per_s", "train_minmax", 45173.0, 66000.0)
     if serve_mfu is not None:
         record["serve_mfu"] = round(serve_mfu, 4)
         record["serve_flops_per_clip"] = round(serve_flops_per_clip)

@@ -68,7 +68,7 @@ def main():
             fn(bufs[i % 2]).block_until_ready()
         jax.profiler.stop_trace()
         durs = sorted(device_dispatch_ms(d), reverse=True)[:iters]
-        return float(np.percentile(durs, 50))
+        return float(np.percentile(durs, 50)) if durs else float("nan")
 
     mcfg = models.get_model_config("uit_xs", outputdim=537,
                                    target_length=102, mel_layout="tfb")

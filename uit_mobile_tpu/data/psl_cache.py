@@ -78,6 +78,10 @@ def resolve_cache_paths(cache) -> list[str]:
     import os
 
     entries = list(cache) if isinstance(cache, (list, tuple)) else [cache]
+    if not entries:
+        raise FileNotFoundError(
+            "psl cache list is empty — pass one file, a shard glob, or a "
+            "non-empty list (uit-psl-cache builds them)")
     paths: list[str] = []
     for entry in entries:
         entry = str(entry)
